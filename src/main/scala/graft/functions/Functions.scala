@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (reference §2.8): lenient timestamp parsing,
+  * size pretty-printing, name sanitization. All built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs in any hot path.
+  */
+object Functions {
+
+  /** F1: ClickHouse `parseDateTimeBestEffortOrNull` analog
+    * (clickhouse_backend.py:134-138 + date_time_input_format='best_effort').
+    * A deterministic coalesce over an explicit format list — first format that
+    * parses wins, null if none do. Each `to_timestamp(c, fmt)` is a codegen'd
+    * expression; the coalesce stays inside whole-stage codegen.
+    */
+  def bestEffortTimestamp(c: Column): Column = coalesce(
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd")),
+    try_to_timestamp(c, lit("M/d/yyyy H:m:s")),
+    try_to_timestamp(c, lit("M/d/yyyy")),
+    try_to_timestamp(c, lit("yyyy-M-d")),
+    try_to_timestamp(c)
+  )
+
+  /** F2: `pg_size_pretty(bytes)` (pgwarehouse.py:220) — cosmetic, driver-side. */
+  def pgSizePretty(bytes: Long): String = {
+    val units = Seq("bytes", "kB", "MB", "GB", "TB", "PB")
+    var (v, i) = (bytes.toDouble, 0)
+    while (math.abs(v) >= 1024 && i < units.size - 1) { v /= 1024; i += 1 }
+    if (i == 0) s"$bytes ${units(0)}" else f"$v%.1f ${units(i)}"
+  }
+
+  /** F3: `to_char(n,'FM999,999,999,999')` analog. */
+  def formatCount(c: Column): Column = format_number(c, 0)
+
+  /** Exact money arithmetic for oracle-comparable aggregates: term-wise round
+    * to cents then integer-sum. Summation of longs is order-independent, so
+    * Spark's partial aggregation and DuckDB's sequential sum agree bit-for-bit
+    * — unlike double sums (SURVEY §7.4 determinism note).
+    */
+  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+}

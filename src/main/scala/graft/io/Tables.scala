@@ -1,0 +1,92 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources & sinks (reference operators S1-S6, SURVEY §2.1).
+  *
+  * The reference moves rows as chunked gzip CSV between a Postgres `\copy`
+  * subprocess and a warehouse bulk loader (pgwarehouse.py:254-303). Here the
+  * same roles are played by Spark's distributed readers/writers:
+  *   - parquet tables for the driver's test corpus (the primary path),
+  *   - schema-pinned gzip CSV for interchange-format fidelity (S2/S3),
+  *   - JDBC kept behind the same surface for real-Postgres parity (S1/S4),
+  *     not exercised by the test corpus.
+  *
+  * Scale notes (100 TB): all readers return unmaterialized DataFrames so
+  * Catalyst pushes filters/column pruning into the scan; CSV reads pin an
+  * explicit StructType (never infer — inference is a full extra pass over
+  * the data); `maxRecordsPerFile` bounds output file size like the
+  * reference's 1 GiB chunk rollover (pgwarehouse.py:261,286-291).
+  */
+object Tables {
+
+  /** S1 on the test corpus: path-addressed parquet table.
+    *
+    * Nanosecond-precision parquet timestamps (events.ts) are illegal for
+    * Spark's vectorized reader; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so they surface as
+    * nanos-since-epoch longs, and this wrapper restores a proper
+    * TimestampType at µs precision (the corpus has no sub-µs components,
+    * so `div 1000` is exact). DuckDB reads the same column natively as
+    * TIMESTAMP_NS and `epoch_us` truncates identically.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** S1 real-source path: filtered JDBC scan. The `filter` lands inside the
+    * pushed-down query exactly like the reference injects its incremental
+    * predicate into `\copy (select * from t {filter})` (pgwarehouse.py:275).
+    * partitionColumn parallelizes the scan — an upgrade over the reference's
+    * single psql pipe.
+    */
+  def jdbcTable(spark: SparkSession, url: String, dbtable: String,
+                filter: Option[String] = None,
+                partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", filter.fold(dbtable)(f => s"(select * from $dbtable where $f) q"))
+    partitionColumn.fold(base) { case (col, lo, hi, n) =>
+      base.option("partitionColumn", col).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
+
+  /** S2: chunked gzip CSV sink with header, mirroring the reference's rollover
+    * writer (pgwarehouse.py:259-295). maxRecordsPerFile plays the role of the
+    * 1 GiB size cap; Spark writes one chunk per partition in parallel rather
+    * than sequentially off a pipe.
+    */
+  def writeCsvChunks(df: DataFrame, dir: String, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(dir)
+
+  /** S3: CSV chunk source. Schema is pinned (the reference trusts DDL, never
+    * infers: duckdb_backend.py:107 `COPY ... (HEADER)`); chunk file order is
+    * irrelevant under set semantics.
+    */
+  def readCsvChunks(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(dir)
+
+  /** S4-S6 generalized: bulk append into a warehouse table over JDBC. */
+  def jdbcAppend(df: DataFrame, url: String, dbtable: String): Unit =
+    df.write.format("jdbc").option("url", url).option("dbtable", dbtable)
+      .mode("append").save()
+
+  /** S7-ish: create-or-replace a parquet-backed table directory. */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.sync.{Merge, SyncEngine, SyncStrategy, Watermark}
+import graft.functions.Functions
+
+/** One named query per relational operator in SURVEY §2, each paired with
+  * DuckDB-runnable oracle SQL over the same parquet tables.
+  *
+  * Determinism rules (SURVEY §7.4): money aggregates are term-wise quantized
+  * to integer cents (`round(x*100)::BIGINT`) before summing — long sums are
+  * order-independent so Spark partial aggregation and DuckDB agree exactly;
+  * timestamps are output as `unix_micros` / `epoch_us` (both truncate
+  * identically and the corpus is µs-precision); averages are single divisions
+  * of exact integers.
+  */
+object Relational {
+
+  case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** µs-since-epoch of any timestamp flavor (NTZ parquet cols cast to LTZ;
+    * session TZ is UTC so the instant is the wall-clock value — matching
+    * DuckDB's naive-timestamp `epoch_us`). */
+  private def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** revenue term quantized: round(price*100) * round((1-disc)*100), a long. */
+  private def revE4(price: Column, disc: Column): Column =
+    round(price * 100).cast("long") * round((lit(1) - disc) * 100).cast("long")
+  private val revE4Sql =
+    "CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round((1-l_discount)*100) AS BIGINT)"
+
+  val all: Map[String, Q] = Map(
+
+    // ── S1/P1: scan + projection (Catalyst prunes the parquet read) ────────
+    "s1_scan_project" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty")),
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem")),
+
+    // ── S2/S3: chunked gzip CSV sink + schema-pinned source, round-trip ────
+    "s2_csv_roundtrip" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^0-9.]", "")}"
+        Tables.writeCsvChunks(li, dir, maxRecordsPerFile = 200000L)
+        Tables.readCsvChunks(s, dir, li.schema)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(Functions.cents(col("l_extendedprice"))).as("sum_cents"))
+      },
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")),
+
+    // ── P2: explicit projection + predicate + deterministic limit ──────────
+    "p2_projection" -> Q(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Functions.cents(col("o_totalprice")).as("total_cents"))
+        .where(col("o_totalprice") > 100000)
+        .orderBy("o_orderkey").limit(100),
+      Some("SELECT o_orderkey, o_orderstatus, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS total_cents FROM orders " +
+        "WHERE o_totalprice > 100000 ORDER BY o_orderkey LIMIT 100")),
+
+    // ── P3+A2: append-only incremental predicate off a pk high-watermark ───
+    "p3_watermark_pk" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val wm = Watermark.maxOf(ev, "event_id").map(_.asInstanceOf[Long] - 100)
+        Watermark.newerThan(ev, "event_id", wm)
+          .select(col("event_id"), usec(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props " +
+        "FROM events WHERE event_id > (SELECT max(event_id) - 100 FROM events)")),
+
+    // ── P4+A3: last-modified `>=` predicate off a timestamp high-watermark ─
+    "p4_watermark_lm" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val wm = Watermark.maxOf(ev, "ts").map { v =>
+          java.sql.Timestamp.from(v.asInstanceOf[java.sql.Timestamp].toInstant
+            .minus(java.time.Duration.ofDays(7)))
+        }
+        Watermark.modifiedSince(ev, "ts", wm)
+          .select(col("event_id"), usec(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props " +
+        "FROM events WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)")),
+
+    // ── P6: IN-list + equality predicates ──────────────────────────────────
+    "p6_isin" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "N") && col("l_quantity") >= 45)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty")),
+      Some("SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        "FROM lineitem WHERE l_returnflag IN ('A','N') AND l_quantity >= 45 " +
+        "GROUP BY l_returnflag")),
+
+    // ── P7: LIKE predicate ─────────────────────────────────────────────────
+    "p7_like" -> Q(
+      (s, d) => t(s, d, "part")
+        .where(col("p_name").like("%bolt%") || col("p_type").like("%ECO%"))
+        .select("p_partkey", "p_name", "p_brand", "p_type"),
+      Some("SELECT p_partkey, p_name, p_brand, p_type FROM part " +
+        "WHERE p_name LIKE '%bolt%' OR p_type LIKE '%ECO%'")),
+
+    // ── J1: MERGE upsert — last-writer-wins dedup + anti-join + union ──────
+    "j1_merge_upsert" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val target = ev.where(col("event_id") % 10 < 8)
+        val changes0 = ev.where(col("event_id") % 10 >= 5)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") + 1)
+        // intra-batch duplicate (older) rows exercise the window dedup
+        val changes = changes0.unionByName(
+          changes0.withColumn("ts", col("ts") - expr("INTERVAL 2 HOUR"))
+            .withColumn("value", col("value") + 100))
+        Merge.merge(target, changes, Seq("event_id"), "ts")
+          .select(col("event_id"), usec(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("""WITH target AS (SELECT * FROM events WHERE event_id % 10 < 8),
+        |changes0 AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+        |  event_type, value + 1 AS value, props FROM events WHERE event_id % 10 >= 5),
+        |changes AS (SELECT * FROM changes0 UNION ALL
+        |  SELECT event_id, ts - INTERVAL 2 HOUR, user_id, event_type, value + 100, props FROM changes0),
+        |dedup AS (SELECT event_id, ts, user_id, event_type, value, props FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        |   FROM changes) WHERE rn = 1)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM target WHERE event_id NOT IN (SELECT event_id FROM dedup)
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type, value, props FROM dedup""".stripMargin)),
+
+    // ── J2: ClickHouse-style delete+insert (unique change keys) ────────────
+    "j2_delete_insert" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val target = ev.where(col("event_id") % 10 < 8)
+        val changes = ev.where(col("event_id") % 10 >= 7)
+          .withColumn("value", col("value") * 2)
+        Merge.deleteInsert(target, changes, Seq("event_id"))
+          .select(col("event_id"), usec(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("""WITH target AS (SELECT * FROM events WHERE event_id % 10 < 8),
+        |changes AS (SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+        |  FROM events WHERE event_id % 10 >= 7)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM target WHERE event_id NOT IN (SELECT event_id FROM changes)
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type, value, props FROM changes""".stripMargin)),
+
+    // ── J4: catalog-style left outer join ──────────────────────────────────
+    "j4_left_join" -> Q(
+      (s, d) => {
+        val n = t(s, d, "nation"); val r = t(s, d, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+          .select("n_nationkey", "n_name", "r_name")
+      },
+      Some("SELECT n_nationkey, n_name, r_name FROM nation " +
+        "LEFT JOIN region ON n_regionkey = r_regionkey")),
+
+    // ── J5: anti join (orders with no lineitem) ────────────────────────────
+    "j5_anti_join" -> Q(
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus"),
+      Some("SELECT o_orderkey, o_orderstatus FROM orders " +
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)")),
+
+    // ── J6: semi join (customers having urgent orders) ─────────────────────
+    "j6_semi_join" -> Q(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT')")),
+
+    // ── A1: whole-table count ──────────────────────────────────────────────
+    "a1_count" -> Q(
+      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    // ── A2: max(pk) scalar watermark ───────────────────────────────────────
+    "a2_max_pk" -> Q(
+      (s, d) => t(s, d, "events").agg(max(col("event_id")).as("max_pk")),
+      Some("SELECT max(event_id) AS max_pk FROM events")),
+
+    // ── A3: max(last_modified) scalar watermark ────────────────────────────
+    "a3_max_lm" -> Q(
+      (s, d) => t(s, d, "events").agg(usec(max(col("ts"))).as("max_lm_us")),
+      Some("SELECT epoch_us(max(ts)) AS max_lm_us FROM events")),
+
+    // ── A5: grouped aggregation (TPC-H Q1 shape, exact-integer money) ──────
+    "q1_pricing_summary" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(Functions.cents(col("l_extendedprice"))).as("base_cents"),
+          sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
+          count(lit(1)).as("n"),
+          (sum(col("l_quantity")).cast("long").cast("double") / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS base_cents, " +
+        s"CAST(sum($revE4Sql) AS BIGINT) AS revenue_e4, count(*) AS n, " +
+        "CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE)/count(*) AS avg_qty " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    // ── TPC-H Q3 shape: 3-way join + grouped top-k ─────────────────────────
+    "q3_top_revenue" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        val l = t(s, d, "lineitem").where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"))
+          .select(col("o_orderkey"), usec(col("o_orderdate")).as("odate_us"),
+            col("o_orderpriority"), col("revenue_e4"))
+          .orderBy(desc("revenue_e4"), asc("o_orderkey")).limit(10)
+      },
+      Some("SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority, " +
+        s"CAST(sum($revE4Sql) AS BIGINT) AS revenue_e4 " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10")),
+
+    // ── TPC-H Q5 shape: 4-way star join, dims broadcast ────────────────────
+    "q5_supplier_nation_revenue" -> Q(
+      (s, d) => {
+        val r = t(s, d, "region"); val n = t(s, d, "nation")
+        val sp = t(s, d, "supplier"); val l = t(s, d, "lineitem")
+        l.join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue_e4"), asc("n_name"))
+      },
+      Some("SELECT r_name, n_name, " +
+        s"CAST(sum($revE4Sql) AS BIGINT) AS revenue_e4, count(*) AS n_items " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY revenue_e4 DESC, n_name")),
+
+    // ── A6: rollup (grouping-set generalization) ───────────────────────────
+    "a6_rollup" -> Q(
+      (s, d) => t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(Functions.cents(col("o_totalprice"))).as("cents")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)")),
+
+    // ── A7: distinct ───────────────────────────────────────────────────────
+    "a7_distinct" -> Q(
+      (s, d) => t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct(),
+      Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")),
+
+    // ── A8: exact count-distinct per group ─────────────────────────────────
+    "a8_count_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps")),
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag")),
+
+    // ── O1/O2: global sort + deterministic top-k ───────────────────────────
+    "o2_topk_orders" -> Q(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), Functions.cents(col("o_totalprice")).as("total_cents"))
+        .orderBy(desc("total_cents"), asc("o_orderkey")).limit(25),
+      Some("SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents " +
+        "FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 25")),
+
+    // ── U1: union-append ───────────────────────────────────────────────────
+    "u1_union_all" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.where(col("o_orderstatus") === "F").select("o_orderkey", "o_orderstatus")
+          .unionByName(
+            o.where(col("o_orderstatus") === "O").select("o_orderkey", "o_orderstatus"))
+      },
+      Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'")),
+
+    // ── U2: intersect / except ─────────────────────────────────────────────
+    "u2_intersect" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.where(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+      },
+      Some("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'")),
+
+    // ── W1: row_number last-writer dedup (merge building block) ────────────
+    "w1_rownum_dedup" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), usec(col("ts")).as("ts_us"))
+      },
+      Some("SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1")),
+
+    // ── W2: running totals + rank over exact integers ──────────────────────
+    "w2_running_window" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events").where(col("user_id") < 20)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_n"),
+          sum(Functions.cents(col("value"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).as("running_cents"),
+          rank().over(w).cast("long").as("rk"))
+      },
+      Some("SELECT user_id, event_id, " +
+        "count(*) OVER w AS running_n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS running_cents, " +
+        "rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk " +
+        "FROM events WHERE user_id < 20 " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")),
+
+    // ── F1: best-effort timestamp parse (multi-format coalesce) ────────────
+    "f1_best_effort_ts" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val str = when(col("event_id") % 2 === 0,
+          date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        ev.select(col("event_id"),
+          usec(Functions.bestEffortTimestamp(str)).as("parsed_us"))
+      },
+      Some("""SELECT event_id, epoch_us(coalesce(
+        |  try_strptime(s, '%m/%d/%Y %H:%M:%S'),
+        |  try_strptime(s, '%Y-%m-%d %H:%M:%S'))) AS parsed_us
+        |FROM (SELECT event_id, CASE WHEN event_id % 2 = 0
+        |  THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+        |  ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS s FROM events)""".stripMargin)),
+
+    // ── F8: JSON extraction from the events props column ───────────────────
+    "f8_json_extract" -> Q(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k") > 50),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50")),
+
+    // ── SyncEngine end-to-end: append-only bootstrap + incremental ─────────
+    "sync_append_e2e" -> Q(
+      (s, d) => {
+        val engine = new SyncEngine(s)
+        val src = t(s, d, "events")
+        val maxId = Watermark.maxOf(src, "event_id").get.asInstanceOf[Long]
+        val sink = src.where(col("event_id") <= maxId - 100) // pre-existing warehouse state
+        val result = engine.sync(src, Some(sink), SyncStrategy.AppendOnly("event_id"))
+        result.table.select(col("event_id"), usec(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props " +
+        "FROM events")),
+
+    // ── SyncEngine end-to-end: last-modified upsert with stale sink ────────
+    "sync_upsert_e2e" -> Q(
+      (s, d) => {
+        val engine = new SyncEngine(s)
+        val src = t(s, d, "events")
+        val maxTs = Watermark.maxOf(src, "ts").get.asInstanceOf[java.sql.Timestamp]
+        val boundary = java.sql.Timestamp.from(
+          maxTs.toInstant.minus(java.time.Duration.ofDays(1)))
+        val sink = src.where(col("ts") < lit(boundary))
+          .withColumn("value", col("value") - 5) // stale values to be overwritten
+        val result = engine.sync(src, Some(sink), SyncStrategy.Upsert("event_id", "ts"))
+        result.table.select(col("event_id"), usec(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("""WITH allmax AS (SELECT max(ts) AS m FROM events),
+        |sink AS (SELECT event_id, ts, user_id, event_type, value - 5 AS value, props
+        |  FROM events, allmax WHERE ts < m - INTERVAL 1 DAY),
+        |wm AS (SELECT max(ts) AS w FROM sink),
+        |delta AS (SELECT e.* FROM events e, wm WHERE e.ts >= wm.w),
+        |dedup AS (SELECT event_id, ts, user_id, event_type, value, props FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        |   FROM delta) WHERE rn = 1)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM sink WHERE event_id NOT IN (SELECT event_id FROM dedup)
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type, value, props FROM dedup""".stripMargin)),
+
+    // ── Catalog: row counts per table (S9-level parity check) ──────────────
+    "catalog_counts" -> Q(
+      (s, d) => graft.catalog.Catalog.rowCounts(s, d),
+      Some(graft.catalog.Catalog.corpusTables.sorted
+        .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY table_name")))
+  )
+}
