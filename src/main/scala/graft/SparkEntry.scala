@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.Relational
+import graft.queries.{Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,13 +30,15 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  private def allQ = Relational.all ++ Pipeline.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all.map { case (k, q) => k -> q.fn }
+    allQ.map { case (k, q) => k -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+    allQ.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
 }

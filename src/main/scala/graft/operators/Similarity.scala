@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Exactness strategy: element values are quantized to integer micro-units
+  * (`round(x*1e6)::long`) before any arithmetic, so dot products and squared
+  * norms are integer sums — order-independent and bit-identical between Spark
+  * partial aggregation and any oracle. Cosine is then derived by IEEE
+  * `/`+`sqrt` on those exact integers, which is also bit-deterministic.
+  *
+  * Scale path (100 TB): brute-force top-k is a cross join — O(Q·N). For large
+  * N, `ivfTopK` restricts each probe to a coarse partition (here the `label`
+  * column as the inverted-file cell; in a real pipeline, k-means cell ids
+  * computed upstream), cutting the join to O(Q·N/cells) and turning it into an
+  * equi-join that hash-partitions by cell — no broadcast of the full corpus.
+  * The query side is small and broadcast. All expressions stay inside
+  * whole-stage codegen (`zip_with`/`aggregate` over primitive arrays; no UDFs).
+  */
+object Similarity {
+
+  /** Quantize a float vector to micro-unit longs. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm. */
+  def norm2Q(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Bit-deterministic cosine from exact integer dot and squared norms. */
+  def cosineFromQ(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Brute-force top-k neighbors for a set of query vectors.
+    * Output: (qid, nid, dot_q, cosine, rank), rank 1..k per query,
+    * deterministic tiebreak on neighbor id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), quantize(col(vecCol)).as("nv"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        dotQ(col("qv"), col("nv")).as("dot_q"),
+        cosineFromQ(dotQ(col("qv"), col("nv")),
+          norm2Q(col("qv")), norm2Q(col("nv"))).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("dot_q"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-style top-k: probe only the query's coarse cell (equi-join on the
+    * cell id instead of a cross join). Recall < 1 by construction; this is
+    * the scale path — the cell column shards the corpus so the join
+    * hash-partitions instead of broadcasting N vectors.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(cellCol).as("cell"),
+      quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(cellCol).as("ncell"),
+      quantize(col(vecCol)).as("nv"))
+    val scored = q.join(c, col("cell") === col("ncell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dotQ(col("qv"), col("nv")).as("dot_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("dot_q"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products against
+    * deterministic pseudo-hyperplanes derived from element index parity —
+    * used to pre-bucket near-dup candidates without a cross join.
+    * nBits index-derived planes keep the whole thing expression-only.
+    */
+  def signLshBucket(vq: Column, nBits: Int): Column = {
+    // plane p: sum of elements at positions ≡ p (mod nBits), sign bit
+    val bits = (0 until nBits).map { p =>
+      val s = aggregate(
+        zip_with(vq, sequence(lit(0), size(vq) - 1),
+          (x, i) => when(i % nBits === p, x).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

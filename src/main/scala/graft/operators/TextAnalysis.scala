@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: tokenization, token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * Everything is a codegen'd Column expression (no UDFs): at 100 TB these run
+  * embarrassingly parallel inside the parquet scan stage with zero shuffles.
+  * All counts are exact integers and all ratios single divisions of exact
+  * integers, so results are bit-stable for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, lowercased, distinct-preserving duplicates. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols — the pre-tokenizer split most BPE vocabularies
+    * use. Regex kept in the common subset of Java regex and RE2 so the oracle
+    * matches.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  /** Quality facets: char length, token count, mean token length (exact-int
+    * division), punctuation count, stopword hit count + ratio.
+    */
+  def qualityFacets(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = array(STOPWORDS_EN.map(lit): _*)
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_punct",
+        size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).cast("long"))
+      .withColumn("n_stop",
+        size(array_intersect(toks, stop)).cast("long"))
+      .withColumn("mean_tok_len",
+        (length(t).cast("long") - (size(toks).cast("long") - 1)).cast("double") /
+          size(toks).cast("long"))
+      .withColumn("stop_ratio",
+        size(array_intersect(toks, stop)).cast("long").cast("double") /
+          size(toks).cast("long"))
+  }
+
+  /** Language-ID by distinct marker-word hits per language; argmax with a
+    * deterministic preference order (en > de > es > fr on ties). N-gram
+    * heuristics degrade to marker tokens here because the corpus is
+    * whitespace-tokenizable; the operator shape (per-doc scoring + argmax)
+    * is the real one.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(words: Seq[String]): Column =
+      size(array_intersect(toks, array(words.map(lit): _*)))
+    val en = score(MARKERS("en")); val de = score(MARKERS("de"))
+    val es = score(MARKERS("es")); val fr = score(MARKERS("fr"))
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Deterministic document fingerprint: md5 of whitespace-normalized
+    * lowercase text. Identical in any engine with md5 (rolling-hash variants
+    * live in Dedup.simhash).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  val STOPWORDS_EN: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  val MARKERS: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "un", "est"))
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Relational.Q
+
+/** LLM-training-data pipeline operators as named queries over `documents` /
+  * `embeddings` — dedup (exact, MinHash+LSH, SimHash, Jaccard, embedding
+  * near-dup), similarity search (brute-force + IVF), text analysis, and
+  * multimodal plumbing. Every SQL-expressible one carries DuckDB oracle SQL;
+  * hash-based stages use md5 so both engines compute identical values.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** DuckDB-side quantized vector: list of round(x*1e6)::BIGINT. */
+  private val vqSql = "[CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) FOR x IN embedding]"
+  private val dotSql = "CAST(list_sum(list_transform(list_zip(a.vq, b.vq), x -> x[1]*x[2])) AS BIGINT)"
+  private val cosSql =
+    "CAST(list_sum(list_transform(list_zip(a.vq, b.vq), x -> x[1]*x[2])) AS DOUBLE) / " +
+      "(sqrt(CAST(list_sum([y*y FOR y IN a.vq]) AS DOUBLE)) * " +
+      "sqrt(CAST(list_sum([y*y FOR y IN b.vq]) AS DOUBLE)))"
+  private val toksSql = "list_distinct(string_split_regex(lower(text),'\\s+'))"
+
+  // minhash oracle fragments (must mirror Dedup.minhashSignature/lshBands)
+  private val minsSql = (0 until 16).map(s => s"min(md5('$s|' || sh)) AS h$s").mkString(", ")
+  private val bandsSql = (0 until 4).map(b =>
+    s"md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS b$b").mkString(", ")
+  private val bandRowsSql = (0 until 4).map(b =>
+    s"SELECT doc, $b AS band_idx, b$b AS band_sig FROM bands").mkString(" UNION ALL ")
+
+  // simhash oracle fragments (mirror Dedup.simhash32)
+  private val simSumsSql = (0 until 32).map(i =>
+    s"CAST(sum(ascii(substr(h,${i + 1},1)) % 2) AS BIGINT) AS s$i").mkString(", ")
+  private val simBitsSql = (0 until 32).map(i =>
+    s"(CASE WHEN s$i*2 >= n_tok THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  val all: Map[String, Q] = Map(
+
+    // ── Dedup: exact (hash-groupBy on text) ────────────────────────────────
+    "x_dedup_exact" -> Q(
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
+      Some("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
+        "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents GROUP BY text")),
+
+    // ── Dedup: MinHash + LSH banding candidate pairs ───────────────────────
+    "x_dedup_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH toks AS (SELECT doc_id AS doc, string_split_regex(lower(text),'\\s+') AS l FROM documents),
+        |sh0 AS (SELECT doc, CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
+        |  ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl FROM toks),
+        |exploded AS (SELECT doc, unnest(list_distinct(shl)) AS sh FROM sh0),
+        |sig AS (SELECT doc, $minsSql FROM exploded GROUP BY doc),
+        |bands AS (SELECT doc, $bandsSql FROM sig),
+        |br AS ($bandRowsSql)
+        |SELECT DISTINCT x.doc AS a, y.doc AS b FROM br x JOIN br y
+        |  ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig AND x.doc < y.doc""".stripMargin)),
+
+    // ── Dedup: blocked token-set Jaccard pairs ─────────────────────────────
+    "x_dedup_jaccard" -> Q(
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        Seq("lang", "source"), 0.8),
+      Some(s"""WITH t AS (SELECT doc_id, lang, source, $toksSql AS toks FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8""".stripMargin)),
+
+    // ── Dedup: 32-bit SimHash signatures + band buckets ────────────────────
+    "x_dedup_simhash" -> Q(
+      (s, d) => Dedup.simhash32(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH ex AS (SELECT doc_id AS doc, unnest($toksSql) AS tok FROM documents),
+        |h AS (SELECT doc, md5(tok) AS h FROM ex),
+        |agged AS (SELECT doc, $simSumsSql, count(*) AS n_tok FROM h GROUP BY doc)
+        |SELECT doc, CAST($simBitsSql AS BIGINT) AS simhash,
+        |  CAST(($simBitsSql) % 65536 AS BIGINT) AS band_lo,
+        |  CAST(($simBitsSql) // 65536 AS BIGINT) AS band_hi
+        |FROM agged""".stripMargin)),
+
+    // ── Dedup: embedding-cosine near-dup pairs (cell-bucketed) ─────────────
+    "x_neardup_embedding" -> Q(
+      (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
+        "embedding", "label", 0.35),
+      Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS cell, $cosSql AS cosine
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE $cosSql >= 0.35""".stripMargin)),
+
+    // ── Similarity: brute-force top-5 by exact integer dot product ─────────
+    "x_ann_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id",
+          "embedding", 5)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $dotSql AS dot_q, $cosSql AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, dot_q, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // ── Similarity: IVF-bucketed top-3 (scale path: equi-join on cell) ─────
+    "x_ann_ivf" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e.where(col("vec_id") < 10), e, "vec_id",
+          "embedding", "label", 3)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $dotSql AS dot_q
+        |  FROM v a JOIN v b ON a.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (SELECT qid, nid, dot_q,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
+    // ── Text: language-ID heuristic ────────────────────────────────────────
+    "x_lang_id" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted")),
+      Some {
+        def sc(ws: Seq[String]) =
+          s"len(list_intersect($toksSql, [${ws.map(w => s"'$w'").mkString(",")}]))"
+        val en = sc(TextAnalysis.MARKERS("en")); val de = sc(TextAnalysis.MARKERS("de"))
+        val es = sc(TextAnalysis.MARKERS("es")); val fr = sc(TextAnalysis.MARKERS("fr"))
+        s"""SELECT doc_id, lang,
+          |CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+          |     WHEN $de >= $es AND $de >= $fr THEN 'de'
+          |     WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS predicted
+          |FROM documents""".stripMargin
+      }),
+
+    // ── Text: quality facets (exact counts, single-division ratios) ────────
+    "x_quality" -> Q(
+      (s, d) => TextAnalysis.qualityFacets(
+        t(s, d, "documents").select("doc_id", "text"), "text")
+        .drop("text"),
+      Some {
+        val stop = TextAnalysis.STOPWORDS_EN.map(w => s"'$w'").mkString(",")
+        s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+          |CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens,
+          |CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+          |CAST(len(list_intersect($toksSql, [$stop])) AS BIGINT) AS n_stop,
+          |CAST(length(text) - (len(string_split_regex(lower(text),'\\s+')) - 1) AS DOUBLE) /
+          |  len(string_split_regex(lower(text),'\\s+')) AS mean_tok_len,
+          |CAST(len(list_intersect($toksSql, [$stop])) AS DOUBLE) /
+          |  len(string_split_regex(lower(text),'\\s+')) AS stop_ratio
+          |FROM documents""".stripMargin
+      }),
+
+    // ── Text: token counting (whitespace + BPE-ish subword) ────────────────
+    "x_token_count" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeishCount(col("text")).as("n_bpeish")),
+      Some("SELECT doc_id, CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish " +
+        "FROM documents")),
+
+    // ── Text: md5 fingerprint ──────────────────────────────────────────────
+    "x_fingerprint" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents")),
+
+    // ── Multimodal: binary payload + typed metadata (pure-SQL part) ────────
+    "x_multimodal_meta" -> Q(
+      (s, d) => Multimodal.withPayloadMeta(
+        t(s, d, "documents").select("doc_id", "text"), "text")
+        .drop("text"),
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS digest, hex(encode(substr(text, 1, 8))) AS head_hex " +
+        "FROM documents")),
+
+    // ── Multimodal: stubbed decode via mapPartitions (plumbing is real; no
+    //    SQL oracle — driver records rows-only) ──────────────────────────────
+    "x_multimodal_decode" -> Q(
+      (s, d) => Multimodal.decodeFeatures(s, t(s, d, "documents"), "doc_id", "text"),
+      None),
+
+    // ── Structured Streaming: windowed agg over the events stream, run with
+    //    Trigger.AvailableNow for batch parity ───────────────────────────────
+    "stream_window_agg" -> Q(
+      (s, d) => graft.streaming.StreamingSync.windowedEventCounts(s, d, 5),
+      Some("SELECT CAST(floor(epoch_us(ts)/300000000)*300000000 AS BIGINT) AS win_start_us, " +
+        "event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2"))
+  )
+}
