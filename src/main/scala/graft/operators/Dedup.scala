@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
-  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  * SimHash, candidate-verified n-gram Jaccard, embedding-cosine near-dup.
   *
   * Hash functions are built from `md5` hex strings (available identically in
   * Spark and any oracle engine) rather than engine-private hashes, so every
@@ -12,24 +12,31 @@ import org.apache.spark.sql.functions._
   * a valid MinHash (uniform order on the digest space).
   *
   * Scale design (100 TB):
-  *  - exact dedup = hash-aggregate on the text (or its md5) — one shuffle on
-  *    the fingerprint, map-side partial aggregation first;
-  *  - MinHash: explode→min-agg shuffles one row per (doc, shingle) but
-  *    partial-aggregates the per-seed MINs map-side to one row per doc;
-  *    the LSH band join then shuffles only (doc, band-signature) pairs —
-  *    never a cross join;
-  *  - SimHash: pure per-row expression work then a band-bucket self-join;
-  *  - embedding near-dup: cell-bucketed join (see Similarity.ivfTopK) with
-  *    exact integer dot products.
+  *  - exact dedup shuffles the 32-byte md5 fingerprint as the grouping key —
+  *    never the document body — with map-side partial aggregation;
+  *  - MinHash: each shingle is hashed ONCE; the 32-hex digest is split into
+  *    16 independent 8-hex chunks, one per MinHash seed, so the per-row work
+  *    is one md5 + cheap substrings. The explode→min-agg partial-aggregates
+  *    map-side to one row per doc; the LSH band join then shuffles only
+  *    (doc, band-signature) pairs — never a cross join;
+  *  - Jaccard: exact verification ONLY over LSH candidate pairs (the classic
+  *    LSH-then-verify shape) — no low-cardinality blocking, so the pair count
+  *    is bounded by bucket collisions, not block sizes;
+  *  - SimHash: pure per-row expressions then band buckets;
+  *  - embedding near-dup: pairs only within (cell, sign-LSH bucket) — two
+  *    independent 4-bit hyperplane tables OR-ed for recall — so each join
+  *    partition is a small bucket, never a whole cell.
   */
 object Dedup {
 
-  /** Exact dedup: one survivor (min id) per identical text. */
+  /** Exact dedup: one survivor (min id) per identical text. The grouping key
+    * is the md5 fingerprint of the normalized text — constant-width, so at
+    * 100 TB the shuffle carries 32-byte keys instead of document bodies.
+    */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"),
-        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .select(col("keep_id"), col("n_copies"), col("fp"))
 
   /** 3-word shingles of the lowercased whitespace tokenization. Documents
     * shorter than `n` tokens get their full token string as one shingle.
@@ -41,26 +48,35 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
 
-  /** Per-doc MinHash signature: for seed s, MIN over shingles of
-    * md5("s|" + shingle) — one min-aggregate per seed, partial-aggregated
-    * map-side. Returns (id, h0..h{k-1}).
+  /** Per-doc MinHash signature: the shingle is hashed just twice
+    * (md5(sh) ++ md5('#'+sh) = 64 hex chars) and the 16 disjoint 4-hex-char
+    * chunks serve as 16 independent 16-bit uniform hashes; h_s = MIN over
+    * shingles of chunk s (fixed-width lowercase hex, so lexicographic MIN =
+    * numeric MIN). One min-aggregate per seed, partial-aggregated map-side;
+    * 2 digests per shingle instead of one per (shingle, seed). Returns
+    * (doc, h0..h{k-1}).
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16): DataFrame = {
+    require(numHashes <= 16, "two md5 digests provide 16 4-hex chunks")
     val exploded = df.select(col(idCol).as("doc"),
       explode(array_distinct(shingles(col(textCol)))).as("sh"))
+      .select(col("doc"),
+        concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
     val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s + "|"), col("sh")))).as(s"h$s"))
+      min(substring(col("h"), 4 * s + 1, 4)).as(s"h$s"))
     exploded.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: group `numHashes` minhashes into bands of `bandSize`,
-    * md5 the concatenation per band, emit (doc, band_idx, band_sig).
+  /** LSH banding: group `numHashes` minhashes into bands of `bandSize`; the
+    * band signature is the plain concatenation of the band's minhashes (no
+    * re-hash needed — the concatenation is already a uniform key). Emits
+    * (doc, band_idx, band_sig).
     */
   def lshBands(sig: DataFrame, numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
     val bands = (0 until numHashes / bandSize).map { b =>
       val cols = (0 until bandSize).map(i => col(s"h${b * bandSize + i}"))
-      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_sig"))
+      struct(lit(b).as("band_idx"), concat(cols: _*).as("band_sig"))
     }
     sig.select(col("doc"), explode(array(bands: _*)).as("band"))
       .select(col("doc"), col("band.band_idx").as("band_idx"),
@@ -81,21 +97,29 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Token-set Jaccard for candidate pairs (exact integer set sizes; the
-    * ratio is a single int/int division). `blockCols` bounds the pair space
-    * (same-language+source blocking here; LSH buckets in minhashCandidates).
+  /** Exact token-set Jaccard over LSH candidate pairs (LSH-then-verify):
+    * candidates come from `minhashCandidates` — bounded by bucket collisions,
+    * not by any low-cardinality block — then each pair's exact Jaccard is
+    * computed from the token sets joined back by doc id (integer set sizes;
+    * the ratio is a single int/int division).
+    *
+    * Scale: the candidate set is O(near-dup pairs), tiny vs the corpus; the
+    * two token-set joins are equi-joins on doc id, hash-partitioned. The
+    * token arrays are shuffled only for candidate docs.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = df.select(Seq(col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks")) ++
-      blockCols.map(col): _*)
-    val a = base.toDF(base.columns.map(c => if (c == "id" || c == "toks") s"a_$c" else c): _*)
-    val b = base.toDF(base.columns.map(c => if (c == "id" || c == "toks") s"b_$c" else c): _*)
+                   threshold: Double, numHashes: Int = 16,
+                   bandSize: Int = 4): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize)
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
     val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
     val uni = size(array_union(col("a_toks"), col("b_toks"))).cast("long")
-    a.join(b, blockCols).where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), inter.as("n_inter"), uni.as("n_union"),
+    cands
+      .join(toks.select(col("id").as("a"), col("toks").as("a_toks")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("toks").as("b_toks")), Seq("b"))
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        inter.as("n_inter"), uni.as("n_union"),
         (inter.cast("double") / uni.cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -119,16 +143,35 @@ object Dedup {
       (sim % 65536).as("band_lo"), (sim.cast("long") / 65536).cast("long").as("band_hi"))
   }
 
-  /** Embedding near-duplicates: pairs in the same coarse cell with cosine
-    * above threshold, from exact integer dot/norms (bit-deterministic).
+  /** Embedding near-duplicates: pairs in the same (cell, sign-LSH bucket)
+    * with cosine above threshold, from exact integer dot/norms
+    * (bit-deterministic). `nTables` independent `bitsPerTable`-bit hyperplane
+    * tables are OR-ed (union of candidate pairs) for recall; each join
+    * partition is a (cell, table, bucket) bucket — never a whole cell, so the
+    * pair space is bounded by bucket collisions at any corpus size.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       cellCol: String, threshold: Double): DataFrame = {
+                       cellCol: String, threshold: Double,
+                       nTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
+    val totalPlanes = nTables * bitsPerTable
     val base = df.select(col(idCol).as("id"), col(cellCol).as("cell"),
       Similarity.quantize(col(vecCol)).as("vq"))
-    val a = base.select(col("id").as("a_id"), col("cell"), col("vq").as("a_vq"))
-    val b = base.select(col("id").as("b_id"), col("cell"), col("vq").as("b_vq"))
-    a.join(b, Seq("cell")).where(col("a_id") < col("b_id"))
+    val tables = (0 until nTables).map { t =>
+      val planes = (t * bitsPerTable) until ((t + 1) * bitsPerTable)
+      struct(lit(t).as("tbl"),
+        Similarity.signLshBucket(col("vq"), planes, totalPlanes).as("bkt"))
+    }
+    val bucketed = base
+      .select(col("id"), col("cell"), col("vq"),
+        explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("cell"), col("vq"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val a = bucketed.select(col("id").as("a_id"), col("cell"),
+      col("tbl"), col("bkt"), col("vq").as("a_vq"))
+    val b = bucketed.select(col("id").as("b_id"), col("cell"),
+      col("tbl"), col("bkt"), col("vq").as("b_vq"))
+    a.join(b, Seq("cell", "tbl", "bkt")).where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("cell"),
         Similarity.cosineFromQ(Similarity.dotQ(col("a_vq"), col("b_vq")),
           Similarity.norm2Q(col("a_vq")), Similarity.norm2Q(col("b_vq"))).as("cosine"))

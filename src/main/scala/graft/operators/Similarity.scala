@@ -75,20 +75,25 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of dot products against
-    * deterministic pseudo-hyperplanes derived from element index parity —
-    * used to pre-bucket near-dup candidates without a cross join.
-    * nBits index-derived planes keep the whole thing expression-only.
+  /** Hyperplane-sign projection p of `totalPlanes`: the sum of vector
+    * elements at positions ≡ p (mod totalPlanes). A deterministic
+    * pseudo-hyperplane (±axis-aligned sparse plane) that both Spark and the
+    * DuckDB oracle compute identically from integer sums.
     */
-  def signLshBucket(vq: Column, nBits: Int): Column = {
-    // plane p: sum of elements at positions ≡ p (mod nBits), sign bit
-    val bits = (0 until nBits).map { p =>
-      val s = aggregate(
-        zip_with(vq, sequence(lit(0), size(vq) - 1),
-          (x, i) => when(i % nBits === p, x).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x)
-      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def signPlane(vq: Column, p: Int, totalPlanes: Int): Column =
+    aggregate(
+      zip_with(vq, sequence(lit(0), size(vq) - 1),
+        (x, i) => when(i % totalPlanes === p, x).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Random-hyperplane LSH bucket id over a chosen subset of planes: bit j of
+    * the bucket is the sign of plane `planes(j)`. Used to pre-bucket near-dup
+    * candidates without a cross join; multiple disjoint plane subsets give
+    * independent hash tables (union of buckets = OR-amplified recall).
+    * Expression-only — stays in whole-stage codegen.
+    */
+  def signLshBucket(vq: Column, planes: Seq[Int], totalPlanes: Int): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(signPlane(vq, p, totalPlanes) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -26,12 +26,37 @@ object Pipeline {
       "sqrt(CAST(list_sum([y*y FOR y IN b.vq]) AS DOUBLE)))"
   private val toksSql = "list_distinct(string_split_regex(lower(text),'\\s+'))"
 
-  // minhash oracle fragments (must mirror Dedup.minhashSignature/lshBands)
-  private val minsSql = (0 until 16).map(s => s"min(md5('$s|' || sh)) AS h$s").mkString(", ")
+  // minhash oracle fragments (must mirror Dedup.minhashSignature/lshBands):
+  // each shingle is hashed twice (md5(sh) || md5('#'+sh) = 64 hex chars); the
+  // 16 disjoint 4-hex chunks are the 16 seeds; band signature is the
+  // concatenation of the band's 4 chunks.
+  private val minsSql = (0 until 16).map(s =>
+    s"min(substr(h, ${4 * s + 1}, 4)) AS h$s").mkString(", ")
   private val bandsSql = (0 until 4).map(b =>
-    s"md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS b$b").mkString(", ")
+    s"h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3} AS b$b").mkString(", ")
   private val bandRowsSql = (0 until 4).map(b =>
     s"SELECT doc, $b AS band_idx, b$b AS band_sig FROM bands").mkString(" UNION ALL ")
+  /** Shared CTE chain producing LSH candidate pairs (a < b) — mirrors
+    * Dedup.minhashCandidates end-to-end. */
+  private val candCtesSql =
+    s"""toksrc AS (SELECT doc_id AS doc, string_split_regex(lower(text),'\\s+') AS l FROM documents),
+       |sh0 AS (SELECT doc, CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
+       |  ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl FROM toksrc),
+       |exploded AS (SELECT doc, unnest(list_distinct(shl)) AS sh FROM sh0),
+       |hs AS (SELECT doc, md5(sh) || md5('#' || sh) AS h FROM exploded),
+       |sig AS (SELECT doc, $minsSql FROM hs GROUP BY doc),
+       |bands AS (SELECT doc, $bandsSql FROM sig),
+       |br AS ($bandRowsSql),
+       |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b FROM br x JOIN br y
+       |  ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig AND x.doc < y.doc)""".stripMargin
+
+  // sign-LSH oracle fragments (mirror Similarity.signPlane/signLshBucket over
+  // 16 planes = 4 tables × 4 bits): plane p sums elements at positions ≡ p (mod 16)
+  private val planeSumsSql = (0 until 16).map(p =>
+    s"list_sum(list_transform(generate_series(1, len(vq)), i -> CASE WHEN (i-1)%16 = $p THEN vq[i] ELSE 0 END)) AS s$p"
+  ).mkString(", ")
+  private def bucketSql(t: Int) = (0 until 4).map(j =>
+    s"(CASE WHEN s${4 * t + j} >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   // simhash oracle fragments (mirror Dedup.simhash32)
   private val simSumsSql = (0 until 32).map(i =>
@@ -41,39 +66,32 @@ object Pipeline {
 
   val all: Map[String, Q] = Map(
 
-    // ── Dedup: exact (hash-groupBy on text) ────────────────────────────────
+    // ── Dedup: exact (hash-groupBy on the md5 fingerprint, never the body) ─
     "x_dedup_exact" -> Q(
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
-      Some("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
-        "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
-        "FROM documents GROUP BY text")),
+      Some("SELECT keep_id, n_copies, fp FROM (" +
+        "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, " +
+        "min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1)")),
 
     // ── Dedup: MinHash + LSH banding candidate pairs ───────────────────────
     "x_dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text"),
-      Some(s"""WITH toks AS (SELECT doc_id AS doc, string_split_regex(lower(text),'\\s+') AS l FROM documents),
-        |sh0 AS (SELECT doc, CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
-        |  ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl FROM toks),
-        |exploded AS (SELECT doc, unnest(list_distinct(shl)) AS sh FROM sh0),
-        |sig AS (SELECT doc, $minsSql FROM exploded GROUP BY doc),
-        |bands AS (SELECT doc, $bandsSql FROM sig),
-        |br AS ($bandRowsSql)
-        |SELECT DISTINCT x.doc AS a, y.doc AS b FROM br x JOIN br y
-        |  ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig AND x.doc < y.doc""".stripMargin)),
+      Some(s"WITH $candCtesSql\nSELECT a, b FROM cand")),
 
-    // ── Dedup: blocked token-set Jaccard pairs ─────────────────────────────
+    // ── Dedup: LSH-then-verify exact Jaccard over candidate pairs ──────────
     "x_dedup_jaccard" -> Q(
-      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        Seq("lang", "source"), 0.8),
-      Some(s"""WITH t AS (SELECT doc_id, lang, source, $toksSql AS toks FROM documents)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS n_union,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |  len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8""".stripMargin)),
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.8),
+      Some(s"""WITH $candCtesSql,
+        |t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+        |SELECT c.a AS a_id, c.b AS b_id,
+        |  CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+        |FROM cand c JOIN t ta ON ta.doc_id = c.a JOIN t tb ON tb.doc_id = c.b
+        |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8""".stripMargin)),
 
     // ── Dedup: 32-bit SimHash signatures + band buckets ────────────────────
     "x_dedup_simhash" -> Q(
@@ -86,13 +104,19 @@ object Pipeline {
         |  CAST(($simBitsSql) // 65536 AS BIGINT) AS band_hi
         |FROM agged""".stripMargin)),
 
-    // ── Dedup: embedding-cosine near-dup pairs (cell-bucketed) ─────────────
+    // ── Dedup: embedding-cosine near-dup pairs, (cell, sign-LSH) bucketed ──
     "x_neardup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.35),
-      Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS cell, $cosSql AS cosine
-        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
+        |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
+        |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id, x.label AS cell
+        |  FROM br x JOIN br y ON x.label = y.label AND x.tbl = y.tbl
+        |  AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+        |SELECT c.a_id, c.b_id, c.cell, $cosSql AS cosine
+        |FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
         |WHERE $cosSql >= 0.35""".stripMargin)),
 
     // ── Similarity: brute-force top-5 by exact integer dot product ─────────
