@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -10,23 +11,48 @@ import org.apache.spark.sql.streaming.Trigger
   * Spark's file-source + watermark model, so the same events table can be
   * processed as a stream with `Trigger.AvailableNow` for batch-parity runs.
   *
-  * Scale notes: the windowed aggregation is stateful but bounded by the
-  * watermark horizon; state lives in the state store partitioned by group
-  * key (shuffle.partitions shards), so 1000 executors each hold 1/1000 of
-  * the key space. File sources scale by listing parallelism and
-  * maxFilesPerTrigger batching.
+  * Scale notes: the windowed aggregation runs in `update` output mode with a
+  * watermark, so state is evicted once the watermark passes a window — state
+  * is bounded by the watermark horizon, sharded across executors by group
+  * key (shuffle.partitions). Each micro-batch's updated rows are APPENDED to
+  * a parquet changelog sink tagged with the batch id (nothing is ever held
+  * on the driver); readers compact the changelog with a last-writer-wins
+  * window over batch_id — the same merge identity as graft.sync.Merge. File
+  * sources scale by listing parallelism and maxFilesPerTrigger batching.
   */
 object StreamingSync {
 
   /** Tumbling-window aggregation over the events stream, run to completion
-    * with AvailableNow and returned as a batch DataFrame (memory sink).
+    * with AvailableNow; the update-mode changelog is compacted on read-back.
     * Output: window start (µs), event_type, exact count + cents sum.
     */
   def windowedEventCounts(spark: SparkSession, sfDir: String,
                           windowMinutes: Int = 5): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(batchSchema)
-      .parquet(s"$sfDir/events.parquet")
+
+    // Dirs are keyed by the SparkSession's applicationId: deterministic
+    // within a run, unique across concurrent runs (no tmp-dir race), and
+    // wiped per invocation so stale checkpoints can't mask new data.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_" +
+      spark.sparkContext.applicationId
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+
+    // The file streaming source requires a DIRECTORY (a production table is
+    // one); the test corpus ships single-file tables, so expose the file
+    // through a per-run directory of symlinks.
+    val eventsPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(eventsPath)) eventsPath.toString
+      else {
+        val d = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/src"))
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"), eventsPath)
+        d.toString
+      }
+    val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
     // ns-as-long restoration (see graft.io.Tables.table)
     val events =
       if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -40,14 +66,25 @@ object StreamingSync {
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("cents"))
 
-    val name = s"graft_stream_${System.nanoTime()}"
+    val sinkDir = s"$base/sink"
     val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .queryName("graft_stream_window_agg")
+      .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+
+    // Changelog compaction: last writer per group across micro-batches.
+    val w = Window.partitionBy("win_start_us", "event_type")
+      .orderBy(col("batch_id").desc)
+    spark.read.parquet(sinkDir)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn", "batch_id")
   }
 }
