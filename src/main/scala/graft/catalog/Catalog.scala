@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Functions
@@ -11,7 +12,8 @@ import graft.functions.Functions
   * The reference's `list` joins pg_class/pg_namespace and computes
   * pg_total_relation_size + pretty sizes (pgwarehouse.py:218-237); here the
   * equivalent for a parquet corpus is file metadata (cheap, no scan) plus an
-  * optional exact `count()`.
+  * exact `count()`. All filesystem access goes through the Hadoop
+  * `FileSystem` API so the same code runs on local disk, HDFS, or S3.
   */
 object Catalog {
 
@@ -19,39 +21,50 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private def fsFor(spark: SparkSession, path: Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Total bytes under a table path (file or directory), from filesystem
+    * metadata only — no data scan.
+    */
+  def tableBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = fsFor(spark, p)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** S9: list source tables with byte sizes, sorted desc — mirrors the
-    * reference's `order by table_bytes desc` (pgwarehouse.py:231). File sizes
-    * come from the filesystem, not a scan.
+    * reference's `order by table_bytes desc` (pgwarehouse.py:231).
     */
   def listWithSizes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     corpusTables.map { t =>
-      val f = new java.io.File(s"$sfDir/$t.parquet")
-      val bytes = if (f.isFile) f.length
-      else if (f.isDirectory) f.listFiles.filter(_.isFile).map(_.length).sum
-      else 0L
+      val bytes = tableBytes(spark, s"$sfDir/$t.parquet")
       (t, bytes, Functions.pgSizePretty(bytes))
     }.toDF("table_name", "total_bytes", "pretty_size")
       .orderBy(desc("total_bytes"), asc("table_name"))
   }
 
   /** S9/A1: exact row counts per table (the reference's parity check,
-    * `count_table`). Distributed count per table; counts are metadata-only on
-    * parquet (row-group stats) so this stays cheap even at 100 TB.
+    * `count_table`) — one unioned distributed job, not one action per table;
+    * each leg is a metadata-only parquet count (row-group stats), so this
+    * stays one cheap job even at 100 TB.
     */
-  def rowCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def rowCounts(spark: SparkSession, sfDir: String): DataFrame =
     corpusTables.map { t =>
-      t -> spark.read.parquet(s"$sfDir/$t.parquet").count()
-    }.toDF("table_name", "n_rows").orderBy("table_name")
-  }
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
 
-  /** S10/S11: bare name list. */
+  /** S10/S11: bare name list, sorted (pgwarehouse.py:242-246). */
   def tableNames(sfDir: String): Seq[String] = corpusTables.sorted
 
-  /** S12: existence probe. */
-  def tableExists(sfDir: String, name: String): Boolean =
-    new java.io.File(s"$sfDir/$name.parquet").exists
+  /** S12: existence probe via the Hadoop filesystem. */
+  def tableExists(spark: SparkSession, sfDir: String, name: String): Boolean = {
+    val p = new Path(s"$sfDir/$name.parquet")
+    fsFor(spark, p).exists(p)
+  }
 
   /** S13: schema introspection — on parquet, the footer schema (no scan). */
   def describe(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -64,4 +77,10 @@ object Catalog {
   /** S8: drop a managed table / delete a path-addressed one. */
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+
+  /** S8 path form: delete a path-addressed parquet table. */
+  def dropPath(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    fsFor(spark, p).delete(p, true)
+  }
 }

@@ -426,6 +426,45 @@ object Relational {
       (s, d) => graft.catalog.Catalog.rowCounts(s, d),
       Some(graft.catalog.Catalog.corpusTables.sorted
         .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
-        .mkString("", " UNION ALL ", " ORDER BY table_name")))
+        .mkString("", " UNION ALL ", " ORDER BY table_name"))),
+
+    // ── S13: schema introspection from the parquet footer ──────────────────
+    "catalog_describe" -> Q(
+      (s, d) => graft.catalog.Catalog.describe(s, d, "customer"),
+      Some("SELECT column_name, " +
+        "CASE lower(column_type) WHEN 'bigint' THEN 'bigint' " +
+        "WHEN 'varchar' THEN 'string' WHEN 'integer' THEN 'int' " +
+        "WHEN 'double' THEN 'double' ELSE lower(column_type) END AS data_type, " +
+        "(\"null\" = 'YES') AS nullable " +
+        "FROM (DESCRIBE SELECT * FROM customer)")),
+
+    // ── S10/S11: sorted table-name list ────────────────────────────────────
+    "catalog_names" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.catalog.Catalog.tableNames(d).toDF("table_name")
+      },
+      Some(graft.catalog.Catalog.corpusTables.sorted
+        .map(t => s"('$t')").mkString(
+          "SELECT * FROM (VALUES ", ", ", ") t(table_name)"))),
+
+    // ── S12: existence probes (Hadoop FS), incl. a missing table ───────────
+    "catalog_exists" -> Q(
+      (s, d) => {
+        import s.implicits._
+        (graft.catalog.Catalog.corpusTables.sorted :+ "no_such_table")
+          .map(n => (n, graft.catalog.Catalog.tableExists(s, d, n)))
+          .toDF("table_name", "table_exists")
+      },
+      Some((graft.catalog.Catalog.corpusTables.sorted.map(t => s"('$t', true)")
+        :+ "('no_such_table', false)").mkString(
+          "SELECT * FROM (VALUES ", ", ", ") t(table_name, table_exists)"))),
+
+    // ── S9/O4: size listing (filesystem metadata, no scan) ─────────────────
+    "catalog_sizes" -> Q(
+      (s, d) => graft.catalog.Catalog.listWithSizes(s, d)
+        .select(col("table_name"), (col("total_bytes") > 0).as("nonempty")),
+      Some(graft.catalog.Catalog.corpusTables.sorted.map(t => s"('$t', true)")
+        .mkString("SELECT * FROM (VALUES ", ", ", ") t(table_name, nonempty)")))
   )
 }
