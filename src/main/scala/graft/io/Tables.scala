@@ -1,7 +1,13 @@
 package graft.io
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Sources & sinks (reference operators S1-S6, SURVEY §2.1).
   *
@@ -21,23 +27,59 @@ import org.apache.spark.sql.types.StructType
   */
 object Tables {
 
+  /** Columns whose parquet footer marks them TIMESTAMP(NANOS), per table
+    * path. Cached — one footer read per path, ever; footers are metadata
+    * (no data scan) so this is cheap at any scale.
+    */
+  private val nsColsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  private def nsTimestampCols(spark: SparkSession, path: String): Seq[String] =
+    nsColsCache.getOrElseUpdate(path, {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val fileOpt =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+        else Some(p)
+      fileOpt.fold(Seq.empty[String]) { file =>
+        val reader =
+          ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+            case f if f.isPrimitive && (f.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }) => f.getName
+          }.toSeq
+        } finally reader.close()
+      }
+    })
+
   /** S1 on the test corpus: path-addressed parquet table.
     *
-    * Nanosecond-precision parquet timestamps (events.ts) are illegal for
-    * Spark's vectorized reader; sessions set
+    * Nanosecond-precision parquet timestamps are illegal for Spark's
+    * vectorized reader; sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so they surface as
     * nanos-since-epoch longs, and this wrapper restores a proper
-    * TimestampType at µs precision (the corpus has no sub-µs components,
-    * so `div 1000` is exact). DuckDB reads the same column natively as
+    * TimestampType at µs precision for ANY column the parquet footer marks
+    * as TIMESTAMP(NANOS) (the corpus has no sub-µs components, so
+    * `div 1000` is exact). DuckDB reads the same columns natively as
     * TIMESTAMP_NS and `epoch_us` truncates identically.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema.fields.exists(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val longNames = df.schema.fields
+      .collect { case f if f.dataType == LongType => f.name }.toSet
+    nsTimestampCols(spark, path).filter(longNames)
+      .foldLeft(df) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      }
   }
 
   /** S1 real-source path: filtered JDBC scan. The `filter` lands inside the
@@ -61,10 +103,14 @@ object Tables {
   /** S2: chunked gzip CSV sink with header, mirroring the reference's rollover
     * writer (pgwarehouse.py:259-295). maxRecordsPerFile plays the role of the
     * 1 GiB size cap; Spark writes one chunk per partition in parallel rather
-    * than sequentially off a pipe.
+    * than sequentially off a pipe. `maxRecords` is the reference's extract
+    * row cap (`postgres.max_records`, pgwarehouse.py:211,286-294): stop after
+    * N rows total.
     */
-  def writeCsvChunks(df: DataFrame, dir: String, maxRecordsPerFile: Long = 1000000L): Unit =
-    df.write.mode("overwrite")
+  def writeCsvChunks(df: DataFrame, dir: String,
+                     maxRecordsPerFile: Long = 1000000L,
+                     maxRecords: Option[Long] = None): Unit =
+    maxRecords.fold(df)(n => df.limit(n.toInt)).write.mode("overwrite")
       .option("header", "true")
       .option("compression", "gzip")
       .option("maxRecordsPerFile", maxRecordsPerFile)

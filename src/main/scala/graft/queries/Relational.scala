@@ -46,10 +46,13 @@ object Relational {
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem")),
 
     // ── S2/S3: chunked gzip CSV sink + schema-pinned source, round-trip ────
+    // NOTE the query's timing includes the eager chunk write; the dir is
+    // keyed by applicationId so concurrent runs never race on it.
     "s2_csv_roundtrip" -> Q(
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^0-9.]", "")}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_" +
+          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
         Tables.writeCsvChunks(li, dir, maxRecordsPerFile = 200000L)
         Tables.readCsvChunks(s, dir, li.schema)
           .groupBy("l_returnflag", "l_linestatus")

@@ -48,14 +48,16 @@ object PgTypeMapper {
     else StringType // unknown → string + caller logs (reference warns)
   }
 
-  /** `numeric(p,s)` → DecimalType(p,s) when declared; bare `numeric` degrades to
-    * DoubleType exactly like every reference backend does (duckdb_backend.py:50).
+  /** `numeric(p,s)` / `decimal(p,s)` → DecimalType(p,s) when declared
+    * (`numeric(p)` → scale 0, per SQL); bare `numeric` degrades to DoubleType
+    * exactly like every reference backend does (duckdb_backend.py:50).
     */
   private def parseNumeric(t: String): DataType = {
-    val ps = "numeric\\((\\d+)\\s*,\\s*(\\d+)\\)".r
+    val ps = "(?:numeric|decimal)\\((\\d+)(?:\\s*,\\s*(\\d+))?\\)".r
     t match {
-      case ps(p, s) if p.toInt <= 38 => DecimalType(p.toInt, s.toInt)
-      case _                         => DoubleType
+      case ps(p, s) if p.toInt <= 38 =>
+        DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0))
+      case _ => DoubleType
     }
   }
 
