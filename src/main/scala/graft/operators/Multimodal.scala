@@ -33,16 +33,18 @@ object Multimodal {
   }
 
   case class DecodedFeature(doc_id: Long, width: Int, height: Int,
-                            n_frames: Int, mean_byte: Double)
+                            n_frames: Int, hex_mean: Double)
 
-  /** STUB DECODE — deterministic fake image decoder.
+  /** STUB DECODE — deterministic fake image decoder, oracle-checkable.
     *
     * A real implementation would decode `payload` with an image library and
     * emit (width, height, frames, features); none ships in this container,
-    * so dimensions are derived deterministically from the first bytes and
-    * the mean byte value is computed for real. The batching shape
-    * (`mapPartitions` over an iterator, one output row per input row,
-    * explicit output schema) is the production shape for a JNI decoder.
+    * so every fake feature is a pure function of the payload's md5 hex
+    * digest and byte length — functions an oracle engine can mirror in SQL
+    * (md5 / ascii / octet_length), so even the stub gets a hash-checked
+    * correctness row. The batching shape (`mapPartitions` over an iterator,
+    * one output row per input row, explicit output schema) is the
+    * production shape for a JNI decoder.
     */
   def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
@@ -50,13 +52,16 @@ object Multimodal {
     val src = df.select(col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "utf-8").as("payload"))
     src.as[(Long, Array[Byte])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, bytes) =>
-        // ??? real decoder goes here; deterministic fake below
-        val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-        val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-        val mean = if (bytes.isEmpty) 0.0
-        else bytes.foldLeft(0L)((a, x) => a + (x & 0xff)).toDouble / bytes.length
-        DecodedFeature(id, 16 + b0 % 16, 16 + b1 % 16, 1 + bytes.length % 8, mean)
+        // ??? real decoder goes here; md5-derived deterministic fake below
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        DecodedFeature(id,
+          16 + hex(0).toInt % 16,
+          16 + hex(1).toInt % 16,
+          1 + bytes.length % 8,
+          hex.map(_.toInt).sum.toDouble / 32)
       }
     }.toDF()
   }

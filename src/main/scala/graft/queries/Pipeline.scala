@@ -207,11 +207,19 @@ object Pipeline {
         "md5(text) AS digest, hex(encode(substr(text, 1, 8))) AS head_hex " +
         "FROM documents")),
 
-    // ── Multimodal: stubbed decode via mapPartitions (plumbing is real; no
-    //    SQL oracle — driver records rows-only) ──────────────────────────────
+    // ── Multimodal: stubbed decode via mapPartitions (plumbing is real; the
+    //    stub features are md5-derived pure functions so the oracle checks
+    //    them exactly) ───────────────────────────────────────────────────────
     "x_multimodal_decode" -> Q(
       (s, d) => Multimodal.decodeFeatures(s, t(s, d, "documents"), "doc_id", "text"),
-      None),
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS hx,
+        |  octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id,
+        |  16 + ascii(substr(hx, 1, 1)) % 16 AS width,
+        |  16 + ascii(substr(hx, 2, 1)) % 16 AS height,
+        |  1 + nb % 8 AS n_frames,
+        |  CAST(list_sum([ascii(c) FOR c IN regexp_extract_all(hx, '.')]) AS DOUBLE) / 32 AS hex_mean
+        |FROM h""".stripMargin)),
 
     // ── Structured Streaming: windowed agg over the events stream, run with
     //    Trigger.AvailableNow for batch parity ───────────────────────────────
