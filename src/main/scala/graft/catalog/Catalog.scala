@@ -36,13 +36,26 @@ object Catalog {
   /** S9: list source tables with byte sizes, sorted desc — mirrors the
     * reference's `order by table_bytes desc` (pgwarehouse.py:231).
     */
-  def listWithSizes(spark: SparkSession, sfDir: String): DataFrame = {
+  def listWithSizes(spark: SparkSession, sfDir: String,
+                    names: Seq[String] = corpusTables): DataFrame = {
     import spark.implicits._
-    corpusTables.map { t =>
+    names.map { t =>
       val bytes = tableBytes(spark, s"$sfDir/$t.parquet")
       (t, bytes, Functions.pgSizePretty(bytes))
     }.toDF("table_name", "total_bytes", "pretty_size")
       .orderBy(desc("total_bytes"), asc("table_name"))
+  }
+
+  /** S10 over a plain directory: the parquet tables actually present,
+    * sorted (reference `all_table_names`, pgwarehouse.py:242-246).
+    */
+  def listTables(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).sorted.toSeq
   }
 
   /** S9/A1: exact row counts per table (the reference's parity check,

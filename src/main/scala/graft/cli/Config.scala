@@ -1,0 +1,131 @@
+package graft.cli
+
+import scala.collection.immutable.ListMap
+
+/** Run configuration for the CLI spine, mirroring the reference's YAML
+  * config + env fallback (reference pgwarehouse.py:52-58 loads YAML;
+  * :200-211 falls back to environment variables when keys are absent).
+  *
+  * The source/warehouse of the reference (Postgres / ClickHouse-Snowflake-
+  * DuckDB) become directories of parquet tables here; `tables:` carries the
+  * same per-table update-strategy options (`get_table_opts`,
+  * pgwarehouse.py:72-80): `last_modified: <col>`, `reload: true`,
+  * `skip: true`, plus an explicit `primary_key` (the reference derives the
+  * PK from the live schema dump; a parquet source has no PK concept).
+  */
+case class TableOpts(primaryKey: Option[String] = None,
+                     lastModified: Option[String] = None,
+                     reload: Boolean = false,
+                     skip: Boolean = false)
+
+case class GraftConfig(sourceDir: String,
+                       warehouseDir: String,
+                       dataDir: String,
+                       maxRecords: Option[Long],
+                       tables: ListMap[String, TableOpts])
+
+object GraftConfig {
+
+  /** Minimal YAML-subset parser: nested maps by indentation, `key: value`
+    * scalars, `#` comments. Exactly the shape the reference's config uses —
+    * no lists, anchors, or multi-line scalars (and no external YAML
+    * dependency, which the zero-egress build cannot resolve).
+    */
+  def parseYaml(text: String): ListMap[String, Any] = {
+    val lines = text.linesIterator
+      .map(_.replace("\t", "  "))
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .toVector
+
+    def parseBlock(start: Int, indent: Int): (ListMap[String, Any], Int) = {
+      var m = ListMap.empty[String, Any]
+      var i = start
+      while (i < lines.length &&
+             lines(i).takeWhile(_ == ' ').length >= indent) {
+        val line = lines(i)
+        val ind = line.takeWhile(_ == ' ').length
+        require(ind == indent, s"bad indentation at: '$line'")
+        val t = line.trim
+        val key = t.takeWhile(_ != ':').trim
+        val value = t.drop(key.length + 1).trim
+          .stripPrefix("\"").stripSuffix("\"")
+        if (value.nonEmpty) { m += key -> value; i += 1 }
+        else {
+          val childIndent =
+            if (i + 1 < lines.length)
+              lines(i + 1).takeWhile(_ == ' ').length
+            else indent
+          if (childIndent > indent) {
+            val (sub, next) = parseBlock(i + 1, childIndent)
+            m += key -> sub
+            i = next
+          } else { m += key -> ListMap.empty[String, Any]; i += 1 }
+        }
+      }
+      (m, i)
+    }
+    parseBlock(0, 0)._1
+  }
+
+  private def section(root: ListMap[String, Any], name: String): ListMap[String, Any] =
+    root.get(name) match {
+      case Some(m: ListMap[String @unchecked, Any @unchecked]) => m
+      case _ => ListMap.empty
+    }
+
+  private def str(m: ListMap[String, Any], key: String): Option[String] =
+    m.get(key).collect { case s: String => s }
+
+  private def truthy(m: ListMap[String, Any], key: String): Boolean =
+    str(m, key).exists(v => v == "true" || v == "yes" || v == "1")
+
+  /** Build a config from YAML text with env fallback (reference
+    * pgwarehouse.py:200-211 semantics: config key wins, env fills gaps).
+    */
+  def fromYaml(text: String,
+               env: Map[String, String] = sys.env): GraftConfig = {
+    val root = parseYaml(text)
+    val src = section(root, "source")
+    val wh = section(root, "warehouse")
+    val sourceDir = str(src, "dir").orElse(env.get("GRAFT_SOURCE_DIR"))
+      .getOrElse(throw new IllegalArgumentException(
+        "source.dir missing (config or GRAFT_SOURCE_DIR)"))
+    val warehouseDir = str(wh, "dir").orElse(env.get("GRAFT_WAREHOUSE_DIR"))
+      .getOrElse(throw new IllegalArgumentException(
+        "warehouse.dir missing (config or GRAFT_WAREHOUSE_DIR)"))
+    val dataDir = str(src, "data_dir").orElse(env.get("GRAFT_DATA_DIR"))
+      .getOrElse(s"$warehouseDir/_data")
+    val maxRecords = str(src, "max_records")
+      .orElse(env.get("GRAFT_MAX_RECORDS")).map(_.toLong)
+    val tables = section(root, "tables").map { case (name, v) =>
+      val opts = v match {
+        case m: ListMap[String @unchecked, Any @unchecked] =>
+          TableOpts(str(m, "primary_key"), str(m, "last_modified"),
+            truthy(m, "reload"), truthy(m, "skip"))
+        case _ => TableOpts()
+      }
+      name -> opts
+    }
+    GraftConfig(sourceDir, warehouseDir, dataDir, maxRecords,
+      ListMap(tables.toSeq: _*))
+  }
+
+  /** `init` template (reference writes one too, pgwarehouse.py:130-160). */
+  val template: String =
+    """# graft warehouse-sync config
+      |source:
+      |  dir: /path/to/source/parquet     # or env GRAFT_SOURCE_DIR
+      |  # data_dir: /path/for/csv/chunks # or env GRAFT_DATA_DIR
+      |  # max_records: 10000             # extract row cap for trial runs
+      |warehouse:
+      |  dir: /path/to/warehouse/parquet  # or env GRAFT_WAREHOUSE_DIR
+      |tables:
+      |  events:
+      |    primary_key: event_id
+      |    last_modified: ts
+      |  # users10:
+      |  #   primary_key: id
+      |  # local_parks:
+      |  #   reload: true                 # no-PK tables are reload-only
+      |""".stripMargin
+}

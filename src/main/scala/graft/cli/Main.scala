@@ -1,0 +1,107 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — the reference's `__main__.py` argparse surface
+  * (reference pgwarehouse/__main__.py:9-32):
+  *
+  *   graft init                      write a template config
+  *   graft list      [--config f]    source tables with sizes
+  *   graft listwh    [--config f]    warehouse tables with sizes
+  *   graft extract <table|all> ...   source → gzip CSV chunks
+  *   graft load    <table|all> ...   CSV chunks → warehouse table
+  *   graft sync    <table|all> ...   incremental sync per strategy
+  *   graft reload  <table|all> ...   drop + full reload
+  *
+  * `all` iterates the configured tables with per-table error isolation
+  * (pgwarehouse.py:97-110). Run via `sbt "runMain graft.cli.Main sync all
+  * --config graft_config.yaml"`.
+  */
+object Main {
+
+  private val commands =
+    Set("init", "list", "listwh", "extract", "load", "sync", "reload")
+
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = parseArgs(args)
+    val command = positional.headOption.getOrElse("")
+    if (!commands(command)) {
+      System.err.println(
+        "usage: graft <init|list|listwh|extract|load|sync|reload> " +
+          "[table|all] [--config file]")
+      sys.exit(2)
+    }
+    val configPath = flags.getOrElse("config", "graft_config.yaml")
+
+    if (command == "init") {
+      if (Files.exists(Paths.get(configPath))) {
+        System.err.println(s"$configPath already exists, not overwriting")
+        sys.exit(1)
+      }
+      Files.writeString(Paths.get(configPath), GraftConfig.template)
+      println(s"wrote $configPath")
+      return
+    }
+
+    val cfg = GraftConfig.fromYaml(
+      Files.readString(Paths.get(configPath)))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(new Warehouse(spark, cfg), cfg, command,
+      positional.drop(1).headOption.getOrElse("all"))
+    finally spark.stop()
+  }
+
+  private def run(wh: Warehouse, cfg: GraftConfig, command: String,
+                  table: String): Unit = {
+    def each(f: String => Unit): Unit =
+      if (table == "all") {
+        val failed = wh.forAll(f).collect { case (t, Some(_)) => t }
+        if (failed.nonEmpty) {
+          System.err.println(s"failed tables: ${failed.mkString(", ")}")
+          sys.exit(1)
+        }
+      } else f(table)
+
+    command match {
+      case "list"   => wh.list().show(100, truncate = false)
+      case "listwh" => wh.listwh().show(100, truncate = false)
+      case "extract" => each { t =>
+        val (files, records) = wh.extract(t)
+        println(s"$t: extracted $records records into $files chunks")
+      }
+      case "load" => each { t =>
+        println(s"$t: loaded ${wh.load(t)} rows")
+      }
+      case "sync" => each { t =>
+        println(s"$t: sync action=${wh.sync(t)}")
+      }
+      case "reload" => each { t =>
+        println(s"$t: reloaded ${wh.reload(t)} rows")
+      }
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  private def parseArgs(args: Array[String]): (Map[String, String], Seq[String]) = {
+    var flags = Map.empty[String, String]
+    var positional = Vector.empty[String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i).startsWith("--") && i + 1 < args.length) {
+        flags += args(i).stripPrefix("--") -> args(i + 1); i += 2
+      } else { positional :+= args(i); i += 1 }
+    }
+    (flags, positional)
+  }
+}

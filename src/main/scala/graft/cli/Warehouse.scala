@@ -1,0 +1,129 @@
+package graft.cli
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.Catalog
+import graft.io.Tables
+import graft.sync.{SyncEngine, SyncStrategy}
+
+/** The command controller: the Spark-native equivalent of the reference's
+  * `PGWarehouse` class (reference pgwarehouse.py:40-124) — one method per
+  * CLI command, a per-table strategy resolver, and the `all` loop with
+  * per-table error isolation (pgwarehouse.py:97-110 swallows a failing
+  * table and continues with the rest).
+  *
+  * Source and warehouse are directories of parquet tables; extract/load
+  * move rows through the reference's gzip-CSV interchange format
+  * (`{data_dir}/{table}_data`, pgwarehouse.py:167-168).
+  */
+class Warehouse(spark: SparkSession, cfg: GraftConfig) {
+
+  private val engine = new SyncEngine(spark)
+
+  private def warehousePath(name: String) = s"${cfg.warehouseDir}/$name.parquet"
+  private def chunkDir(name: String) = s"${cfg.dataDir}/${name}_data"
+
+  def sourceTable(name: String): DataFrame =
+    Tables.table(spark, cfg.sourceDir, name)
+
+  def warehouseTable(name: String): Option[DataFrame] =
+    if (Catalog.tableExists(spark, cfg.warehouseDir, name))
+      Some(Tables.table(spark, cfg.warehouseDir, name))
+    else None
+
+  /** Strategy resolution, mirroring `get_table_opts` + `sync` dispatch
+    * (pgwarehouse.py:72-80, 180-189): skip > reload > last-modified upsert >
+    * append-only; tables with no primary key are reload-only (the
+    * local_parks degraded path, tests/pg_setup.sql:22-29).
+    */
+  def strategyFor(name: String): SyncStrategy = {
+    val opts = cfg.tables.getOrElse(name, TableOpts())
+    if (opts.skip) SyncStrategy.Skip
+    else if (opts.reload) SyncStrategy.Reload
+    else (opts.primaryKey, opts.lastModified) match {
+      case (Some(pk), Some(lm)) => SyncStrategy.Upsert(pk, lm)
+      case (Some(pk), None)     => SyncStrategy.AppendOnly(pk)
+      case _                    => SyncStrategy.Reload
+    }
+  }
+
+  /** `extract`: source table → chunked gzip CSV under the data dir
+    * (pgwarehouse.py:254-303). Returns (chunk files, records extracted).
+    */
+  def extract(name: String): (Long, Long) = {
+    val src = sourceTable(name)
+    Tables.writeCsvChunks(src, chunkDir(name), maxRecords = cfg.maxRecords)
+    val read = Tables.readCsvChunks(spark, chunkDir(name), src.schema)
+    val p = new Path(chunkDir(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".csv.gz"))
+    (files.toLong, read.count())
+  }
+
+  /** `load`: replay the CSV chunks into the warehouse table, schema pinned
+    * from the source (the reference trusts DDL, never infers;
+    * duckdb_backend.py:107). `dropTable` recreates from scratch
+    * (pgwarehouse.py:176-178).
+    */
+  def load(name: String, dropTable: Boolean = false): Long = {
+    if (dropTable) Catalog.dropPath(spark, warehousePath(name))
+    val df = Tables.readCsvChunks(spark, chunkDir(name),
+      sourceTable(name).schema)
+    writeAtomic(df, warehousePath(name))
+    spark.read.parquet(warehousePath(name)).count()
+  }
+
+  /** `sync`: one incremental step per the table's strategy — bootstrap on
+    * missing, watermark delta, merge-or-append (the reference's
+    * `update_table` control flow, clickhouse_backend.py:189-243).
+    * Returns the action taken.
+    */
+  def sync(name: String): String = {
+    val res = engine.sync(sourceTable(name), warehouseTable(name),
+      strategyFor(name))
+    if (res.action != "skip") writeAtomic(res.table, warehousePath(name))
+    res.action
+  }
+
+  /** `reload`: full extract + load with drop (pgwarehouse.py:191-194). */
+  def reload(name: String): Long = {
+    extract(name)
+    load(name, dropTable = true)
+  }
+
+  /** `list`: source tables with sizes (pgwarehouse.py:218-237). */
+  def list(): DataFrame =
+    Catalog.listWithSizes(spark, cfg.sourceDir,
+      Catalog.listTables(spark, cfg.sourceDir))
+
+  /** `listwh`: warehouse tables with sizes (SHOW TABLES analogs). */
+  def listwh(): DataFrame =
+    Catalog.listWithSizes(spark, cfg.warehouseDir,
+      Catalog.listTables(spark, cfg.warehouseDir))
+
+  /** The `all` loop: run `cmd` for every configured table, isolating
+    * per-table failures exactly like the reference (pgwarehouse.py:97-110:
+    * log and continue). Returns (table → error-if-failed).
+    */
+  def forAll(cmd: String => Unit): Seq[(String, Option[Throwable])] =
+    cfg.tables.keys.toSeq.map { name =>
+      name -> (try { cmd(name); None } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] table $name failed: ${e.getMessage}")
+          Some(e)
+      })
+    }
+
+  /** Overwrite a parquet table that may also be an input of `df`: stage to
+    * a sibling tmp path, then swap — Spark cannot overwrite a path it is
+    * reading from, and a mid-job crash must not destroy the old table.
+    */
+  private def writeAtomic(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+  }
+}
