@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at the given sf dir
+  * and prints ONE parseable JSON line. Failures are NEVER swallowed into a
+  * fast bench entry — they are reported per-query in `failed` and on
+  * stderr. A short warmup pass absorbs JVM/JIT/codegen startup so the
+  * first timed query isn't charged several seconds of session warmup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +21,32 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: scan+agg, broadcast join, window — the codegen paths the
+    // timed queries exercise. Results discarded; failures ignored here
+    // (the timed pass will surface them).
+    Seq("a1_count", "j4_left_join", "w1_rownum_dedup").foreach { q =>
+      SparkEntry.queries.get(q).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Exception => () }
+      }
+    }
+
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Exception =>
+          failures += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
   }
 }

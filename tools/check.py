@@ -76,9 +76,12 @@ def main(sf, out):
         if os.path.isdir(pdir) and name not in oracle:
             try:
                 n = len(con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
-                print(f"ROWS {name}: {n} rows (no oracle)")
+                if n == 0:
+                    print(f"FAIL {name}: rows-only query returned 0 rows"); n_fail += 1
+                else:
+                    print(f"ROWS {name}: {n} rows (no oracle)")
             except Exception as e:
-                print(f"FAIL {name}: unreadable output: {e}")
+                print(f"FAIL {name}: unreadable output: {e}"); n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
