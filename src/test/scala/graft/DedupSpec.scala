@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup operator semantics on planted duplicates: exact survivors,
+  * MinHash/LSH recall on near-identical docs, Jaccard verification,
+  * SimHash stability, embedding near-dup bucketing.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup of 1
+    (4L, "completely different text about spark catalyst optimizer rules engine"),
+    (5L, "another unrelated document mentioning parquet columnar storage layout"),
+    (6L, "THE  QUICK brown fox jumps over the lazy dog near the river bank")) // ws/case variant of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup: one survivor per normalized fingerprint") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    // 1,2,6 share a fingerprint (lowercased, whitespace-normalized)
+    val dupGroup = out.find(_.getLong(1) == 3L)
+    assert(dupGroup.isDefined, "the planted triple collapses to one group")
+    assert(dupGroup.get.getLong(0) == 1L, "min id survives")
+    assert(out.length == 4, "4 distinct fingerprints")
+  }
+
+  test("minhash candidates find the planted near-dup pair without cross join") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "exact dups always collide")
+    assert(cands.contains((1L, 3L)), "one-token-changed doc shares bands")
+    assert(!cands.contains((4L, 5L)), "unrelated docs do not collide")
+  }
+
+  test("jaccard verification scores candidates exactly") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(pairs(1L -> 2L) == 1.0, "identical token sets → jaccard 1")
+    val near = pairs.get(1L -> 3L)
+    assert(near.exists(j => j > 0.5 && j < 1.0),
+      s"near-dup strictly between 0.5 and 1, got $near")
+  }
+
+  test("simhash: identical docs hash identically, different docs differ") {
+    val hs = Dedup.simhash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(4L))
+  }
+
+  test("embedding near-dup finds identical vectors within a cell") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),
+      (2L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),  // identical, same cell
+      (3L, Array(-1.0f, 0.5f, 0.25f, -0.75f), 7), // dissimilar, same cell
+      (4L, Array(1.0f, 0.5f, -0.25f, 0.75f), 8))  // identical but other cell
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)),
+      "only the same-cell identical pair qualifies (cells are hard shards)")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Functions
+
+/** Scalar-function surface (SURVEY §2.8): lenient timestamp parsing against
+  * the reference's fixture formats (my_orders.csv uses M/D/YYYY), exact
+  * cents quantization, pg_size_pretty.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bestEffortTimestamp parses the fixture formats, null on garbage") {
+    val inputs = Seq(
+      "2022-10-17 12:34:56",        // ISO datetime
+      "2022-10-17 12:34:56.123456", // with micros
+      "2022-10-17",                 // ISO date
+      "10/17/2022",                 // the my_orders.csv M/D/YYYY form
+      "1/3/2022 7:04:05",           // single-digit M/D H:m:s
+      "not a date")
+    val out = inputs.toDF("s")
+      .select(date_format(Functions.bestEffortTimestamp(col("s")),
+        "yyyy-MM-dd HH:mm:ss").as("p"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0).contains("2022-10-17 12:34:56"))
+    assert(out(1).contains("2022-10-17 12:34:56"))
+    assert(out(2).contains("2022-10-17 00:00:00"))
+    assert(out(3).contains("2022-10-17 00:00:00"))
+    assert(out(4).contains("2022-01-03 07:04:05"))
+    assert(out(5).isEmpty, "garbage must parse to null, not throw")
+  }
+
+  test("cents: exact integer quantization survives double noise") {
+    val out = Seq(19.99, 0.1 + 0.2, 100.005, -5.01).toDF("x")
+      .select(Functions.cents(col("x")).as("c"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1999L, 30L, 10001L, -501L))
+  }
+
+  test("pgSizePretty mirrors the reference's unit ladder") {
+    assert(Functions.pgSizePretty(0) == "0 bytes")
+    assert(Functions.pgSizePretty(512) == "512 bytes")
+    assert(Functions.pgSizePretty(2048) == "2.0 kB")
+    assert(Functions.pgSizePretty(5L * 1024 * 1024) == "5.0 MB")
+    assert(Functions.pgSizePretty(3L * 1024 * 1024 * 1024) == "3.0 GB")
+    // total: never throws, always ends in a known unit
+    val units = Seq("bytes", "kB", "MB", "GB", "TB", "PB")
+    val prop = Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>
+      units.exists(Functions.pgSizePretty(n).endsWith(_))
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sync.{Merge, SyncEngine, SyncStrategy, Watermark}
+
+/** Merge identity + watermark semantics (SURVEY §7.4 hard parts): last-
+  * writer-wins dedup, idempotence (merge(merge(t,d),d) == merge(t,d)),
+  * null-watermark degradation, composite-PK rejection.
+  */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  private def mkEvents(data: Seq[(Long, Int, String)]) =
+    data.toDF("id", "ver", "payload")
+
+  test("merge keeps last writer per key, unmatched target rows survive") {
+    val target = mkEvents(Seq((1L, 1, "t1"), (2L, 1, "t2"), (3L, 1, "t3")))
+    val changes = mkEvents(Seq(
+      (2L, 2, "new2"), (2L, 3, "newest2"), // intra-batch conflict → ver 3 wins
+      (4L, 1, "new4")))
+    val out = Merge.merge(target, changes, Seq("id"), "ver")
+    assert(rows(out) == Set(
+      Seq(1L, 1, "t1"), Seq(3L, 1, "t3"),
+      Seq(2L, 3, "newest2"), Seq(4L, 1, "new4")))
+  }
+
+  test("merge is idempotent: applying the same delta twice is a no-op") {
+    // deterministic pseudo-random data, several shapes
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val target = mkEvents(Seq.tabulate(50)(i =>
+        (i.toLong, rnd.nextInt(3), s"t$i")))
+      val changes = mkEvents(Seq.fill(30) {
+        val id = rnd.nextInt(70).toLong
+        (id, 10 + rnd.nextInt(3), s"c$id")
+      })
+      val once = Merge.merge(target, changes, Seq("id"), "ver")
+      val twice = Merge.merge(once, changes, Seq("id"), "ver")
+      assert(rows(once) == rows(twice))
+    }
+  }
+
+  test("deleteInsert replaces matching keys wholesale") {
+    val target = mkEvents(Seq((1L, 1, "a"), (2L, 1, "b")))
+    val changes = mkEvents(Seq((2L, 9, "b9"), (5L, 1, "e")))
+    assert(rows(Merge.deleteInsert(target, changes, Seq("id"))) ==
+      Set(Seq(1L, 1, "a"), Seq(2L, 9, "b9"), Seq(5L, 1, "e")))
+  }
+
+  test("watermark: max / strict-> / inclusive->= / null degradation") {
+    val df = mkEvents(Seq((1L, 1, "a"), (5L, 1, "b"), (3L, 1, "c")))
+    assert(Watermark.maxOf(df, "id").contains(5L))
+    assert(Watermark.newerThan(df, "id", Some(3L)).count() == 1)
+    assert(Watermark.modifiedSince(df, "id", Some(3L)).count() == 2)
+    // empty input → no watermark → caller loads everything
+    val empty = mkEvents(Nil)
+    assert(Watermark.maxOf(empty, "id").isEmpty)
+    assert(Watermark.newerThan(df, "id", None).count() == 3)
+  }
+
+  test("sync engine: bootstrap and zero-delta short-circuit") {
+    val engine = new SyncEngine(spark)
+    val src = mkEvents(Seq((1L, 1, "a"), (2L, 1, "b")))
+    val boot = engine.sync(src, None, SyncStrategy.AppendOnly("id"))
+    assert(boot.action == "bootstrap" && rows(boot.table) == rows(src))
+    // sink already at max watermark → append adds nothing
+    val same = engine.sync(src, Some(src), SyncStrategy.AppendOnly("id"))
+    assert(rows(same.table) == rows(src))
+    // upsert with a fully-caught-up sink is likewise a no-op
+    val up = engine.sync(src, Some(src), SyncStrategy.Upsert("id", "ver"))
+    assert(rows(up.table) == rows(src))
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.{GraftConfig, TableOpts, Warehouse}
+import graft.schema.PgTypeMapper
+
+/** End-to-end port of the reference's seven pytest shapes
+  * (/root/reference/pgwarehouse/tests/test_postgres.py:88-187) over a
+  * parquet source/warehouse pair driven by the CLI controller. Fixtures
+  * mirror tests/pg_setup.sql + tests/data/: users10 (serial PK, append-only),
+  * my_orders (bigserial PK + last_modified upsert, M/D/YYYY dates),
+  * local_parks (no PK, enum column, space-in-column-name — the degraded,
+  * reload-only path).
+  */
+class SyncE2ESpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sourceDir = TestSpark.tmpDir("src")
+  private val warehouseDir = TestSpark.tmpDir("wh")
+  private val dataDir = TestSpark.tmpDir("data")
+
+  private def cfg(maxRecords: Option[Long] = None) = GraftConfig(
+    sourceDir, warehouseDir, dataDir, maxRecords,
+    scala.collection.immutable.ListMap(
+      "users10" -> TableOpts(primaryKey = Some("id")),
+      "my_orders" -> TableOpts(primaryKey = Some("id"),
+        lastModified = Some("order_updated")),
+      "local_parks" -> TableOpts(reload = true)))
+
+  private def wh(maxRecords: Option[Long] = None) =
+    new Warehouse(spark, cfg(maxRecords))
+
+  private def writeSource(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$sourceDir/$name.parquet")
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def users(n: Int, from: Int = 1): DataFrame =
+    (from until from + n).map(i =>
+      (i.toLong, s"user$i", s"u$i@example.com", 20 + i % 50))
+      .toDF("id", "name", "email", "age")
+
+  private def orders(rows: Seq[(Long, Int, String, Double, String)]): DataFrame = {
+    val raw = rows.toDF("id", "user_id", "order_date_raw", "order_amount",
+      "order_updated_raw")
+    // order_date arrives in the fixture's M/D/YYYY form → best-effort parse
+    raw.select(col("id"), col("user_id"),
+      graft.functions.Functions.bestEffortTimestamp(col("order_date_raw"))
+        .cast("date").as("order_date"),
+      col("order_amount"),
+      col("order_updated_raw").cast("timestamp").as("order_updated"))
+  }
+
+  private val baseOrders: Seq[(Long, Int, String, Double, String)] =
+    (1 to 30).map(i => (i.toLong, i % 7, s"${1 + i % 12}/${1 + i % 28}/2022",
+      10.0 * i, s"2022-11-0${1 + i % 9} 08:00:00"))
+
+  private def parks(): DataFrame = {
+    // "park state" exercises the sanitize path; park_type is the enum →
+    // string degradation (pg_setup.sql:19,28)
+    val raw = Seq(
+      ("Golden Gate", "urban", 1017, 37.76, -122.45, "CA"),
+      ("Central", "urban", 843, 40.78, -73.96, "NY"),
+      ("Bark Field", "dog", 12, 41.0, -87.0, "IL"))
+      .toDF("park_name", "park_type", "park_size",
+        "park_location_lat", "park_location_lon", "park state")
+    raw.toDF(raw.columns.map(PgTypeMapper.sanitizeName): _*)
+  }
+
+  private def setupSources(): Unit = {
+    writeSource("users10", users(20))
+    writeSource("my_orders", orders(baseOrders))
+    writeSource("local_parks", parks())
+  }
+
+  test("t1 list: source catalog shows all three tables with sizes") {
+    setupSources()
+    val listed = wh().list().collect()
+    assert(listed.map(_.getString(0)).toSet ==
+      Set("users10", "my_orders", "local_parks"))
+    assert(listed.forall(_.getLong(1) > 0), "every table has bytes")
+  }
+
+  test("t2 extract: chunk dir exists and is non-empty") {
+    setupSources()
+    val (files, records) = wh().extract("users10")
+    assert(files >= 1)
+    assert(records == 20)
+  }
+
+  test("t3 extract+load: row-count parity per table") {
+    setupSources()
+    val w = wh()
+    Seq("users10", "my_orders", "local_parks").foreach { t =>
+      w.extract(t)
+      val loaded = w.load(t)
+      assert(loaded == w.sourceTable(t).count(), s"parity for $t")
+    }
+    // cell-level: the sanitized space-name column round-trips through CSV
+    val parksBack = spark.read.parquet(s"$warehouseDir/local_parks.parquet")
+    assert(parksBack.columns.contains("park_state"))
+    assert(parksBack.where(col("park_state") === "CA").count() == 1)
+  }
+
+  test("t4 reload: drop + full reload keeps parity") {
+    setupSources()
+    val w = wh()
+    assert(w.reload("my_orders") == 30)
+    assert(w.reload("my_orders") == 30, "reload is repeatable")
+  }
+
+  test("t5 basic sync: bootstrap all three tables to parity") {
+    setupSources()
+    // fresh warehouse
+    Seq("users10", "my_orders", "local_parks").foreach(t =>
+      graft.catalog.Catalog.dropPath(spark, s"$warehouseDir/$t.parquet"))
+    val w = wh()
+    val failures = w.forAll(t => { w.sync(t); () }).collect { case (t, Some(e)) => t }
+    assert(failures.isEmpty, s"no table may fail: $failures")
+    Seq("users10", "my_orders", "local_parks").foreach { t =>
+      assert(w.warehouseTable(t).get.count() == w.sourceTable(t).count(),
+        s"parity for $t")
+    }
+  }
+
+  test("t6 incremental sync: new source rows appear after re-sync") {
+    setupSources()
+    val w = wh()
+    w.sync("users10")
+    writeSource("users10", users(22)) // 2 new rows, ids 21..22
+    w.sync("users10")
+    val sink = w.warehouseTable("users10").get
+    assert(sink.count() == 22)
+    assert(sink.where(col("id") > 20).count() == 2)
+  }
+
+  test("t7 last-modified sync: updates + insert land, cell-level checks") {
+    setupSources()
+    val w = wh()
+    w.sync("my_orders")
+    // update rows 18,19 (amount 9999.9, bumped order_updated), insert 31 —
+    // the reference's exact scenario (test_postgres.py:156-187)
+    val updated = baseOrders.map {
+      case (id, u, d, _, _) if id == 18 || id == 19 =>
+        (id, u, d, 9999.9, "2022-12-25 10:00:00")
+      case other => other
+    } :+ (31L, 3, "12/26/2022", 123.45, "2022-12-26 09:00:00")
+    writeSource("my_orders", orders(updated))
+    w.sync("my_orders")
+    val sink = w.warehouseTable("my_orders").get
+    assert(sink.count() == 31, "original + 1 inserted")
+    assert(sink.where(col("order_amount") === 9999.9).count() == 2,
+      "updated amounts round-trip")
+    assert(sink.where(col("id") === 31L && col("order_amount") === 123.45)
+      .count() == 1, "new row findable by predicate")
+  }
+
+  test("t8 max_records caps the extract path") {
+    setupSources()
+    val (_, records) = wh(maxRecords = Some(7L)).extract("users10")
+    assert(records == 7)
+  }
+
+  test("t9 skip strategy leaves the warehouse untouched") {
+    setupSources()
+    val w = new Warehouse(spark, cfg().copy(tables =
+      scala.collection.immutable.ListMap(
+        "users10" -> TableOpts(primaryKey = Some("id"), skip = true))))
+    assert(w.sync("users10") == "skip")
+  }
+
+  test("all loop isolates a failing table and reports it") {
+    setupSources()
+    val broken = cfg().copy(tables = scala.collection.immutable.ListMap(
+      "no_such_table" -> TableOpts(reload = true),
+      "users10" -> TableOpts(primaryKey = Some("id"))))
+    val w = new Warehouse(spark, broken)
+    val results = w.forAll(t => { w.sync(t); () })
+    assert(results.collectFirst { case ("no_such_table", e) => e }.get.isDefined,
+      "missing table reported as failed")
+    assert(results.collectFirst { case ("users10", e) => e }.get.isEmpty,
+      "healthy table still synced")
+  }
+}

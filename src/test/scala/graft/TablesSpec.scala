@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+
+/** Sources & sinks: gzip CSV chunk round-trip (header, schema pinning,
+  * rollover, row cap) and the footer-driven ns-timestamp repair.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("csv chunks round-trip values incl. timestamps; rollover splits files") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, s"name $i", 1.5 * i, Timestamp.valueOf(s"2022-01-01 00:00:${i % 60}")))
+      .toDF("id", "name", "amount", "updated")
+    val dir = TestSpark.tmpDir("csv") + "/chunks"
+    Tables.writeCsvChunks(df.repartition(1), dir, maxRecordsPerFile = 30L)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".csv.gz"))
+    assert(files.length >= 4, s"100 rows / 30-row cap → ≥4 chunks, got ${files.length}")
+    val back = Tables.readCsvChunks(spark, dir, df.schema)
+    assert(back.count() == 100)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet,
+      "values round-trip exactly (incl. µs timestamps)")
+  }
+
+  test("maxRecords caps the extract, like the reference's max_records") {
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dir = TestSpark.tmpDir("csvcap") + "/chunks"
+    Tables.writeCsvChunks(df, dir, maxRecords = Some(12L))
+    assert(Tables.readCsvChunks(spark, dir, df.schema).count() == 12)
+  }
+
+  test("ns-annotated Long columns are repaired to TimestampType from the footer") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    assert(ev.schema("ts").dataType == TimestampType,
+      "events.ts (TIMESTAMP_NS in parquet) surfaces as a timestamp")
+    assert(ev.where(col("ts").isNull).count() == 0)
+    // non-ns tables pass through untouched (ms-precision NTZ stays NTZ)
+    val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(li.schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis operators: token counting, quality facets, language ID,
+  * fingerprints, and the multimodal metadata/decode plumbing.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish subword") {
+    val out = Seq((1L, "Hello world, it's 42 degrees!"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishCount(col("text")).as("bpe"))
+      .collect().head
+    assert(out.getLong(0) == 5)
+    // Hello|world|,|it|'|s|42|degrees|! → 9 subword pieces
+    assert(out.getLong(1) == 9)
+  }
+
+  test("quality facets are exact integers and exact ratios") {
+    val out = TextAnalysis.qualityFacets(
+      Seq((1L, "the cat sat. the mat!")).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") == 5)
+    assert(out.getAs[Long]("n_punct") == 2) // '.' and '!'
+    assert(out.getAs[Long]("n_stop") == 1)  // distinct stopword 'the'
+    assert(out.getAs[Double]("stop_ratio") == 1.0 / 5)
+  }
+
+  test("langId picks the marker-dominant language deterministically") {
+    val out = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "el perro y la casa es grande"),
+      (4L, "le chien et un chat est grand"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val fps = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("multimodal metadata + stub decode are deterministic functions of bytes") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "different")).toDF("doc_id", "text")
+    val meta = Multimodal.withPayloadMeta(df, "text").collect()
+    assert(meta(0).getAs[Long]("n_bytes") == 3)
+    assert(meta(0).getAs[String]("digest") == meta(1).getAs[String]("digest"))
+    assert(meta(0).getAs[String]("digest") != meta(2).getAs[String]("digest"))
+
+    val dec = Multimodal.decodeFeatures(spark, df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(dec(0).getInt(1) == dec(1).getInt(1), "same bytes → same width")
+    assert(dec.forall(r => r.getInt(1) >= 16 && r.getInt(1) < 32))
+    assert(dec(0).getAs[Double]("hex_mean") == dec(1).getAs[Double]("hex_mean"))
+  }
+}
