@@ -59,11 +59,13 @@ object Dedup {
 
   /** Per-doc MinHash signature: the shingle is hashed just twice
     * (md5(sh) ++ md5('#'+sh) = 64 hex chars) and the 16 disjoint 4-hex-char
-    * chunks serve as 16 independent 16-bit uniform hashes; h_s = MIN over
-    * shingles of chunk s (fixed-width lowercase hex, so lexicographic MIN =
-    * numeric MIN). One min-aggregate per seed, partial-aggregated map-side;
+    * chunks — decoded to 16-bit INTS — serve as 16 independent uniform
+    * hashes; h_s = MIN over shingles of chunk s. Integer mins keep the
+    * aggregation buffer primitive, so Spark plans a HashAggregate with
+    * map-side partial mins instead of falling back to SortAggregate (string
+    * buffers would force a per-partition sort of every (doc, shingle) row).
     * 2 digests per shingle instead of one per (shingle, seed). Returns
-    * (doc, h0..h{k-1}).
+    * (doc, h0..h{k-1}: int).
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16): DataFrame = {
@@ -76,19 +78,22 @@ object Dedup {
       .select(col("doc"),
         concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
     val aggs = (0 until numHashes).map(s =>
-      min(substring(col("h"), 4 * s + 1, 4)).as(s"h$s"))
+      min(conv(substring(col("h"), 4 * s + 1, 4), 16, 10).cast("int"))
+        .as(s"h$s"))
     exploded.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: group `numHashes` minhashes into bands of `bandSize`; the
-    * band signature is the plain concatenation of the band's minhashes (no
-    * re-hash needed — the concatenation is already a uniform key). Emits
+    * band signature is the '|'-joined concatenation of the band's minhash
+    * ints (no re-hash needed — the tuple itself is the bucket key; the
+    * separator keeps (1,23) distinct from (12,3)). Emits
     * (doc, band_idx, band_sig).
     */
   def lshBands(sig: DataFrame, numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
     val bands = (0 until numHashes / bandSize).map { b =>
-      val cols = (0 until bandSize).map(i => col(s"h${b * bandSize + i}"))
-      struct(lit(b).as("band_idx"), concat(cols: _*).as("band_sig"))
+      val cols = (0 until bandSize)
+        .map(i => col(s"h${b * bandSize + i}").cast("string"))
+      struct(lit(b).as("band_idx"), concat_ws("|", cols: _*).as("band_sig"))
     }
     sig.select(col("doc"), explode(array(bands: _*)).as("band"))
       .select(col("doc"), col("band.band_idx").as("band_idx"),
@@ -101,8 +106,15 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    // Persist the band table: Spark does not recognize the two sides of a
+    // self-join as a shared subplan, so without this the whole
+    // explode→hash→min pipeline runs twice (verified via executedPlan —
+    // zero ReusedExchange). The band table is 4 small rows per doc; a real
+    // 100 TB pipeline would materialize it to storage the same way, and
+    // the cache manager also lets the Jaccard-verify query reuse it.
     val bands = lshBands(minhashSignature(df, idCol, textCol, numHashes),
       numHashes, bandSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc").as("a"), col("band_idx"), col("band_sig"))
     val b = bands.select(col("doc").as("b"), col("band_idx"), col("band_sig"))
     a.join(b, Seq("band_idx", "band_sig")).where(col("a") < col("b"))
@@ -153,6 +165,36 @@ object Dedup {
       .reduce(_ + _)
     agged.select(col("doc"), sim.as("simhash"),
       (sim % 65536).as("band_lo"), (sim.cast("long") / 65536).cast("long").as("band_hi"))
+  }
+
+  /** SimHash near-dup pairs: candidates share a 16-bit half of the 32-bit
+    * SimHash (two bucket tables — the classic "split the fingerprint into
+    * bands, collide on any band" scheme: any pair within Hamming distance
+    * ≤ 16 of each other in the other half is findable, and small distances
+    * almost always collide); verification is the exact Hamming distance via
+    * bit_count(xor). Equi-join on (table, band) — bucketed, never all-pairs.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 4): DataFrame = {
+    // persisted for the same self-join-reuse reason as minhashCandidates
+    val sig = simhash32(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val br = sig.select(col("doc"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("tbl"), col("band_lo").as("band")),
+        struct(lit(1).as("tbl"), col("band_hi").as("band")))).as("tb"))
+      .select(col("doc"), col("simhash"),
+        col("tb.tbl").as("tbl"), col("tb.band").as("band"))
+    val a = br.select(col("doc").as("a"), col("simhash").as("a_sim"),
+      col("tbl"), col("band"))
+    val b = br.select(col("doc").as("b"), col("simhash").as("b_sim"),
+      col("tbl"), col("band"))
+    a.join(b, Seq("tbl", "band")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-duplicates: pairs in the same (cell, sign-LSH bucket)

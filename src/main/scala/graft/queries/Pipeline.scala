@@ -28,12 +28,14 @@ object Pipeline {
 
   // minhash oracle fragments (must mirror Dedup.minhashSignature/lshBands):
   // each shingle is hashed twice (md5(sh) || md5('#'+sh) = 64 hex chars); the
-  // 16 disjoint 4-hex chunks are the 16 seeds; band signature is the
-  // concatenation of the band's 4 chunks.
+  // 16 disjoint 4-hex chunks decode to 16-bit ints (the Spark side uses
+  // primitive-int mins to stay on HashAggregate); band signature is the
+  // '|'-joined band tuple.
   private val minsSql = (0 until 16).map(s =>
-    s"min(substr(h, ${4 * s + 1}, 4)) AS h$s").mkString(", ")
+    s"min(CAST('0x' || substr(h, ${4 * s + 1}, 4) AS INTEGER)) AS h$s").mkString(", ")
   private val bandsSql = (0 until 4).map(b =>
-    s"h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3} AS b$b").mkString(", ")
+    (0 until 4).map(i => s"CAST(h${4 * b + i} AS VARCHAR)")
+      .mkString("concat_ws('|', ", ", ", s") AS b$b")).mkString(", ")
   private val bandRowsSql = (0 until 4).map(b =>
     s"SELECT doc, $b AS band_idx, b$b AS band_sig FROM bands").mkString(" UNION ALL ")
   /** Shared CTE chain producing LSH candidate pairs (a < b) — mirrors
@@ -103,6 +105,23 @@ object Pipeline {
         |  CAST(($simBitsSql) % 65536 AS BIGINT) AS band_lo,
         |  CAST(($simBitsSql) // 65536 AS BIGINT) AS band_hi
         |FROM agged""".stripMargin)),
+
+    // ── Dedup: SimHash banded candidate pairs + exact Hamming verify ───────
+    "x_dedup_simhash_pairs" -> Q(
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 4),
+      Some(s"""WITH ex AS (SELECT doc_id AS doc, unnest($toksSql) AS tok FROM documents),
+        |h AS (SELECT doc, md5(tok) AS h FROM ex),
+        |agged AS (SELECT doc, $simSumsSql, count(*) AS n_tok FROM h GROUP BY doc),
+        |sim AS (SELECT doc, CAST($simBitsSql AS BIGINT) AS simhash FROM agged),
+        |sb AS (SELECT doc, simhash, CAST(simhash % 65536 AS BIGINT) AS band_lo,
+        |  CAST(simhash // 65536 AS BIGINT) AS band_hi FROM sim),
+        |br AS (SELECT doc, simhash, 0 AS tbl, band_lo AS band FROM sb
+        |  UNION ALL SELECT doc, simhash, 1, band_hi FROM sb),
+        |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b,
+        |  x.simhash AS a_sim, y.simhash AS b_sim
+        |  FROM br x JOIN br y ON x.tbl = y.tbl AND x.band = y.band AND x.doc < y.doc)
+        |SELECT a, b, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 4""".stripMargin)),
 
     // ── Dedup: embedding-cosine near-dup pairs, (cell, sign-LSH) bucketed ──
     "x_neardup_embedding" -> Q(
@@ -228,6 +247,14 @@ object Pipeline {
       Some("SELECT CAST(floor(epoch_us(ts)/300000000)*300000000 AS BIGINT) AS win_start_us, " +
         "event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
-        "FROM events GROUP BY 1, 2"))
+        "FROM events GROUP BY 1, 2")),
+
+    // ── Structured Streaming: custom per-key state via mapGroupsWithState,
+    //    batch-parity with a plain per-user rollup ───────────────────────────
+    "stream_user_rollup" -> Q(
+      (s, d) => graft.streaming.StreamingSync.statefulUserRollup(s, d),
+      Some("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id"))
   )
 }

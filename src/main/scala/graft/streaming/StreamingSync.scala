@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 /** Structured-Streaming generalization of the reference's poll-based
   * incremental sync (SURVEY §2.9): the reference's high-watermark loop
@@ -11,37 +11,38 @@ import org.apache.spark.sql.streaming.Trigger
   * Spark's file-source + watermark model, so the same events table can be
   * processed as a stream with `Trigger.AvailableNow` for batch-parity runs.
   *
-  * Scale notes: the windowed aggregation runs in `update` output mode with a
-  * watermark, so state is evicted once the watermark passes a window — state
-  * is bounded by the watermark horizon, sharded across executors by group
-  * key (shuffle.partitions). Each micro-batch's updated rows are APPENDED to
-  * a parquet changelog sink tagged with the batch id (nothing is ever held
-  * on the driver); readers compact the changelog with a last-writer-wins
-  * window over batch_id — the same merge identity as graft.sync.Merge. File
-  * sources scale by listing parallelism and maxFilesPerTrigger batching.
+  * Scale notes: aggregations run in `update` output mode — with a watermark,
+  * windowed state is evicted once the watermark passes a window, so state is
+  * bounded by the horizon and sharded across executors by group key
+  * (shuffle.partitions). Each micro-batch's updated rows are APPENDED to a
+  * parquet changelog sink tagged with the batch id (nothing is ever held on
+  * the driver); readers compact the changelog with a last-writer-wins window
+  * over batch_id — the same merge identity as graft.sync.Merge. File sources
+  * scale by listing parallelism and maxFilesPerTrigger batching.
   */
 object StreamingSync {
 
-  /** Tumbling-window aggregation over the events stream, run to completion
-    * with AvailableNow; the update-mode changelog is compacted on read-back.
-    * Output: window start (µs), event_type, exact count + cents sum.
+  /** Per-run scratch root, keyed by the SparkSession's applicationId:
+    * deterministic within a run, unique across concurrent runs (no tmp-dir
+    * race), wiped per invocation so stale checkpoints can't mask new data.
     */
-  def windowedEventCounts(spark: SparkSession, sfDir: String,
-                          windowMinutes: Int = 5): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-
-    // Dirs are keyed by the SparkSession's applicationId: deterministic
-    // within a run, unique across concurrent runs (no tmp-dir race), and
-    // wiped per invocation so stale checkpoints can't mask new data.
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_" +
+  private def freshBase(spark: SparkSession, tag: String): String = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_${tag}_" +
       spark.sparkContext.applicationId
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    base
+  }
 
-    // The file streaming source requires a DIRECTORY (a production table is
-    // one); the test corpus ships single-file tables, so expose the file
-    // through a per-run directory of symlinks.
+  /** The events table as a stream. The file streaming source requires a
+    * DIRECTORY (a production table is one); the test corpus ships
+    * single-file tables, so expose the file through a per-run directory of
+    * symlinks. ns-as-long columns are restored like graft.io.Tables.table.
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String,
+                           base: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val eventsPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     val streamDir =
       if (java.nio.file.Files.isDirectory(eventsPath)) eventsPath.toString
@@ -53,19 +54,17 @@ object StreamingSync {
         d.toString
       }
     val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
-    // ns-as-long restoration (see graft.io.Tables.table)
-    val events =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val agg = events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
-      .select(unix_micros(col("window.start")).as("win_start_us"),
-        col("event_type"), col("n"), col("cents"))
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
+  /** Run an update-mode streaming result to a parquet changelog with
+    * AvailableNow, then compact it last-writer-wins per `keyCols`.
+    */
+  private def runToChangelog(agg: DataFrame, base: String, name: String,
+                             keyCols: Seq[String]): DataFrame = {
+    val spark = agg.sparkSession
     val sinkDir = s"$base/sink"
     val q = agg.writeStream
       .outputMode("update")
@@ -74,17 +73,66 @@ object StreamingSync {
           .write.mode("append").parquet(sinkDir)
         ()
       }
-      .queryName("graft_stream_window_agg")
+      .queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-
-    // Changelog compaction: last writer per group across micro-batches.
-    val w = Window.partitionBy("win_start_us", "event_type")
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("batch_id").desc)
     spark.read.parquet(sinkDir)
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .drop("__rn", "batch_id")
   }
+
+  /** Tumbling-window aggregation over the events stream.
+    * Output: window start (µs), event_type, exact count + cents sum.
+    */
+  def windowedEventCounts(spark: SparkSession, sfDir: String,
+                          windowMinutes: Int = 5): DataFrame = {
+    val base = freshBase(spark, "win")
+    val agg = eventsStream(spark, sfDir, base)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("cents"))
+    runToChangelog(agg, base, "graft_stream_window_agg",
+      Seq("win_start_us", "event_type"))
+  }
+
+  /** Running per-user state carried by the engine's own state store
+    * (`mapGroupsWithState` over a KeyValueGroupedDataset): event count,
+    * exact cents sum, last-seen µs — the custom-state generalization of the
+    * reference's per-table watermark bookkeeping. State is one small row
+    * per user, partitioned by user across executors; NoTimeout because the
+    * rollup is over all time.
+    */
+  def statefulUserRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = freshBase(spark, "user")
+    val rows = eventsStream(spark, sfDir, base)
+      .select(col("user_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+
+    val agg = rows.groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0L, Long.MinValue))
+          val next = it.foldLeft(prev) { case (s, (_, cents, ts)) =>
+            UserState(uid, s.n_events + 1, s.sum_cents + cents,
+              math.max(s.last_us, ts))
+          }
+          state.update(next)
+          next
+      }.toDF()
+    runToChangelog(agg, base, "graft_stream_user_rollup", Seq("user_id"))
+  }
+
+  case class UserState(user_id: Long, n_events: Long, sum_cents: Long,
+                       last_us: Long)
 }

@@ -55,6 +55,14 @@ class DedupSpec extends AnyFunSuite {
     assert(hs(1L) != hs(4L))
   }
 
+  test("simhash pairs: banded candidates + exact hamming verify") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 0, "identical docs at hamming 0")
+    assert(out.contains((1L, 6L)), "case/ws variant tokenizes identically")
+    assert(!out.contains((4L, 5L)), "unrelated docs filtered by hamming")
+  }
+
   test("embedding near-dup finds identical vectors within a cell") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),

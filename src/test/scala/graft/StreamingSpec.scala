@@ -31,4 +31,21 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch)
   }
+
+  test("mapGroupsWithState user rollup equals batch groupBy at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSync.statefulUserRollup(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        unix_micros(max(col("ts"))).as("last_us"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    assert(streamed == batch)
+  }
 }
