@@ -67,7 +67,10 @@ object Catalog {
     corpusTables.map { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .agg(count(lit(1)).as("n_rows"))
-        .select(lit(t).as("table_name"), col("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          // the reference's to_char(reltuples,'FM999,999,999,999') column
+          // (pgwarehouse.py:220)
+          Functions.formatCount(col("n_rows")).as("n_pretty"))
     }.reduce(_.unionByName(_)).orderBy("table_name")
 
   /** S10/S11: bare name list, sorted (pgwarehouse.py:242-246). */

@@ -428,7 +428,8 @@ object Relational {
     "catalog_counts" -> Q(
       (s, d) => graft.catalog.Catalog.rowCounts(s, d),
       Some(graft.catalog.Catalog.corpusTables.sorted
-        .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+        .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows, " +
+          s"format('{:,}', count(*)) AS n_pretty FROM $t")
         .mkString("", " UNION ALL ", " ORDER BY table_name"))),
 
     // ── S13: schema introspection from the parquet footer ──────────────────
