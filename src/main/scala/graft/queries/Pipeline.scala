@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Relational.Q
 
 /** LLM-training-data pipeline operators as named queries over `documents` /
@@ -137,6 +137,29 @@ object Pipeline {
         |SELECT c.a_id, c.b_id, c.cell, $cosSql AS cosine
         |FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
         |WHERE $cosSql >= 0.35""".stripMargin)),
+
+    // ── As-of join: each click matched to the user's most recent purchase
+    //    at or before it (point-in-time lookup; DuckDB mirrors natively) ─────
+    "x_asof_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+        val purchases = ev.where(col("event_type") === "purchase")
+        AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+          "event_id", "event_id",
+          Seq("cents" -> round(col("value") * 100).cast("long")))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("asof_event_id"), col("asof_cents"))
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, event_id AS r_id, CAST(round(value*100) AS BIGINT) AS r_cents,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, r_id, r_cents FROM r0 WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+        |  r.r_id AS asof_event_id, r.r_cents AS asof_cents
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
     // ── Similarity: brute-force top-5 by exact integer dot product ─────────
     "x_ann_topk" -> Q(

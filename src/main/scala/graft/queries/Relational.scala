@@ -357,6 +357,26 @@ object Relational {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")),
 
+    // ── W3: sessionization (gaps-and-islands): a session breaks after a
+    //    30-minute silence; session id = running count of breaks ────────────
+    "w3_sessionize" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+        val isBreak = when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L)
+        ev.select(col("user_id"), col("event_id"), usec(col("ts")).as("ts_us"),
+          sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("session_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)""".stripMargin)),
+
     // ── F1: best-effort timestamp parse (multi-format coalesce) ────────────
     "f1_best_effort_ts" -> Q(
       (s, d) => {

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+
+/** As-of join semantics on a hand-checkable fixture: most-recent-at-or-
+  * before matching, `<=` boundary inclusion, per-key isolation, unmatched
+  * lefts null, deterministic tie-break on equal right timestamps.
+  */
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2022-01-01 10:$m%02d:00")
+
+  test("asofJoin picks the latest right row at or before each left row") {
+    val left = Seq(
+      (101L, 1L, ts(5)),   // after r1 → matches r1
+      (102L, 1L, ts(10)),  // exactly at r2 → boundary counts
+      (103L, 1L, ts(30)),  // after r2 and r3 → latest (r3)
+      (104L, 2L, ts(10)),  // other key, no right rows → null
+      (105L, 3L, ts(1)))   // before key-3's only right row → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (201L, 1L, ts(2), 100.0),
+      (202L, 1L, ts(10), 200.0),
+      (203L, 1L, ts(20), 300.0),
+      (204L, 1L, ts(10), 999.0), // same key+ts as 202 → greater id wins
+      (205L, 3L, ts(50), 500.0))
+      .toDF("event_id", "user_id", "ts", "amount")
+
+    val out = AsOf.asofJoin(left, right, Seq("user_id"), "ts",
+      "event_id", "event_id",
+      Seq("cents" -> round(col("amount") * 100).cast("long")))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("asof_event_id")),
+         Option(r.getAs[java.lang.Long]("asof_cents"))))
+      .toMap
+
+    assert(out(101L) == (Some(201L), Some(10000L)))
+    assert(out(102L) == (Some(204L), Some(99900L)), "<= boundary, max-id tie-break")
+    assert(out(103L) == (Some(203L), Some(30000L)))
+    assert(out(104L) == (None, None), "key with no right rows")
+    assert(out(105L) == (None, None), "left before first right row")
+    assert(out.size == 5, "every left row survives exactly once")
+  }
+}
