@@ -188,6 +188,26 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
         |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // ── Similarity: ANN over DATA-DERIVED LSH cells (no given label —
+    //    the coarse quantizer is the sign-LSH bucket itself) ────────────────
+    "x_ann_lsh" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val withCell = e.select(col("vec_id"), col("embedding"),
+          Similarity.signLshBucket(
+            Similarity.quantize(col("embedding")), 0 until 4, 16).as("cell"))
+        Similarity.ivfTopK(withCell.where(col("vec_id") < 10), withCell,
+          "vec_id", "embedding", "cell", 3)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, vq, $planeSumsSql FROM v),
+        |bk AS (SELECT vec_id, vq, ${bucketSql(0)} AS cell FROM p),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $dotSql AS dot_q
+        |  FROM bk a JOIN bk b ON a.vec_id < 10 AND a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |ranked AS (SELECT qid, nid, dot_q,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // ── Text: language-ID heuristic ────────────────────────────────────────
     "x_lang_id" -> Q(
       (s, d) => t(s, d, "documents")

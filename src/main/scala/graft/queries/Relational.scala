@@ -296,6 +296,43 @@ object Relational {
       Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
         "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag")),
 
+    // ── A9: pivot (event-type counts per user bucket) ──────────────────────
+    "a9_pivot" -> Q(
+      (s, d) => t(s, d, "events")
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1))),
+      Some("SELECT user_id % 10 AS bucket, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+          .mkString(", ") +
+        " FROM events GROUP BY 1")),
+
+    // ── W4: RANGE-frame window — clicks in the 10 minutes before each
+    //    purchase, per user (sliding time-range count, no self-join) ────────
+    "w4_range_count" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            usec(col("ts")).as("ts_us"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("ind"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-600000000L, 0L)
+        ev.withColumn("n_clicks_10m", sum(col("ind")).over(w))
+          .where(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts_us", "n_clicks_10m")
+      },
+      Some("""SELECT user_id, event_id, ts_us, CAST(n_clicks_10m AS BIGINT) AS n_clicks_10m
+        |FROM (SELECT user_id, event_id, event_type, ts_us,
+        |  sum(ind) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_clicks_10m
+        |  FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ind
+        |    FROM events WHERE event_type IN ('click', 'purchase')))
+        |WHERE event_type = 'purchase'""".stripMargin)),
+
     // ── O1/O2: global sort + deterministic top-k ───────────────────────────
     "o2_topk_orders" -> Q(
       (s, d) => t(s, d, "orders")
