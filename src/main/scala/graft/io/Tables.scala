@@ -135,4 +135,17 @@ object Tables {
   /** S7-ish: create-or-replace a parquet-backed table directory. */
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Bucketed catalog table: pre-hash-partitioned and sorted on the join
+    * key, so repeated equi-joins/aggregations on that key run with ZERO
+    * shuffle on either side (the 100 TB co-location strategy: pay the
+    * shuffle once at write time, never again). Bucket count should match
+    * the downstream parallelism, not the writer's.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

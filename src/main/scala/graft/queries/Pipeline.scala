@@ -253,6 +253,29 @@ object Pipeline {
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish " +
         "FROM documents")),
 
+    // ── Skew-safe exact distinct: two-phase salted aggregation. Phase 1
+    //    groups by (lang, salt(token)) so a hot language key spreads over 8
+    //    reducers; tokens are disjoint across salts (salt is a pure function
+    //    of the token), so phase 2's sum of partial distincts is EXACT. The
+    //    salt is md5-derived — cross-engine deterministic ──────────────────
+    "x_skew_distinct_tokens" -> Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("lang"), explode(array_distinct(col("toks"))).as("tok"))
+        val salt = conv(substring(md5(col("tok")), 1, 2), 16, 10)
+          .cast("int") % 8
+        toks.groupBy(col("lang"), salt.as("salt"))
+          .agg(countDistinct(col("tok")).as("part"))
+          .groupBy("lang")
+          .agg(sum(col("part")).as("n_distinct_tokens"))
+      },
+      Some(s"""WITH tok AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+        |p AS (SELECT lang, CAST('0x' || substr(md5(tok), 1, 2) AS INTEGER) % 8 AS salt,
+        |  count(DISTINCT tok) AS part FROM tok GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(part) AS BIGINT) AS n_distinct_tokens
+        |FROM p GROUP BY lang""".stripMargin)),
+
     // ── Text: md5 fingerprint ──────────────────────────────────────────────
     "x_fingerprint" -> Q(
       (s, d) => t(s, d, "documents")

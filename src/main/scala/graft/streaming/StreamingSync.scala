@@ -22,6 +22,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
   */
 object StreamingSync {
 
+  /** Streaming queries run on a cloned session whose shuffle-partition
+    * count — which fixes the number of state-store instances for the life
+    * of the query — is sized to STATE VOLUME rather than inherited from the
+    * batch CPU count. Each state partition costs per-batch file/commit
+    * overhead regardless of how little state it holds (measured: the same
+    * windowed agg at sf0.1 runs 7.0s with 32 state partitions, 4.7s with
+    * 8), while a 100 TB deployment would raise `graft.stream.statePartitions`
+    * well above the CPU count to keep per-partition state in memory.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val n = spark.conf.get("graft.stream.statePartitions",
+      math.max(8, spark.sessionState.conf.numShufflePartitions / 4).toString)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    s
+  }
+
   /** Per-run scratch root, keyed by the SparkSession's applicationId:
     * deterministic within a run, unique across concurrent runs (no tmp-dir
     * race), wiped per invocation so stale checkpoints can't mask new data.
@@ -90,8 +107,9 @@ object StreamingSync {
     */
   def windowedEventCounts(spark: SparkSession, sfDir: String,
                           windowMinutes: Int = 5): DataFrame = {
-    val base = freshBase(spark, "win")
-    val agg = eventsStream(spark, sfDir, base)
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "win")
+    val agg = eventsStream(ss, sfDir, base)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -110,9 +128,10 @@ object StreamingSync {
     * rollup is over all time.
     */
   def statefulUserRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val base = freshBase(spark, "user")
-    val rows = eventsStream(spark, sfDir, base)
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val base = freshBase(ss, "user")
+    val rows = eventsStream(ss, sfDir, base)
       .select(col("user_id").cast("long"),
         round(col("value") * 100).cast("long").as("cents"),
         unix_micros(col("ts")).as("ts_us"))

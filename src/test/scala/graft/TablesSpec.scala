@@ -36,6 +36,22 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.readCsvChunks(spark, dir, df.schema).count() == 12)
   }
 
+  test("bucketed tables join with zero shuffle on either side") {
+    val left = (1 to 200).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
+    val right = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("id", "rv")
+    Tables.writeBucketed(left, "b_left", "id", 4)
+    Tables.writeBucketed(right, "b_right", "id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_left").join(spark.table("b_right"), "id")
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan was:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ns-annotated Long columns are repaired to TimestampType from the footer") {
     val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType == TimestampType,
