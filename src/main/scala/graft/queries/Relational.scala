@@ -352,6 +352,61 @@ object Relational {
       Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' " +
         "UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'")),
 
+    // ── Q18 shape: HAVING on a grouped agg, semi-joined back to orders ─────
+    "q18_large_orders" -> Q(
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .where(col("sum_qty") > 150)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            Functions.cents(col("o_totalprice")).as("total_cents"),
+            col("sum_qty"))
+      },
+      Some("SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, sum_qty " +
+        "FROM orders JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(l_quantity) AS BIGINT) > 150) b " +
+        "ON o_orderkey = l_orderkey")),
+
+    // ── U3: except (customers with F-status orders but no O-status) ────────
+    "u3_except" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.where(col("o_orderstatus") === "F").select("o_custkey")
+          .except(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+      },
+      Some("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'")),
+
+    // ── F9: null-safe equality (<=> / IS NOT DISTINCT FROM) ────────────────
+    "f9_null_safe_eq" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"),
+            when(col("event_id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("event_type")).as("et"))
+        ev.where(col("et") <=> lit(null).cast("string") ||
+            col("et") <=> lit("click"))
+          .select(col("event_id"), col("et"))
+      },
+      Some("""SELECT event_id, et FROM (SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et FROM events)
+        |WHERE et IS NOT DISTINCT FROM NULL OR et IS NOT DISTINCT FROM 'click'""".stripMargin)),
+
+    // ── F10: schema-pinned JSON parse to struct (from_json) ────────────────
+    "f10_from_json" -> Q(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .where(col("k").isNotNull),
+      Some("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
+        "FROM events WHERE json_extract(props, '$.k') IS NOT NULL")),
+
     // ── U2: intersect / except ─────────────────────────────────────────────
     "u2_intersect" -> Q(
       (s, d) => {
