@@ -32,6 +32,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("incremental file sync appends exactly the delta on re-run") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("filesync")
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    assert(graft.streaming.StreamingSync
+      .incrementalFileSync(spark, src, sink, ckpt) == 10)
+    // no new files → nothing moves (the zero-delta short-circuit)
+    assert(graft.streaming.StreamingSync
+      .incrementalFileSync(spark, src, sink, ckpt) == 0)
+    // two new source files → only the delta appends
+    (11 to 15).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    assert(graft.streaming.StreamingSync
+      .incrementalFileSync(spark, src, sink, ckpt) == 5)
+    assert(spark.read.parquet(sink).count() == 15)
+  }
+
   test("mapGroupsWithState user rollup equals batch groupBy at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync.statefulUserRollup(spark, sf)
