@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway local runner for iterating on a single query / plan audits. */
 object Scratch {
@@ -14,24 +15,22 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"SCRATCH $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
     }
-    spark.read.parquet(s"$d/events.parquet").count() // warmup
-
-    // full streaming query
-    time("stream_window_full")(
-      graft.streaming.StreamingSync.windowedEventCounts(spark, d, 5).count())
-    // second run in same session (stream machinery warm)
-    time("stream_window_again")(
-      graft.streaming.StreamingSync.windowedEventCounts(spark, d, 5).count())
-    // with fewer shuffle partitions (state store instances)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    time("stream_window_8part")(
-      graft.streaming.StreamingSync.windowedEventCounts(spark, d, 5).count())
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    docs.count() // warmup
+    time("md5_only")(docs.select(md5(col("text")).as("h"))
+      .where(col("h") =!= "").count())
+    time("lower_only")(docs.select(md5(lower(col("text"))).as("h"))
+      .where(col("h") =!= "").count())
+    time("regex_fingerprint")(docs.select(
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("h"))
+      .where(col("h") =!= "").count())
+    time("exact_dedup_full")(graft.operators.Dedup
+      .exact(docs, "doc_id", "text").count())
     spark.stop()
   }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pairs of (left, right) rows under the same key
+  * with `right.ts` inside `[left.ts - before, left.ts + after]`.
+  *
+  * A naive theta-join `ON r.ts BETWEEN l.ts - b AND l.ts + a` degenerates
+  * to a per-key cross product (Spark plans it as a broadcast nested loop or
+  * a cartesian filter). The scalable form here is the standard binning
+  * trick: choose a bucket width >= the window span, explode each LEFT row
+  * to the buckets its window can touch (a constant <= 2 + span/width of
+  * them), equi-join on (key, bucket) — hash-partitioned, codegen'd — then
+  * apply the exact range predicate. Output cardinality equals the true
+  * match count; shuffle cardinality is O(|L| * buckets + |R|), never
+  * |L| x |R|.
+  */
+object RangeJoin {
+
+  /** `leftTs`/`rightTs` are µs-since-epoch long columns; `beforeUs`/
+    * `afterUs` bound the window. Returns all matching pairs with both ids
+    * and both timestamps.
+    */
+  def timeRangePairs(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     tsCol: String, leftId: String, rightId: String,
+                     beforeUs: Long, afterUs: Long): DataFrame = {
+    val width = math.max(beforeUs + afterUs, 1L)
+    val keyCols = keys.map(col)
+
+    val l = left.select(
+      keyCols :+ col(leftId).as("l_id") :+
+        unix_micros(col(tsCol).cast("timestamp")).as("l_us"): _*)
+    val r = right.select(
+      keyCols :+ col(rightId).as("r_id") :+
+        unix_micros(col(tsCol).cast("timestamp")).as("r_us"): _*)
+
+    // buckets the left window [l_us - before, l_us + after] can touch;
+    // exact integer division (timestamps are positive, so div == floor)
+    val loBucket = expr(s"(l_us - ${beforeUs}L) div ${width}L")
+    val hiBucket = expr(s"(l_us + ${afterUs}L) div ${width}L")
+    val lB = l.withColumn("bucket", explode(sequence(loBucket, hiBucket)))
+    val rB = r.withColumn("bucket", expr(s"r_us div ${width}L"))
+
+    lB.join(rB, keys :+ "bucket")
+      .where(col("r_us") >= col("l_us") - beforeUs &&
+        col("r_us") <= col("l_us") + afterUs)
+      .select(keyCols ++ Seq(col("l_id"), col("l_us"),
+        col("r_id"), col("r_us")): _*)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import graft.queries.Relational.Q
 
 /** LLM-training-data pipeline operators as named queries over `documents` /
@@ -160,6 +160,25 @@ object Pipeline {
         |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
         |  r.r_id AS asof_event_id, r.r_cents AS asof_cents
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
+    // ── Range join: (purchase, click) pairs within the 10 minutes before
+    //    each purchase, via bucketed equi-join (no theta cross product) ─────
+    "x_range_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        RangeJoin.timeRangePairs(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "click"),
+          Seq("user_id"), "ts", "event_id", "event_id",
+          beforeUs = 600000000L, afterUs = 0L)
+      },
+      Some("""SELECT p.user_id, p.event_id AS l_id, epoch_us(p.ts) AS l_us,
+        |  c.event_id AS r_id, epoch_us(c.ts) AS r_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin)),
 
     // ── Similarity: brute-force top-5 by exact integer dot product ─────────
     "x_ann_topk" -> Q(
