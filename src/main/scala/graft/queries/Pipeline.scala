@@ -295,6 +295,34 @@ object Pipeline {
         |SELECT lang, CAST(sum(part) AS BIGINT) AS n_distinct_tokens
         |FROM p GROUP BY lang""".stripMargin)),
 
+    // ── Split assignment: deterministic 90/5/5 train/val/test by id hash —
+    //    stable under reshuffling/re-runs, a pure per-row function ──────────
+    "x_split_assign" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        t(s, d, "documents").select(col("doc_id"), h.as("h"),
+          when(h < 90, "train").when(h < 95, "val").otherwise("test")
+            .as("split"))
+      },
+      Some("""SELECT doc_id, h, CASE WHEN h < 90 THEN 'train'
+        |  WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS h
+        |  FROM documents)""".stripMargin)),
+
+    // ── Vocabulary: top-20 tokens by document frequency (exact, with a
+    //    deterministic tie-break) ──────────────────────────────────────────
+    "x_top_tokens" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(desc("doc_freq"), asc("tok")).limit(20),
+      Some(s"""SELECT tok, count(*) AS doc_freq
+        |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        |GROUP BY tok ORDER BY doc_freq DESC, tok LIMIT 20""".stripMargin)),
+
     // ── Text: md5 fingerprint ──────────────────────────────────────────────
     "x_fingerprint" -> Q(
       (s, d) => t(s, d, "documents")

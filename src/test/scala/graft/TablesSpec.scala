@@ -50,6 +50,11 @@ class TablesSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle; plan was:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // S8 managed-table drop cleans both up
+    graft.catalog.Catalog.dropTable(spark, "b_left")
+    graft.catalog.Catalog.dropTable(spark, "b_right")
+    assert(!spark.catalog.tableExists("b_left"))
+    assert(!spark.catalog.tableExists("b_right"))
   }
 
   test("ns-annotated Long columns are repaired to TimestampType from the footer") {
