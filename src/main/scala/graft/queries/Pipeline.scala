@@ -362,6 +362,13 @@ object Pipeline {
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events GROUP BY 1, 2")),
 
+    // ── Structured Streaming: exact dedup with engine state (append mode
+    //    emits each distinct key exactly once) ───────────────────────────────
+    "stream_dedup" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamingDedup(s, d,
+        Seq("user_id", "event_type")),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
     // ── Structured Streaming: custom per-key state via mapGroupsWithState,
     //    batch-parity with a plain per-user rollup ───────────────────────────
     "stream_user_rollup" -> Q(

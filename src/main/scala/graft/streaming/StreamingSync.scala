@@ -155,6 +155,32 @@ object StreamingSync {
   case class UserState(user_id: Long, n_events: Long, sum_cents: Long,
                        last_us: Long)
 
+  /** Streaming exact dedup: first-seen row per key, state = one entry per
+    * distinct key sharded across the state store. Append mode emits each
+    * key exactly once however the input is batched; the watermark would
+    * bound state for time-scoped keys (global keys here → NoTimeout
+    * semantics, like a dedup over a bounded backfill).
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String,
+                     keyCols: Seq[String]): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "dedup")
+    val distinctRows = eventsStream(ss, sfDir, base)
+      .select(keyCols.map(col): _*)
+      .dropDuplicates(keyCols)
+    val sinkDir = s"$base/sink"
+    val q = distinctRows.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName("graft_stream_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.read.parquet(sinkDir)
+  }
+
   /** The reference's flagship — incremental table sync — in streaming form:
     * new files in the source directory append to the warehouse table
     * exactly once (the checkpoint is the high-watermark; re-running after
