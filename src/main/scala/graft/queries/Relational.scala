@@ -283,6 +283,15 @@ object Relational {
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)")),
 
+    // ── A6b: cube (all grouping-set combinations) ──────────────────────────
+    "a6b_cube" -> Q(
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(Functions.cents(col("o_totalprice"))).as("cents")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)")),
+
     // ── A7: distinct ───────────────────────────────────────────────────────
     "a7_distinct" -> Q(
       (s, d) => t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct(),
@@ -416,6 +425,17 @@ object Relational {
       },
       Some("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
         "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'")),
+
+    // ── U4: bag-semantics intersect (multiplicity-aware) ───────────────────
+    "u4_intersect_all" -> Q(
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.where(col("l_returnflag") === "A").select("l_orderkey")
+          .intersectAll(
+            l.where(col("l_linestatus") === "F").select("l_orderkey"))
+      },
+      Some("SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A' " +
+        "INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'")),
 
     // ── W1: row_number last-writer dedup (merge building block) ────────────
     "w1_rownum_dedup" -> Q(
