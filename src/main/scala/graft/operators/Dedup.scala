@@ -104,16 +104,35 @@ object Dedup {
     * is an equi-join on (band_idx, band_sig) — shuffle-partitioned by bucket,
     * never a cross join. Distinct pairs with a < b.
     */
+  /** Pair-explosion guard for LSH bucket self-joins: drop buckets holding
+    * more than `maxBucket` members before pairing. A bucket that large is
+    * a near-identical mega-cluster (template boilerplate, exact dups that
+    * should have been collapsed by `exact` dedup FIRST — run it upstream);
+    * pairing inside it is O(bucket²) for no information. Window count, one
+    * pass over the already-partitioned bucket table.
+    */
+  private def capBuckets(bucketed: DataFrame, bucketCols: Seq[String],
+                         maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) bucketed
+    else bucketed
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(bucketCols.map(col): _*)))
+      .where(col("__bsz") <= maxBucket).drop("__bsz")
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+                        numHashes: Int = 16, bandSize: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     // Persist the band table: Spark does not recognize the two sides of a
     // self-join as a shared subplan, so without this the whole
     // explode→hash→min pipeline runs twice (verified via executedPlan —
     // zero ReusedExchange). The band table is 4 small rows per doc; a real
     // 100 TB pipeline would materialize it to storage the same way, and
     // the cache manager also lets the Jaccard-verify query reuse it.
-    val bands = lshBands(minhashSignature(df, idCol, textCol, numHashes),
-      numHashes, bandSize)
+    val bands = capBuckets(
+      lshBands(minhashSignature(df, idCol, textCol, numHashes),
+        numHashes, bandSize),
+      Seq("band_idx", "band_sig"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc").as("a"), col("band_idx"), col("band_sig"))
     val b = bands.select(col("doc").as("b"), col("band_idx"), col("band_sig"))
@@ -175,16 +194,19 @@ object Dedup {
     * bit_count(xor). Equi-join on (table, band) — bucketed, never all-pairs.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 4): DataFrame = {
+                   maxHamming: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // persisted for the same self-join-reuse reason as minhashCandidates
     val sig = simhash32(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val br = sig.select(col("doc"), col("simhash"),
-      explode(array(
-        struct(lit(0).as("tbl"), col("band_lo").as("band")),
-        struct(lit(1).as("tbl"), col("band_hi").as("band")))).as("tb"))
-      .select(col("doc"), col("simhash"),
-        col("tb.tbl").as("tbl"), col("tb.band").as("band"))
+    val br = capBuckets(
+      sig.select(col("doc"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("tbl"), col("band_lo").as("band")),
+          struct(lit(1).as("tbl"), col("band_hi").as("band")))).as("tb"))
+        .select(col("doc"), col("simhash"),
+          col("tb.tbl").as("tbl"), col("tb.band").as("band")),
+      Seq("tbl", "band"), maxBucket)
     val a = br.select(col("doc").as("a"), col("simhash").as("a_sim"),
       col("tbl"), col("band"))
     val b = br.select(col("doc").as("b"), col("simhash").as("b_sim"),

@@ -506,6 +506,27 @@ object Relational {
         |  THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
         |  ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS s FROM events)""".stripMargin)),
 
+    // ── F11: date/time function surface (trunc, extract, datediff) ─────────
+    "f11_datetime" -> Q(
+      (s, d) => {
+        val ts = col("ts").cast("timestamp")
+        t(s, d, "events").select(col("event_id"),
+          year(ts).cast("long").as("y"),
+          month(ts).cast("long").as("m"),
+          dayofmonth(ts).cast("long").as("dom"),
+          // Spark dayofweek: 1=Sunday; normalize to ISO 1=Monday..7=Sunday
+          ((dayofweek(ts) + 5) % 7 + 1).cast("long").as("iso_dow"),
+          unix_micros(date_trunc("month", ts)).as("month_start_us"),
+          datediff(ts.cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("days_since"))
+      },
+      Some("""SELECT event_id, CAST(year(ts) AS BIGINT) AS y,
+        |  CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS dom,
+        |  CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |  epoch_us(date_trunc('month', ts)) AS month_start_us,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+        |FROM events""".stripMargin)),
+
     // ── F8: JSON extraction from the events props column ───────────────────
     "f8_json_extract" -> Q(
       (s, d) => t(s, d, "events")

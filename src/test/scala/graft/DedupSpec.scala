@@ -48,6 +48,16 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup strictly between 0.5 and 1, got $near")
   }
 
+  test("hot-bucket cap drops mega-cluster buckets from pair generation") {
+    // every candidate pair needs a bucket of >= 2 members, so cap=1 must
+    // yield zero pairs while the default finds the planted dups
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text",
+      maxBucket = 1).count() == 0)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text",
+      maxBucket = 1).count() == 0)
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text").count() > 0)
+  }
+
   test("simhash: identical docs hash identically, different docs differ") {
     val hs = Dedup.simhash32(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
