@@ -34,6 +34,11 @@ object GraftConfig {
   def parseYaml(text: String): ListMap[String, Any] = {
     val lines = text.linesIterator
       .map(_.replace("\t", "  "))
+      // strip inline comments (the init template itself uses them)
+      .map { l =>
+        val i = l.indexOf(" #")
+        if (i >= 0) l.substring(0, i) else l
+      }
       .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
       .toVector
 

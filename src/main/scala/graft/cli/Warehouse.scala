@@ -53,11 +53,14 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
   def extract(name: String): (Long, Long) = {
     val src = sourceTable(name)
     Tables.writeCsvChunks(src, chunkDir(name), maxRecords = cfg.maxRecords)
-    val read = Tables.readCsvChunks(spark, chunkDir(name), src.schema)
+    // records written = capped source count (metadata-cheap on parquet) —
+    // re-reading the gzip chunks just to count them would double extract I/O
+    val total = src.count()
+    val records = cfg.maxRecords.fold(total)(math.min(_, total))
     val p = new Path(chunkDir(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".csv.gz"))
-    (files.toLong, read.count())
+    (files.toLong, records)
   }
 
   /** `load`: replay the CSV chunks into the warehouse table, schema pinned

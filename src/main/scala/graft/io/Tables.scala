@@ -110,7 +110,9 @@ object Tables {
   def writeCsvChunks(df: DataFrame, dir: String,
                      maxRecordsPerFile: Long = 1000000L,
                      maxRecords: Option[Long] = None): Unit =
-    maxRecords.fold(df)(n => df.limit(n.toInt)).write.mode("overwrite")
+    maxRecords.fold(df)(n =>
+      df.limit(math.min(n, Int.MaxValue.toLong).toInt))
+      .write.mode("overwrite")
       .option("header", "true")
       .option("compression", "gzip")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -51,20 +51,22 @@ object AsOf {
         case c => col(c)
       }.toSeq: _*)
 
-    // at equal ts, right rows sort first so `<=` semantics hold
+    // at equal ts, right rows sort first so `<=` semantics hold. The id and
+    // all value columns are carried as ONE struct: carrying them with
+    // independent last(ignoreNulls) calls would let a NULL value on the
+    // matched row be silently backfilled from an older right row,
+    // mispairing (id, value).
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col(tsCol).asc, col("__is_left").asc,
         coalesce(col("__r_id"), col("__l_id")).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val rStruct = when(col("__is_left") === 0,
+      struct(col("__r_id") +: rightVals.map { case (n, _) => col(s"__r_$n") }: _*))
     val carried = r.unionByName(l)
-      .withColumn("__asof_id", last(col("__r_id"), ignoreNulls = true).over(w))
-    val withVals = rightVals.foldLeft(carried) { case (df, (n, _)) =>
-      df.withColumn(s"__asof_$n",
-        last(col(s"__r_$n"), ignoreNulls = true).over(w))
-    }
-    withVals.where(col("__is_left") === 1)
+      .withColumn("__asof", last(rStruct, ignoreNulls = true).over(w))
+    carried.where(col("__is_left") === 1)
       .select(keyCols ++ Seq(col("__l_id").as(leftId), col(tsCol),
-        col("__asof_id").as(s"asof_$rightId")) ++
-        rightVals.map { case (n, _) => col(s"__asof_$n").as(s"asof_$n") }: _*)
+        col("__asof.__r_id").as(s"asof_$rightId")) ++
+        rightVals.map { case (n, _) => col(s"__asof.__r_$n").as(s"asof_$n") }: _*)
   }
 }

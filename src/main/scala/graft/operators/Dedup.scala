@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - exact dedup shuffles the 32-byte md5 fingerprint as the grouping key —
   *    never the document body — with map-side partial aggregation;
-  *  - MinHash: each shingle is hashed ONCE; the 32-hex digest is split into
-  *    16 independent 8-hex chunks, one per MinHash seed, so the per-row work
-  *    is one md5 + cheap substrings. The explode→min-agg partial-aggregates
-  *    map-side to one row per doc; the LSH band join then shuffles only
+  *  - MinHash: each shingle is hashed exactly twice (md5(sh) ++ md5('#'+sh)
+  *    = 64 hex chars) and the 16 disjoint 4-hex chunks decode to 16
+  *    independent 16-bit integer seeds, so the per-row work is two md5s +
+  *    cheap substrings. The explode→min-agg partial-aggregates map-side to
+  *    one row per doc; the LSH band join then shuffles only
   *    (doc, band-signature) pairs — never a cross join;
   *  - Jaccard: exact verification ONLY over LSH candidate pairs (the classic
   *    LSH-then-verify shape) — no low-cardinality blocking, so the pair count
@@ -28,6 +29,24 @@ import org.apache.spark.sql.functions._
   *    partition is a small bucket, never a whole cell.
   */
 object Dedup {
+
+  // Persisted intermediates (band/signature tables) are tracked so library
+  // users with long-lived sessions can release them; Verify/Bench sessions
+  // deliberately retain them for cross-query reuse via the cache manager.
+  private val persistedTables =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerPersisted(df: DataFrame): DataFrame =
+    persistedTables.synchronized {
+      persistedTables += df
+      df
+    }
+
+  /** Release every band/signature table persisted by the LSH operators. */
+  def unpersistAll(): Unit = persistedTables.synchronized {
+    persistedTables.foreach(_.unpersist())
+    persistedTables.clear()
+  }
 
   /** Exact dedup: one survivor (min id) per identical text. The grouping key
     * is the md5 fingerprint of the normalized text — constant-width, so at
@@ -129,11 +148,11 @@ object Dedup {
     // zero ReusedExchange). The band table is 4 small rows per doc; a real
     // 100 TB pipeline would materialize it to storage the same way, and
     // the cache manager also lets the Jaccard-verify query reuse it.
-    val bands = capBuckets(
+    val bands = registerPersisted(capBuckets(
       lshBands(minhashSignature(df, idCol, textCol, numHashes),
         numHashes, bandSize),
       Seq("band_idx", "band_sig"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = bands.select(col("doc").as("a"), col("band_idx"), col("band_sig"))
     val b = bands.select(col("doc").as("b"), col("band_idx"), col("band_sig"))
     a.join(b, Seq("band_idx", "band_sig")).where(col("a") < col("b"))
@@ -197,8 +216,8 @@ object Dedup {
                    maxHamming: Int = 4,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
     // persisted for the same self-join-reuse reason as minhashCandidates
-    val sig = simhash32(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = registerPersisted(simhash32(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val br = capBuckets(
       sig.select(col("doc"), col("simhash"),
         explode(array(

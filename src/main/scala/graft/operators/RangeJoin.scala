@@ -18,22 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** `leftTs`/`rightTs` are µs-since-epoch long columns; `beforeUs`/
-    * `afterUs` bound the window. Returns all matching pairs with both ids
-    * and both timestamps.
+  /** `tsCol` is a timestamp column, or a Long column already holding
+    * µs-since-epoch (a Long is used as-is — casting it through timestamp
+    * would reinterpret it as seconds); `beforeUs`/`afterUs` bound the
+    * window. Returns all matching pairs with both ids and both timestamps.
     */
   def timeRangePairs(left: DataFrame, right: DataFrame, keys: Seq[String],
                      tsCol: String, leftId: String, rightId: String,
                      beforeUs: Long, afterUs: Long): DataFrame = {
     val width = math.max(beforeUs + afterUs, 1L)
     val keyCols = keys.map(col)
+    def usOf(df: DataFrame): Column =
+      if (df.schema(tsCol).dataType ==
+          org.apache.spark.sql.types.LongType) col(tsCol)
+      else unix_micros(col(tsCol).cast("timestamp"))
 
     val l = left.select(
-      keyCols :+ col(leftId).as("l_id") :+
-        unix_micros(col(tsCol).cast("timestamp")).as("l_us"): _*)
+      keyCols :+ col(leftId).as("l_id") :+ usOf(left).as("l_us"): _*)
     val r = right.select(
-      keyCols :+ col(rightId).as("r_id") :+
-        unix_micros(col(tsCol).cast("timestamp")).as("r_us"): _*)
+      keyCols :+ col(rightId).as("r_id") :+ usOf(right).as("r_us"): _*)
 
     // buckets the left window [l_us - before, l_us + after] can touch;
     // exact integer division (timestamps are positive, so div == floor)

@@ -311,7 +311,10 @@ object Relational {
         .withColumn("bucket", col("user_id") % 10)
         .groupBy("bucket")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1))),
+        .agg(count(lit(1)))
+        // empty (bucket, type) combos: pivot yields NULL, the oracle's
+        // sum(CASE) yields 0 — normalize
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view")),
       Some("SELECT user_id % 10 AS bucket, " +
         Seq("click", "error", "purchase", "signup", "view").map(t =>
           s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")

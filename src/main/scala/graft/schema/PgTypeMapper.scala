@@ -55,7 +55,10 @@ object PgTypeMapper {
   private def parseNumeric(t: String): DataType = {
     val ps = "(?:numeric|decimal)\\((\\d+)(?:\\s*,\\s*(\\d+))?\\)".r
     t match {
-      case ps(p, s) if p.toInt <= 38 =>
+      // scale > precision (legal in Postgres 15+) would make DecimalType
+      // throw; degrade like any other unrepresentable numeric
+      case ps(p, s) if p.toInt <= 38 &&
+          Option(s).map(_.toInt).getOrElse(0) <= p.toInt =>
         DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0))
       case _ => DoubleType
     }

@@ -49,4 +49,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(105L) == (None, None), "left before first right row")
     assert(out.size == 5, "every left row survives exactly once")
   }
+
+  test("a NULL value on the matched right row stays NULL (no backfill)") {
+    val left = Seq((1L, 1L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (201L, 1L, ts(2), Some(100.0)),
+      (202L, 1L, ts(20), None)) // matched row has a null amount
+      .toDF("event_id", "user_id", "ts", "amount")
+    val row = AsOf.asofJoin(left, right, Seq("user_id"), "ts",
+      "event_id", "event_id",
+      Seq("cents" -> round(col("amount") * 100).cast("long")))
+      .collect().head
+    assert(row.getAs[Long]("asof_event_id") == 202L)
+    assert(row.isNullAt(row.fieldIndex("asof_cents")),
+      "the matched row's NULL must not be backfilled from an older row")
+  }
 }

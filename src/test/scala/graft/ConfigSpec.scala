@@ -53,9 +53,16 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
-  test("the init template itself parses") {
+  test("the init template itself parses to clean values (inline comments stripped)") {
     val cfg = GraftConfig.fromYaml(GraftConfig.template, env = Map.empty)
-    assert(cfg.sourceDir.nonEmpty && cfg.warehouseDir.nonEmpty)
+    assert(cfg.sourceDir == "/path/to/source/parquet",
+      "trailing '# or env ...' comment must not leak into the value")
+    assert(cfg.warehouseDir == "/path/to/warehouse/parquet")
     assert(cfg.tables.contains("events"))
+    // an inline comment after a numeric value must not break parsing
+    val c2 = GraftConfig.fromYaml(
+      "source:\n  dir: /s\n  max_records: 10000 # cap\nwarehouse:\n  dir: /w\n",
+      env = Map.empty)
+    assert(c2.maxRecords.contains(10000L))
   }
 }

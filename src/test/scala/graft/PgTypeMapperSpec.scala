@@ -57,6 +57,8 @@ class PgTypeMapperSpec extends AnyFunSuite {
     assert(PgTypeMapper.toSparkType("numeric(5)") == DecimalType(5, 0))
     // beyond Spark's max precision → degrade to double, like the reference
     assert(PgTypeMapper.toSparkType("numeric(60,10)") == DoubleType)
+    // scale > precision (legal in pg 15+) must degrade, not throw
+    assert(PgTypeMapper.toSparkType("numeric(2,5)") == DoubleType)
   }
 
   test("sanitizeName: spaces → underscores, quotes stripped") {

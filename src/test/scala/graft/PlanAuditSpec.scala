@@ -16,7 +16,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
   private val sideEffecting =
-    Set("stream_window_agg", "stream_user_rollup", "s2_csv_roundtrip")
+    Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
+      "s2_csv_roundtrip")
   private val allowCross = Set("x_ann_topk")
 
   test("no query plans a cartesian product or nested-loop join") {
