@@ -492,6 +492,35 @@ object Relational {
         |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
         |  FROM events)""".stripMargin)),
 
+    // ── W5: navigation/distribution window functions (lead/lag/ntile) ──────
+    "w5_lead_lag" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events").where(col("user_id") < 20)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          ntile(4).over(w).cast("long").as("quartile"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  lag(event_id) OVER w AS prev_id, lead(event_id) OVER w AS next_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // ── A12: conditional aggregation (count_if / FILTER clause) ────────────
+    "a12_filtered_agg" -> Q(
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("value") > 50).as("n_high"),
+          sum(when(col("value") > 50, Functions.cents(col("value")))
+            .otherwise(0L)).as("high_cents")),
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high, " +
+        "CAST(sum(CASE WHEN value > 50 THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS high_cents " +
+        "FROM events GROUP BY event_type")),
+
     // ── F1: best-effort timestamp parse (multi-format coalesce) ────────────
     "f1_best_effort_ts" -> Q(
       (s, d) => {
