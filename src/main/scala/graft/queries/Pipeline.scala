@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
@@ -322,6 +323,59 @@ object Pipeline {
       Some(s"""SELECT tok, count(*) AS doc_freq
         |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
         |GROUP BY tok ORDER BY doc_freq DESC, tok LIMIT 20""".stripMargin)),
+
+    // ── Chunking: split long documents into ≤64-token windows with 8-token
+    //    overlap (context-window packing prep); pure per-row expressions ────
+    "x_chunk_docs" -> Q(
+      (s, d) => {
+        val chunk = 64
+        val stride = chunk - 8
+        val toksed = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        toksed
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              greatest(lit(0), ceil((size(col("toks")) - chunk).cast("double") / stride)
+                .cast("int")))).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunk)))
+              .cast("long").as("n_tokens"),
+            md5(concat_ws(" ",
+              slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunk))))
+              .as("chunk_fp"))
+          .where(col("n_tokens") > 0)
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, greatest(0, CAST(ceil((len(toks)-64)/56.0) AS INTEGER)))) AS chunk_idx
+        |  FROM tk)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx*56+1 : chunk_idx*56+64]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[chunk_idx*56+1 : chunk_idx*56+64], ' ')) AS chunk_fp
+        |FROM ex WHERE len(toks[chunk_idx*56+1 : chunk_idx*56+64]) > 0""".stripMargin)),
+
+    // ── Packing: greedy assignment of docs to fixed token-budget bins by
+    //    running token count in doc order (training-batch packing) ──────────
+    "x_pack_greedy" -> Q(
+      (s, d) => {
+        // a global running sum is inherently sequential — packing REQUIRES a
+        // total order; at scale this runs per-shard (partition the corpus
+        // first) exactly like real packing pipelines
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(cum - 1) div 4096").as("bin"))
+      },
+      Some("""SELECT doc_id, n_tokens, CAST((cum - 1) // 4096 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents))""".stripMargin)),
 
     // ── Text: md5 fingerprint ──────────────────────────────────────────────
     "x_fingerprint" -> Q(
