@@ -1,9 +1,13 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway local runner for iterating on a single query / plan audits. */
+/** Throwaway local runner for iterating on a single query / plan audits.
+  * Current use: scaling smoke — times key operators on 1x vs 8x corpus
+  * (ids offset per replica so replicas are near-dups, not exact collisions
+  * of the id space).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -15,22 +19,35 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-    def time(name: String)(f: => Long): Unit = {
+    val docs = graft.io.Tables.table(spark, d, "documents")
+    val emb = graft.io.Tables.table(spark, d, "embeddings")
+
+    def rep(df: DataFrame, idCol: String, n: Int): DataFrame =
+      (0 until n).map(i => df.withColumn(idCol,
+        col(idCol) + lit(i.toLong * 10000000L))).reduce(_.unionByName(_))
+
+    def time(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"SCRATCH $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCRATCH $name%-26s $sec%8.2fs rows=$n")
+      sec
     }
-    docs.count() // warmup
-    time("md5_only")(docs.select(md5(col("text")).as("h"))
-      .where(col("h") =!= "").count())
-    time("lower_only")(docs.select(md5(lower(col("text"))).as("h"))
-      .where(col("h") =!= "").count())
-    time("regex_fingerprint")(docs.select(
-      graft.operators.TextAnalysis.fingerprint(col("text")).as("h"))
-      .where(col("h") =!= "").count())
-    time("exact_dedup_full")(graft.operators.Dedup
-      .exact(docs, "doc_id", "text").count())
+
+    docs.count(); emb.count() // warmup
+
+    for (n <- Seq(1, 8)) {
+      val dn = rep(docs, "doc_id", n)
+      val en = rep(emb, "vec_id", n)
+      time(s"exact_${n}x")(graft.operators.Dedup.exact(dn, "doc_id", "text").count())
+      time(s"minhash_cand_${n}x")(graft.operators.Dedup
+        .minhashCandidates(dn, "doc_id", "text").count())
+      time(s"simhash_pairs_${n}x")(graft.operators.Dedup
+        .simhashPairs(dn, "doc_id", "text", 4).count())
+      time(s"embed_neardup_${n}x")(graft.operators.Dedup
+        .embeddingNearDup(en, "vec_id", "embedding", "label", 0.35).count())
+      graft.operators.Dedup.unpersistAll()
+    }
     spark.stop()
   }
 }
