@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway local runner for iterating on a single query / plan audits.
-  * Current use: scaling smoke — times key operators on 1x vs 8x corpus
-  * (ids offset per replica so replicas are near-dups, not exact collisions
-  * of the id space).
+  * Current use: scaling smoke — times key operators on 1x vs 8x corpus.
+  * Replicas differ only in id (text/embeddings byte-identical), i.e. the
+  * corpus becomes clusters of EXACT duplicates — the worst case for
+  * pair-listing operators and the degenerate best case for exact dedup;
+  * read the numbers with that in mind.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

@@ -32,13 +32,22 @@ object GraftConfig {
     * dependency, which the zero-egress build cannot resolve).
     */
   def parseYaml(text: String): ListMap[String, Any] = {
+    // strip an inline comment (the init template itself uses them) — but a
+    // '#' inside a double-quoted value is literal, as in YAML
+    def stripInlineComment(l: String): String = {
+      var inQuote = false
+      var i = 0
+      while (i < l.length) {
+        if (l(i) == '"') inQuote = !inQuote
+        else if (!inQuote && l(i) == '#' && i > 0 && l(i - 1) == ' ')
+          return l.substring(0, i - 1)
+        i += 1
+      }
+      l
+    }
     val lines = text.linesIterator
       .map(_.replace("\t", "  "))
-      // strip inline comments (the init template itself uses them)
-      .map { l =>
-        val i = l.indexOf(" #")
-        if (i >= 0) l.substring(0, i) else l
-      }
+      .map(stripInlineComment)
       .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
       .toVector
 

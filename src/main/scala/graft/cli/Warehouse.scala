@@ -54,9 +54,13 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     val src = sourceTable(name)
     Tables.writeCsvChunks(src, chunkDir(name), maxRecords = cfg.maxRecords)
     // records written = capped source count (metadata-cheap on parquet) —
-    // re-reading the gzip chunks just to count them would double extract I/O
+    // re-reading the gzip chunks just to count them would double extract
+    // I/O. The cap mirrors writeCsvChunks' Int.MaxValue clamp so the
+    // reported count matches what was actually written.
     val total = src.count()
-    val records = cfg.maxRecords.fold(total)(math.min(_, total))
+    val records = cfg.maxRecords
+      .map(math.min(_, Int.MaxValue.toLong))
+      .fold(total)(math.min(_, total))
     val p = new Path(chunkDir(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".csv.gz"))

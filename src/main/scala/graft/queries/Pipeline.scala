@@ -338,11 +338,11 @@ object Pipeline {
               greatest(lit(0), ceil((size(col("toks")) - chunk).cast("double") / stride)
                 .cast("int")))).as("chunk_idx"))
           .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-            size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunk)))
-              .cast("long").as("n_tokens"),
-            md5(concat_ws(" ",
-              slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunk))))
-              .as("chunk_fp"))
+            slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunk))
+              .as("win"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("win")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("win"))).as("chunk_fp"))
           .where(col("n_tokens") > 0)
       },
       Some("""WITH tk AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS toks FROM documents),

@@ -55,10 +55,11 @@ object PgTypeMapper {
   private def parseNumeric(t: String): DataType = {
     val ps = "(?:numeric|decimal)\\((\\d+)(?:\\s*,\\s*(\\d+))?\\)".r
     t match {
-      // scale > precision (legal in Postgres 15+) would make DecimalType
-      // throw; degrade like any other unrepresentable numeric
-      case ps(p, s) if p.toInt <= 38 &&
-          Option(s).map(_.toInt).getOrElse(0) <= p.toInt =>
+      // scale > precision (legal in Postgres 15+) or out-of-Int digits
+      // would make DecimalType/toInt throw; degrade like any other
+      // unrepresentable numeric
+      case ps(p, s) if p.length <= 9 && Option(s).forall(_.length <= 9) &&
+          p.toInt <= 38 && Option(s).map(_.toInt).getOrElse(0) <= p.toInt =>
         DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0))
       case _ => DoubleType
     }

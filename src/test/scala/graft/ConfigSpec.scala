@@ -64,5 +64,10 @@ class ConfigSpec extends AnyFunSuite {
       "source:\n  dir: /s\n  max_records: 10000 # cap\nwarehouse:\n  dir: /w\n",
       env = Map.empty)
     assert(c2.maxRecords.contains(10000L))
+    // '#' inside a double-quoted value is literal, as in YAML
+    val c3 = GraftConfig.fromYaml(
+      "source:\n  dir: \"/data/run #1\"\nwarehouse:\n  dir: /w\n",
+      env = Map.empty)
+    assert(c3.sourceDir == "/data/run #1")
   }
 }

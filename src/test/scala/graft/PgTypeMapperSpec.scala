@@ -59,6 +59,8 @@ class PgTypeMapperSpec extends AnyFunSuite {
     assert(PgTypeMapper.toSparkType("numeric(60,10)") == DoubleType)
     // scale > precision (legal in pg 15+) must degrade, not throw
     assert(PgTypeMapper.toSparkType("numeric(2,5)") == DoubleType)
+    // out-of-Int digit counts must degrade, not throw NumberFormatException
+    assert(PgTypeMapper.toSparkType("numeric(99999999999,0)") == DoubleType)
   }
 
   test("sanitizeName: spaces → underscores, quotes stripped") {
