@@ -74,10 +74,36 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     */
   def load(name: String, dropTable: Boolean = false): Long = {
     if (dropTable) Catalog.dropPath(spark, warehousePath(name))
+    // no chunks (all archived or never extracted) → no-op, like replaying
+    // the reference's chunk loop over an empty dir — never wipe the table
+    if (pendingChunks(name).isEmpty)
+      return warehouseTable(name).map(_.count()).getOrElse(0L)
     val df = Tables.readCsvChunks(spark, chunkDir(name),
       sourceTable(name).schema)
     writeAtomic(df, warehousePath(name))
+    archiveChunks(name)
     spark.read.parquet(warehousePath(name)).count()
+  }
+
+  private def pendingChunks(name: String): Seq[Path] = {
+    val dir = new Path(chunkDir(name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".csv.gz")).toSeq
+  }
+
+  /** After a successful load, chunks move to `archive/` so a crashed or
+    * repeated load never double-ingests (the reference's resumability
+    * contract: clickhouse_backend.py:163-171, README.md:229-238).
+    */
+  private def archiveChunks(name: String): Unit = {
+    val dir = new Path(chunkDir(name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archive = new Path(dir, "archive")
+    fs.mkdirs(archive)
+    pendingChunks(name)
+      .foreach(f => fs.rename(f, new Path(archive, f.getName)))
   }
 
   /** `sync`: one incremental step per the table's strategy — bootstrap on

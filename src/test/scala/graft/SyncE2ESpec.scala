@@ -175,6 +175,20 @@ class SyncE2ESpec extends AnyFunSuite {
     assert(w.sync("users10") == "skip")
   }
 
+  test("t10 chunks archive after load; replaying load is a no-op") {
+    setupSources()
+    val w = wh()
+    w.extract("users10")
+    assert(w.load("users10") == 20)
+    val dir = new java.io.File(s"$dataDir/users10_data")
+    assert(!dir.listFiles.exists(_.getName.endsWith(".csv.gz")),
+      "loaded chunks moved out of the data dir")
+    assert(new java.io.File(dir, "archive").listFiles
+      .count(_.getName.endsWith(".csv.gz")) >= 1, "chunks live in archive/")
+    assert(w.load("users10") == 20,
+      "load with no pending chunks must not wipe the table")
+  }
+
   test("all loop isolates a failing table and reports it") {
     setupSources()
     val broken = cfg().copy(tables = scala.collection.immutable.ListMap(
