@@ -53,6 +53,10 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
   def extract(name: String): (Long, Long) = {
     val src = sourceTable(name)
     Tables.writeCsvChunks(src, chunkDir(name), maxRecords = cfg.maxRecords)
+    // persist the captured schema next to the chunks (the reference's
+    // {table}.schema dump, pgwarehouse.py:248-252) so `load` can run
+    // without source access — true two-phase extract/load
+    writeSchemaFile(name, src.schema)
     // records written = capped source count (metadata-cheap on parquet) —
     // re-reading the gzip chunks just to count them would double extract
     // I/O. The cap mirrors writeCsvChunks' Int.MaxValue clamp so the
@@ -78,11 +82,39 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     // the reference's chunk loop over an empty dir — never wipe the table
     if (pendingChunks(name).isEmpty)
       return warehouseTable(name).map(_.count()).getOrElse(0L)
-    val df = Tables.readCsvChunks(spark, chunkDir(name),
-      sourceTable(name).schema)
+    // schema comes from the capture file written at extract time (source
+    // access is NOT required to load, matching the reference's two-phase
+    // contract); fall back to the live source only if the file is missing
+    val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
+    val df = Tables.readCsvChunks(spark, chunkDir(name), schema)
     writeAtomic(df, warehousePath(name))
     archiveChunks(name)
     spark.read.parquet(warehousePath(name)).count()
+  }
+
+  private def schemaFile(name: String) = s"${cfg.dataDir}/$name.schema.json"
+
+  private def writeSchemaFile(name: String,
+                              schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new Path(schemaFile(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSchemaFile(name: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(schemaFile(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val text = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        Some(org.apache.spark.sql.types.DataType.fromJson(text)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } finally in.close()
+    }
   }
 
   private def pendingChunks(name: String): Seq[Path] = {

@@ -175,6 +175,19 @@ class SyncE2ESpec extends AnyFunSuite {
     assert(w.sync("users10") == "skip")
   }
 
+  test("t11 load works from the schema capture file without source access") {
+    setupSources()
+    val w = wh()
+    w.extract("my_orders")
+    // sever the source: load must succeed purely from chunks + schema file
+    graft.catalog.Catalog.dropPath(spark, s"$sourceDir/my_orders.parquet")
+    try assert(w.load("my_orders") == 30)
+    finally writeSource("my_orders", orders(baseOrders))
+    val back = spark.read.parquet(s"$warehouseDir/my_orders.parquet")
+    assert(back.schema("order_updated").dataType.typeName == "timestamp",
+      "typed schema came from the capture file, not inference")
+  }
+
   test("t10 chunks archive after load; replaying load is a no-op") {
     setupSources()
     val w = wh()
