@@ -72,9 +72,9 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
   }
 
   /** `load`: replay the CSV chunks into the warehouse table, schema pinned
-    * from the source (the reference trusts DDL, never infers;
-    * duckdb_backend.py:107). `dropTable` recreates from scratch
-    * (pgwarehouse.py:176-178).
+    * from the capture file written at extract time (the reference trusts
+    * DDL, never infers; duckdb_backend.py:107). `dropTable` recreates from
+    * scratch (pgwarehouse.py:176-178).
     */
   def load(name: String, dropTable: Boolean = false): Long = {
     if (dropTable) Catalog.dropPath(spark, warehousePath(name))
