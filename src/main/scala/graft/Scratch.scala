@@ -1,15 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
-/** Throwaway local runner for iterating on a single query / plan audits.
-  * Current use: scaling smoke — times key operators on 1x vs 8x corpus.
-  * Replicas differ only in id (text/embeddings byte-identical), i.e. the
-  * corpus becomes clusters of EXACT duplicates — the worst case for
-  * pair-listing operators and the degenerate best case for exact dedup;
-  * read the numbers with that in mind.
-  */
+/** Throwaway local runner for iterating on a single query / plan audits. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -21,34 +14,20 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    val docs = graft.io.Tables.table(spark, d, "documents")
-    val emb = graft.io.Tables.table(spark, d, "embeddings")
-
-    def rep(df: DataFrame, idCol: String, n: Int): DataFrame =
-      (0 until n).map(i => df.withColumn(idCol,
-        col(idCol) + lit(i.toLong * 10000000L))).reduce(_.unionByName(_))
-
-    def time(name: String)(f: => Long): Double = {
+    def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SCRATCH $name%-26s $sec%8.2fs rows=$n")
-      sec
+      println(f"SCRATCH $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
     }
-
-    docs.count(); emb.count() // warmup
-
-    for (n <- Seq(1, 8)) {
-      val dn = rep(docs, "doc_id", n)
-      val en = rep(emb, "vec_id", n)
-      time(s"exact_${n}x")(graft.operators.Dedup.exact(dn, "doc_id", "text").count())
-      time(s"minhash_cand_${n}x")(graft.operators.Dedup
-        .minhashCandidates(dn, "doc_id", "text").count())
-      time(s"simhash_pairs_${n}x")(graft.operators.Dedup
-        .simhashPairs(dn, "doc_id", "text", 4).count())
-      time(s"embed_neardup_${n}x")(graft.operators.Dedup
-        .embeddingNearDup(en, "vec_id", "embedding", "label", 0.35).count())
-      graft.operators.Dedup.unpersistAll()
+    spark.read.parquet(s"$d/events.parquet").count()
+    // warm the streaming machinery once
+    graft.streaming.StreamingSync.windowedEventCounts(spark, d, 5).count()
+    for (n <- Seq("8", "4", "2")) {
+      spark.conf.set("graft.stream.statePartitions", n)
+      time(s"window_sp$n")(
+        graft.streaming.StreamingSync.windowedEventCounts(spark, d, 5).count())
+      time(s"rollup_sp$n")(
+        graft.streaming.StreamingSync.statefulUserRollup(spark, d).count())
     }
     spark.stop()
   }

@@ -377,6 +377,38 @@ object Pipeline {
         |    CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))""".stripMargin)),
 
+    // ── Embedding pooling: elementwise mean per label over quantized
+    //    vectors (doc/corpus-level embedding from member vectors); output
+    //    exploded by position so every value is a scalar exact integer ─────
+    "x_embed_meanpool" -> Q(
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), Similarity.quantize(col("embedding")).as("vq"))
+        .select(col("label"), posexplode(col("vq")).as(Seq("pos0", "x")))
+        .withColumn("pos", (col("pos0") + 1).cast("long"))
+        .groupBy("label", "pos")
+        .agg(sum(col("x")).as("sum_q"), count(lit(1)).as("n"),
+          (sum(col("x")).cast("double") / count(lit(1))).as("mean_q")),
+      Some(s"""WITH v AS (SELECT label, $vqSql AS vq FROM embeddings),
+        |e AS (SELECT label, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM v)
+        |SELECT label, CAST(z[2] AS BIGINT) AS pos, CAST(sum(z[1]) AS BIGINT) AS sum_q,
+        |  count(*) AS n, CAST(sum(z[1]) AS DOUBLE) / count(*) AS mean_q
+        |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // ── Weighted corpus mixing: per-language keep rates applied by a
+    //    deterministic id-hash gate (upsample en, downsample the tail) ──────
+    "x_mix_weighted" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val rate = when(col("lang") === "en", 90)
+          .when(col("lang") === "de", 60).otherwise(30)
+        t(s, d, "documents").where(h < rate)
+          .select("doc_id", "lang", "source")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100
+        |  < (CASE WHEN lang = 'en' THEN 90 WHEN lang = 'de' THEN 60 ELSE 30 END)""".stripMargin)),
+
     // ── Text: md5 fingerprint ──────────────────────────────────────────────
     "x_fingerprint" -> Q(
       (s, d) => t(s, d, "documents")

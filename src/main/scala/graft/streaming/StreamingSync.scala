@@ -28,12 +28,13 @@ object StreamingSync {
     * batch CPU count. Each state partition costs per-batch file/commit
     * overhead regardless of how little state it holds (measured: the same
     * windowed agg at sf0.1 runs 7.0s with 32 state partitions, 4.7s with
-    * 8), while a 100 TB deployment would raise `graft.stream.statePartitions`
-    * well above the CPU count to keep per-partition state in memory.
+    * 8, 3.3s with 2), while a 100 TB deployment would raise
+    * `graft.stream.statePartitions` well above the CPU count to keep
+    * per-partition state in memory.
     */
   private def streamSession(spark: SparkSession): SparkSession = {
     val n = spark.conf.get("graft.stream.statePartitions",
-      math.max(8, spark.sessionState.conf.numShufflePartitions / 4).toString)
+      math.max(4, spark.sessionState.conf.numShufflePartitions / 8).toString)
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", n)
     s
