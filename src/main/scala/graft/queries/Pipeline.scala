@@ -355,25 +355,26 @@ object Pipeline {
         |FROM ex WHERE len(toks[chunk_idx*56+1 : chunk_idx*56+64]) > 0""".stripMargin)),
 
     // ── Packing: greedy assignment of docs to fixed token-budget bins by
-    //    running token count in doc order (training-batch packing) ──────────
+    //    running token count, SHARDED by language — the running sum is
+    //    inherently sequential within a shard, so shards are the unit of
+    //    parallelism (exactly how production packing runs; a global pack
+    //    would funnel everything through one partition) ─────────────────────
     "x_pack_greedy" -> Q(
       (s, d) => {
-        // a global running sum is inherently sequential — packing REQUIRES a
-        // total order; at scale this runs per-shard (partition the corpus
-        // first) exactly like real packing pipelines
-        val w = Window.orderBy(col("doc_id"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, 0)
         t(s, d, "documents")
-          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
-          .select(col("doc_id"), col("n_tokens"),
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
             expr("(cum - 1) div 4096").as("bin"))
       },
-      Some("""SELECT doc_id, n_tokens, CAST((cum - 1) // 4096 AS BIGINT) AS bin
-        |FROM (SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id
+      Some("""SELECT doc_id, lang, n_tokens, CAST((cum - 1) // 4096 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, lang, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM (SELECT doc_id,
+        |  FROM (SELECT doc_id, lang,
         |    CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))""".stripMargin)),
 
