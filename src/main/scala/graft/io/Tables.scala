@@ -34,7 +34,7 @@ object Tables {
   private val nsColsCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
-  private def nsTimestampCols(spark: SparkSession, path: String): Seq[String] =
+  private[graft] def nsTimestampCols(spark: SparkSession, path: String): Seq[String] =
     nsColsCache.getOrElseUpdate(path, {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new Path(path)

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
@@ -11,14 +13,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
   * Spark's file-source + watermark model, so the same events table can be
   * processed as a stream with `Trigger.AvailableNow` for batch-parity runs.
   *
-  * Scale notes: aggregations run in `update` output mode — with a watermark,
-  * windowed state is evicted once the watermark passes a window, so state is
-  * bounded by the horizon and sharded across executors by group key
-  * (shuffle.partitions). Each micro-batch's updated rows are APPENDED to a
-  * parquet changelog sink tagged with the batch id (nothing is ever held on
-  * the driver); readers compact the changelog with a last-writer-wins window
-  * over batch_id — the same merge identity as graft.sync.Merge. File sources
-  * scale by listing parallelism and maxFilesPerTrigger batching.
+  * Scale notes: aggregations run in `update` output mode; batch-parity runs
+  * keep ALL state (file batching is by file order, not event time, so a
+  * watermark could silently drop "late" rows that a batch query would
+  * count — parity requires no event-time eviction). A continuous deployment
+  * over an unbounded stream sets `graft.stream.watermark` (e.g. "1 hour")
+  * to bound state, accepting the usual late-data semantics. Each
+  * micro-batch's updated rows are APPENDED to a parquet changelog sink
+  * tagged with the batch id (nothing is ever held on the driver); readers
+  * compact the changelog with a last-writer-wins window over batch_id — the
+  * same merge identity as graft.sync.Merge. Scratch/checkpoint dirs default
+  * to the driver-local tmpdir for local[*] runs; cluster deployments set
+  * `graft.stream.scratchDir` to a shared filesystem path.
   */
 object StreamingSync {
 
@@ -40,28 +46,43 @@ object StreamingSync {
     s
   }
 
-  /** Per-run scratch root, keyed by the SparkSession's applicationId:
-    * deterministic within a run, unique across concurrent runs (no tmp-dir
-    * race), wiped per invocation so stale checkpoints can't mask new data.
+  /** Optional event-time watermark for continuous deployments (unset for
+    * batch-parity — see the class doc).
+    */
+  private def withOptionalWatermark(spark: SparkSession, df: DataFrame,
+                                    tsCol: String): DataFrame =
+    spark.conf.getOption("graft.stream.watermark")
+      .fold(df)(horizon => df.withWatermark(tsCol, horizon))
+
+  private val invocation = new AtomicLong(0)
+
+  /** Per-invocation scratch root: keyed by applicationId (unique across
+    * concurrent applications) plus an invocation counter (so a later call
+    * never deletes the files backing a previously returned lazy DataFrame).
+    * Cluster deployments point `graft.stream.scratchDir` at shared storage.
     */
   private def freshBase(spark: SparkSession, tag: String): String = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_${tag}_" +
-      spark.sparkContext.applicationId
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = spark.conf.getOption("graft.stream.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val base = s"$root/graft_stream_${tag}_" +
+      spark.sparkContext.applicationId + "_" + invocation.incrementAndGet()
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     base
   }
 
   /** The events table as a stream. The file streaming source requires a
     * DIRECTORY (a production table is one); the test corpus ships
     * single-file tables, so expose the file through a per-run directory of
-    * symlinks. ns-as-long columns are restored like graft.io.Tables.table.
+    * symlinks (local filesystems only — a cluster source is a directory).
+    * ns-annotated Long columns are restored from the parquet footer exactly
+    * like graft.io.Tables.table.
     */
   private def eventsStream(spark: SparkSession, sfDir: String,
                            base: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val eventsPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val eventsPath = java.nio.file.Paths.get(path).toAbsolutePath
     val streamDir =
       if (java.nio.file.Files.isDirectory(eventsPath)) eventsPath.toString
       else {
@@ -72,9 +93,24 @@ object StreamingSync {
         d.toString
       }
     val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val longNames = batchSchema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType => f.name
+    }.toSet
+    graft.io.Tables.nsTimestampCols(spark, path).filter(longNames)
+      .foldLeft(raw)((d, c) =>
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
+  }
+
+  /** Empty result with the given schema — the no-batches case (empty
+    * source) must return cleanly, not throw on a missing sink dir.
+    */
+  private def emptyLike(spark: SparkSession,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def sinkExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Run an update-mode streaming result to a parquet changelog with
@@ -96,11 +132,14 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("batch_id").desc)
-    spark.read.parquet(sinkDir)
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .drop("__rn", "batch_id")
+    if (!sinkExists(spark, sinkDir)) emptyLike(spark, agg.schema)
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("batch_id").desc)
+      spark.read.parquet(sinkDir)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .drop("__rn", "batch_id")
+    }
   }
 
   /** Tumbling-window aggregation over the events stream.
@@ -110,8 +149,7 @@ object StreamingSync {
                           windowMinutes: Int = 5): DataFrame = {
     val ss = streamSession(spark)
     val base = freshBase(ss, "win")
-    val agg = eventsStream(ss, sfDir, base)
-      .withWatermark("ts", "1 hour")
+    val agg = withOptionalWatermark(ss, eventsStream(ss, sfDir, base), "ts")
       .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
@@ -126,7 +164,9 @@ object StreamingSync {
     * exact cents sum, last-seen µs — the custom-state generalization of the
     * reference's per-table watermark bookkeeping. State is one small row
     * per user, partitioned by user across executors; NoTimeout because the
-    * rollup is over all time.
+    * rollup is over all time. Typed state requires non-null key/value rows
+    * (PK semantics, like the reference's watermark columns) — null rows are
+    * excluded up front rather than crashing the encoder mid-batch.
     */
   def statefulUserRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -136,6 +176,7 @@ object StreamingSync {
       .select(col("user_id").cast("long"),
         round(col("value") * 100).cast("long").as("cents"),
         unix_micros(col("ts")).as("ts_us"))
+      .na.drop()
       .as[(Long, Long, Long)]
 
     val agg = rows.groupByKey(_._1)
@@ -179,7 +220,8 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    ss.read.parquet(sinkDir)
+    if (!sinkExists(ss, sinkDir)) emptyLike(ss, distinctRows.schema)
+    else ss.read.parquet(sinkDir)
   }
 
   /** The reference's flagship — incremental table sync — in streaming form:
@@ -188,16 +230,12 @@ object StreamingSync {
     * new data arrives moves only the delta, like the reference's
     * `WHERE pk > max(pk)` loop but with the offset tracked by the engine).
     * `Trigger.AvailableNow` drains what's there and stops — the reference's
-    * externally-scheduled batch contract. Returns rows appended this run.
+    * externally-scheduled batch contract. Returns rows appended this run,
+    * from the query's own progress counters (no sink rescans).
     */
   def incrementalFileSync(spark: SparkSession, srcDir: String,
                           sinkDir: String, checkpointDir: String): Long = {
     val schema = spark.read.parquet(srcDir).schema
-    val before = if (org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(sinkDir)))
-      spark.read.parquet(sinkDir).count()
-    else 0L
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .format("parquet")
@@ -207,6 +245,6 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(sinkDir).count() - before
+    q.recentProgress.map(_.numInputRows).sum
   }
 }
