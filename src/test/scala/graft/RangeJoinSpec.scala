@@ -36,4 +36,19 @@ class RangeJoinSpec extends AnyFunSuite {
 
     assert(out == Set((1L, 11L), (1L, 12L), (2L, 14L), (3L, 15L)))
   }
+
+  test("Long epoch-us ts columns are used as-is (not reinterpreted as seconds)") {
+    // same shape as above but ts already in µs-since-epoch longs
+    val base = 1_640_995_200_000_000L // 2022-01-01 00:00:00 UTC in µs
+    val left = Seq((1L, 1L, base + 120_000_000L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (11L, 1L, base + 60_000_000L),   // window start, inclusive
+      (12L, 1L, base + 121_000_000L))  // after left, excluded
+      .toDF("event_id", "user_id", "ts")
+    val out = RangeJoin.timeRangePairs(left, right, Seq("user_id"), "ts",
+      "event_id", "event_id", beforeUs = 60_000_000L, afterUs = 0L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+    assert(out == Set((1L, 11L)))
+  }
 }
