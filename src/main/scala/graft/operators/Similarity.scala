@@ -86,6 +86,42 @@ object Similarity {
         (x, i) => when(i % totalPlanes === p, x).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
+  /** One deterministic Lloyd (k-means) step for IVF cell training: cells
+    * are seeded by sign-LSH buckets, centroids are the elementwise
+    * floor-mean of each seed cell's quantized vectors, and every vector is
+    * reassigned to its nearest centroid by exact integer squared distance
+    * (ties broken by cell id). All arithmetic is integers or exact doubles
+    * (sums < 2^53), so Spark and an oracle engine agree bit-for-bit.
+    *
+    * Scale shape: centroids are k small rows — broadcast them and score
+    * every vector in a single narrow pass (the canonical assign step); the
+    * centroid computation itself is one shuffle of (cell, pos) partial
+    * sums. Returns (id, seed_cell, new_cell, dist_q).
+    */
+  def kmeansAssignStep(df: DataFrame, idCol: String, vecCol: String,
+                       seedBits: Int = 4, totalPlanes: Int = 16): DataFrame = {
+    val v = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+      .withColumn("seed_cell",
+        signLshBucket(col("vq"), 0 until seedBits, totalPlanes))
+    val centroids = v
+      .select(col("seed_cell"), posexplode(col("vq")).as(Seq("pos", "x")))
+      .groupBy("seed_cell", "pos")
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+        .cast("long").as("cx"))
+      .groupBy(col("seed_cell").as("ccell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cvq"))
+    val dist = aggregate(
+      zip_with(col("vq"), col("cvq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("id")).orderBy(asc("dist_q"), asc("ccell"))
+    v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("seed_cell"), col("ccell"), dist.as("dist_q"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("ccell", "new_cell")
+  }
+
   /** Random-hyperplane LSH bucket id over a chosen subset of planes: bit j of
     * the bucket is the sign of plane `planes(j)`. Used to pre-bucket near-dup
     * candidates without a cross join; multiple disjoint plane subsets give

@@ -228,6 +228,29 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
         |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // ── Similarity: one deterministic k-means step (LSH-seeded cells →
+    //    integer centroids → nearest-centroid reassignment) — the learned
+    //    coarse quantizer an IVF index trains with ──────────────────────────
+    "x_ann_kmeans_assign" -> Q(
+      (s, d) => Similarity.kmeansAssignStep(t(s, d, "embeddings"),
+        "vec_id", "embedding"),
+      Some(s"""WITH v0 AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, vq, $planeSumsSql FROM v0),
+        |vc AS (SELECT vec_id, vq, ${bucketSql(0)} AS seed_cell FROM p),
+        |e AS (SELECT seed_cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM vc),
+        |c1 AS (SELECT seed_cell, CAST(z[2] AS BIGINT) AS pos,
+        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT seed_cell AS ccell, list(cx ORDER BY pos) AS cvq
+        |  FROM c1 GROUP BY seed_cell),
+        |sc AS (SELECT vc.vec_id AS id, vc.seed_cell, cent.ccell,
+        |  CAST(list_sum(list_transform(list_zip(vc.vq, cent.cvq),
+        |    x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS dist_q
+        |  FROM vc, cent),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id
+        |  ORDER BY dist_q, ccell) AS rn FROM sc)
+        |SELECT id, seed_cell, ccell AS new_cell, dist_q FROM r WHERE rn = 1""".stripMargin)),
+
     // ── Text: language-ID heuristic ────────────────────────────────────────
     "x_lang_id" -> Q(
       (s, d) => t(s, d, "documents")

@@ -18,7 +18,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sideEffecting =
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
       "s2_csv_roundtrip")
-  private val allowCross = Set("x_ann_topk")
+  // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign:
+  // k tiny centroid rows broadcast against every vector — the canonical
+  // kmeans assign step, a deliberate broadcast product
+  private val allowCross = Set("x_ann_topk", "x_ann_kmeans_assign")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
