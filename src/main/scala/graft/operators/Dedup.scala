@@ -238,6 +238,42 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Collapse candidate pairs into duplicate CLUSTERS: connected
+    * components by iterative min-label propagation (each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds to the component's minimum id — the
+    * survivor). The per-round work is one equi-join + partial-min
+    * aggregation, all distributed; the driver only checks the converged
+    * flag, and `localCheckpoint` truncates lineage so 50 rounds stay
+    * plannable. Returns (node, cluster) for every node appearing in a
+    * pair; isolated docs are their own implicit cluster.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e0 = pairs.select(col("a"), col("b"))
+    val edges = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min("nl").as("nbl"))
+      val updated = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("next"))
+      changed = updated.where(col("next") =!= col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+        .localCheckpoint()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** Embedding near-duplicates: pairs in the same (cell, sign-LSH bucket)
     * with cosine above threshold, from exact integer dot/norms
     * (bit-deterministic). `nTables` independent `bitsPerTable`-bit hyperplane

@@ -124,6 +124,19 @@ object Pipeline {
         |SELECT a, b, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 4""".stripMargin)),
 
+    // ── Dedup: candidate pairs → duplicate clusters (connected components,
+    //    min-id survivor; DuckDB mirrors with a recursive CTE closure) ──────
+    "x_dedup_clusters" -> Q(
+      (s, d) => Dedup.dedupClusters(
+        Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text")),
+      Some(s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+        |SELECT node, min(reach) AS cluster FROM walk GROUP BY node""".stripMargin)),
+
     // ── Dedup: embedding-cosine near-dup pairs, (cell, sign-LSH) bucketed ──
     "x_neardup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id",

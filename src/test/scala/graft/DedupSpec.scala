@@ -73,6 +73,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains((4L, 5L)), "unrelated docs filtered by hamming")
   }
 
+  test("dedup clusters: chains collapse transitively to the min id") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 9-1, 1-2, 2-3; {5,7}; pairs only
+    val pairs = Seq((1L, 9L), (1L, 2L), (2L, 3L), (5L, 7L)).toDF("a", "b")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L))
+  }
+
   test("embedding near-dup finds identical vectors within a cell") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),
