@@ -262,12 +262,15 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min("nl").as("nbl"))
+      // checkpoint FIRST (eager): the convergence count and the next
+      // labels then both read the materialized blocks instead of each
+      // re-running the join
       val updated = labels.join(nbr, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbl"), col("label"))).as("next"))
+        .localCheckpoint()
       changed = updated.where(col("next") =!= col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
-        .localCheckpoint()
       iter += 1
     }
     edges.unpersist()
