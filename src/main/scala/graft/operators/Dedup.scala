@@ -254,8 +254,12 @@ object Dedup {
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // warm start: fold the first propagation hop into initialization
+    // (label = min of self and direct neighbors), saving one full round
+    var labels = edges
+      .groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .select(col("a").as("node"), col("label"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

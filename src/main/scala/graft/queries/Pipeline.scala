@@ -446,6 +446,48 @@ object Pipeline {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100
         |  < (CASE WHEN lang = 'en' THEN 90 WHEN lang = 'de' THEN 60 ELSE 30 END)""".stripMargin)),
 
+    // ── Safety: PII redaction (emails + long digit runs), reported as the
+    //    redacted-text fingerprint + counts so outputs stay compact ─────────
+    "x_redact_pii" -> Q(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val digits = "[0-9]{7,}"
+        val redacted = regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"), digits, "<NUM>")
+        t(s, d, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(digits), lit(0)))
+            .cast("long").as("n_digit_runs"),
+          md5(redacted).as("redacted_fp"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_fp
+        |FROM documents""".stripMargin)),
+
+    // ── Quality: repetition ratio (share of duplicated 3-gram shingles —
+    //    the classic boilerplate / degenerate-text signal) ──────────────────
+    "x_repetition" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          Dedup.shinglesFromTokens(col("toks")).as("shl"))
+        .select(col("doc_id"),
+          size(col("shl")).cast("long").as("n_shingles"),
+          size(array_distinct(col("shl"))).cast("long").as("n_distinct"),
+          (lit(1.0) - size(array_distinct(col("shl"))).cast("double") /
+            size(col("shl")).cast("double")).as("rep_ratio")),
+      Some("""SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct(shl)) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl) AS rep_ratio
+        |FROM (SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
+        |  ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl
+        |  FROM (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents))""".stripMargin)),
+
     // ── Text: md5 fingerprint ──────────────────────────────────────────────
     "x_fingerprint" -> Q(
       (s, d) => t(s, d, "documents")
