@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * fast bench entry — they are reported per-query in `failed` and on
   * stderr. A short warmup pass absorbs JVM/JIT/codegen startup so the
   * first timed query isn't charged several seconds of session warmup.
+  *
+  * Output durability: log level is ERROR (not WARN) to keep executor
+  * chatter off stderr, the JSON line is ALSO written to `bench.json`
+  * (override with SPARK_GRAFT_BENCH_OUT), and the line is printed as the
+  * very last thing after `spark.stop()` — so a driver that tails the
+  * process output always sees the complete line, untruncated by shutdown
+  * noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,7 +27,7 @@ object Bench {
       // corpus events.ts is ns-precision parquet; see graft.io.Tables.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup: scan+agg, broadcast join, window — the codegen paths the
     // timed queries exercise. Results discarded; failures ignored here
@@ -46,7 +53,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+
+    // stop FIRST so shutdown noise precedes (never truncates) the JSON line
     spark.stop()
+    System.err.flush()
+    println(line)
+    System.out.flush()
   }
 }

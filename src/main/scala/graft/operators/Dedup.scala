@@ -30,15 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default pair-explosion guard: LSH buckets larger than this are dropped
+    * before pairing (see `capBuckets`). Finite by default — a degenerate
+    * mega-bucket (template boilerplate surviving exact dedup) would
+    * otherwise cost O(bucket²) pairs for no signal. Pass
+    * `maxBucket = Int.MaxValue` to disable.
+    */
+  val DefaultMaxBucket = 128
+
   // Persisted intermediates (band/signature tables) are tracked so library
   // users with long-lived sessions can release them; Verify/Bench sessions
   // deliberately retain them for cross-query reuse via the cache manager.
+  // The registry is BOUNDED: beyond `maxPersisted` entries the oldest table
+  // is unpersisted and evicted (FIFO ≈ LRU for the build-once-reuse-soon
+  // access pattern here), so a long-lived library session cannot leak
+  // storage memory without ever calling `unpersistAll`.
+  private val maxPersisted = 16
   private val persistedTables =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private def registerPersisted(df: DataFrame): DataFrame =
     persistedTables.synchronized {
       persistedTables += df
+      while (persistedTables.length > maxPersisted) {
+        persistedTables.remove(0).unpersist()
+      }
       df
     }
 
@@ -141,7 +157,7 @@ object Dedup {
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bandSize: Int = 4,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Persist the band table: Spark does not recognize the two sides of a
     // self-join as a shared subplan, so without this the whole
     // explode→hash→min pipeline runs twice (verified via executedPlan —
@@ -171,8 +187,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 16,
-                   bandSize: Int = 4): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize)
+                   bandSize: Int = 4,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
+      maxBucket)
     val toks = df.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
     val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
@@ -214,7 +232,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 4,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // persisted for the same self-join-reuse reason as minhashCandidates
     val sig = registerPersisted(simhash32(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -244,11 +262,27 @@ object Dedup {
     * O(component diameter) rounds to the component's minimum id — the
     * survivor). The per-round work is one equi-join + partial-min
     * aggregation, all distributed; the driver only checks the converged
-    * flag, and `localCheckpoint` truncates lineage so 50 rounds stay
+    * flag, and checkpointing truncates lineage so 50 rounds stay
     * plannable. Returns (node, cluster) for every node appearing in a
     * pair; isolated docs are their own implicit cluster.
+    *
+    * Checkpoint durability: when the Spark conf `graft.checkpointDir` is
+    * set, each round checkpoints RELIABLY to that (shared) directory so a
+    * long multi-round job survives executor loss on a real cluster;
+    * otherwise `localCheckpoint` (executor-local blocks) is used — fine on
+    * local[*], not durable on a cluster.
+    *
+    * If the loop hits `maxIter` with labels still changing (a component
+    * whose diameter exceeds the budget), the partially-propagated labels
+    * would silently disagree with a full transitive closure — so this
+    * throws instead; raise `maxIter` for pathological chain-shaped data.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliableDir = spark.conf.getOption("graft.checkpointDir")
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e0 = pairs.select(col("a"), col("b"))
     val edges = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
@@ -269,15 +303,20 @@ object Dedup {
       // checkpoint FIRST (eager): the convergence count and the next
       // labels then both read the materialized blocks instead of each
       // re-running the join
-      val updated = labels.join(nbr, Seq("node"), "left")
+      val updated = materialize(labels.join(nbr, Seq("node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbl"), col("label"))).as("next"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("next")))
       changed = updated.where(col("next") =!= col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — a component's diameter " +
+          "exceeds maxIter; raise it to cover chain-shaped duplicates")
+    }
     labels.select(col("node"), col("label").as("cluster"))
   }
 

@@ -15,6 +15,14 @@ import graft.queries.Relational.Q
   */
 object Pipeline {
 
+  /** Sub-shards per language for greedy packing: the running-sum window
+    * partitions on (lang, md5-shard), so parallelism is lang-count × this
+    * rather than lang-count alone. Tune upward for bigger clusters — any
+    * value keeps results deterministic because the shard is a pure function
+    * of doc_id.
+    */
+  val PackShards = 16
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -40,7 +48,9 @@ object Pipeline {
   private val bandRowsSql = (0 until 4).map(b =>
     s"SELECT doc, $b AS band_idx, b$b AS band_sig FROM bands").mkString(" UNION ALL ")
   /** Shared CTE chain producing LSH candidate pairs (a < b) — mirrors
-    * Dedup.minhashCandidates end-to-end. */
+    * Dedup.minhashCandidates end-to-end, INCLUDING the finite
+    * `DefaultMaxBucket` pair-explosion guard (buckets larger than the cap
+    * are dropped before pairing, same window-count-then-filter shape). */
   private val candCtesSql =
     s"""toksrc AS (SELECT doc_id AS doc, string_split_regex(lower(text),'\\s+') AS l FROM documents),
        |sh0 AS (SELECT doc, CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
@@ -50,7 +60,10 @@ object Pipeline {
        |sig AS (SELECT doc, $minsSql FROM hs GROUP BY doc),
        |bands AS (SELECT doc, $bandsSql FROM sig),
        |br AS ($bandRowsSql),
-       |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b FROM br x JOIN br y
+       |brf AS (SELECT doc, band_idx, band_sig FROM (SELECT doc, band_idx, band_sig,
+       |  count(*) OVER (PARTITION BY band_idx, band_sig) AS bsz FROM br)
+       |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
+       |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b FROM brf x JOIN brf y
        |  ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig AND x.doc < y.doc)""".stripMargin
 
   // sign-LSH oracle fragments (mirror Similarity.signPlane/signLshBucket over
@@ -118,9 +131,12 @@ object Pipeline {
         |  CAST(simhash // 65536 AS BIGINT) AS band_hi FROM sim),
         |br AS (SELECT doc, simhash, 0 AS tbl, band_lo AS band FROM sb
         |  UNION ALL SELECT doc, simhash, 1, band_hi FROM sb),
+        |brf AS (SELECT doc, simhash, tbl, band FROM (SELECT doc, simhash, tbl, band,
+        |  count(*) OVER (PARTITION BY tbl, band) AS bsz FROM br)
+        |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
         |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b,
         |  x.simhash AS a_sim, y.simhash AS b_sim
-        |  FROM br x JOIN br y ON x.tbl = y.tbl AND x.band = y.band AND x.doc < y.doc)
+        |  FROM brf x JOIN brf y ON x.tbl = y.tbl AND x.band = y.band AND x.doc < y.doc)
         |SELECT a, b, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 4""".stripMargin)),
 
@@ -391,27 +407,36 @@ object Pipeline {
         |FROM ex WHERE len(toks[chunk_idx*56+1 : chunk_idx*56+64]) > 0""".stripMargin)),
 
     // ── Packing: greedy assignment of docs to fixed token-budget bins by
-    //    running token count, SHARDED by language — the running sum is
-    //    inherently sequential within a shard, so shards are the unit of
-    //    parallelism (exactly how production packing runs; a global pack
-    //    would funnel everything through one partition) ─────────────────────
+    //    running token count. The running sum is inherently sequential
+    //    within a shard, so shards are the unit of parallelism — and the
+    //    shard key is (lang, md5(doc_id) % 16), NOT lang alone: lang has ~4
+    //    values, so a lang-only shard would funnel ~25% of a real corpus
+    //    through one window partition. The hash sub-shard keeps parallelism
+    //    proportional to data volume (bins are per-shard, exactly like
+    //    production packing runs one packer per shard) ──────────────────────
     "x_pack_greedy" -> Q(
       (s, d) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") % Pipeline.PackShards
+        val w = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, 0)
         t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard", shard)
           .withColumn("cum", sum(col("n_tokens")).over(w))
-          .select(col("doc_id"), col("lang"), col("n_tokens"),
+          .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
             expr("(cum - 1) div 4096").as("bin"))
       },
-      Some("""SELECT doc_id, lang, n_tokens, CAST((cum - 1) // 4096 AS BIGINT) AS bin
-        |FROM (SELECT doc_id, lang, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      Some(s"""SELECT doc_id, lang, shard, n_tokens, CAST((cum - 1) // 4096 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, lang, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM (SELECT doc_id, lang,
-        |    CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+        |      % ${Pipeline.PackShards} AS shard,
+        |    CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))""".stripMargin)),
 
     // ── Embedding pooling: elementwise mean per label over quantized

@@ -83,6 +83,34 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 7L -> 5L))
   }
 
+  test("dedup clusters: graft.checkpointDir switches to reliable checkpoints") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("ckpt")
+    spark.conf.set("graft.checkpointDir", dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+      val out = Dedup.dedupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty,
+        "reliable checkpoint data lands in graft.checkpointDir")
+    } finally spark.conf.unset("graft.checkpointDir")
+  }
+
+  test("dedup clusters: non-convergence at maxIter throws instead of " +
+    "returning partial labels") {
+    import spark.implicits._
+    // a 6-hop chain cannot converge in one round
+    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.dedupClusters(chain, maxIter = 1)
+    }
+    val full = Dedup.dedupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet == Set(1L), "with budget, the chain collapses")
+  }
+
   test("embedding near-dup finds identical vectors within a cell") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),

@@ -36,6 +36,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries with non-scalable join shapes: ${offenders.mkString(", ")}")
   }
 
+  test("x_pack_greedy windows over a high-cardinality shard key") {
+    // the running-sum window must not partition by lang alone (~4 values);
+    // the composed (lang, md5-shard) key keeps parallelism ∝ data volume
+    val df = SparkEntry.queries("x_pack_greedy")(spark, sf)
+    val nShardKeys = df.select("lang", "shard").distinct().count()
+    assert(nShardKeys > 16,
+      s"window shard key has only $nShardKeys distinct values — " +
+        "parallelism would not scale past language count")
+  }
+
   test("parquet scans prune columns: s1 reads only the projected four") {
     val plan = SparkEntry.queries("s1_scan_project")(spark, sf)
       .queryExecution.executedPlan.toString
