@@ -22,15 +22,15 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   private val commands =
-    Set("init", "list", "listwh", "extract", "load", "sync", "reload")
+    Set("init", "list", "listwh", "extract", "load", "sync", "reload", "ddl")
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = parseArgs(args)
     val command = positional.headOption.getOrElse("")
     if (!commands(command)) {
       System.err.println(
-        "usage: graft <init|list|listwh|extract|load|sync|reload> " +
-          "[table|all] [--config file]")
+        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl> " +
+          "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake]")
       sys.exit(2)
     }
     val configPath = flags.getOrElse("config", "graft_config.yaml")
@@ -57,19 +57,26 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(new Warehouse(spark, cfg), cfg, command,
-      positional.drop(1).headOption.getOrElse("all"))
-    finally spark.stop()
+    // run() RETURNS the exit code rather than calling sys.exit inline —
+    // an inline exit would bypass this finally and skip spark.stop()'s
+    // graceful shutdown on a real cluster
+    val code =
+      try run(new Warehouse(spark, cfg), cfg, command,
+        positional.drop(1).headOption.getOrElse("all"),
+        flags.getOrElse("dialect", "duckdb"))
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
   private def run(wh: Warehouse, cfg: GraftConfig, command: String,
-                  table: String): Unit = {
+                  table: String, dialect: String): Int = {
+    var exitCode = 0
     def each(f: String => Unit): Unit =
       if (table == "all") {
         val failed = wh.forAll(f).collect { case (t, Some(_)) => t }
         if (failed.nonEmpty) {
           System.err.println(s"failed tables: ${failed.mkString(", ")}")
-          sys.exit(1)
+          exitCode = 1
         }
       } else f(table)
 
@@ -89,8 +96,12 @@ object Main {
       case "reload" => each { t =>
         println(s"$t: reloaded ${wh.reload(t)} rows")
       }
+      case "ddl" => each { t =>
+        println(wh.ddl(t, dialect))
+      }
       case other => throw new IllegalArgumentException(other)
     }
+    exitCode
   }
 
   private def parseArgs(args: Array[String]): (Map[String, String], Seq[String]) = {

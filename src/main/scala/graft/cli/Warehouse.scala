@@ -38,11 +38,15 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     */
   def strategyFor(name: String): SyncStrategy = {
     val opts = cfg.tables.getOrElse(name, TableOpts())
+    // "a,b" in the config's primary_key is a composite key (an upgrade over
+    // the reference, which is single-key-only for incremental strategies)
+    def pks(pk: String): Seq[String] =
+      pk.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (opts.skip) SyncStrategy.Skip
     else if (opts.reload) SyncStrategy.Reload
     else (opts.primaryKey, opts.lastModified) match {
-      case (Some(pk), Some(lm)) => SyncStrategy.Upsert(pk, lm)
-      case (Some(pk), None)     => SyncStrategy.AppendOnly(pk)
+      case (Some(pk), Some(lm)) => SyncStrategy.Upsert(pks(pk), lm)
+      case (Some(pk), None)     => SyncStrategy.AppendOnly(pks(pk))
       case _                    => SyncStrategy.Reload
     }
   }
@@ -52,19 +56,15 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     */
   def extract(name: String): (Long, Long) = {
     val src = sourceTable(name)
-    Tables.writeCsvChunks(src, chunkDir(name), maxRecords = cfg.maxRecords)
+    // records written comes from an observed metric inside the write job
+    // (Tables.writeCsvChunks) — ONE source scan per extract; a separate
+    // count() would be a second full read on a JDBC source
+    val records = Tables.writeCsvChunks(src, chunkDir(name),
+      maxRecords = cfg.maxRecords)
     // persist the captured schema next to the chunks (the reference's
     // {table}.schema dump, pgwarehouse.py:248-252) so `load` can run
     // without source access — true two-phase extract/load
     writeSchemaFile(name, src.schema)
-    // records written = capped source count (metadata-cheap on parquet) —
-    // re-reading the gzip chunks just to count them would double extract
-    // I/O. The cap mirrors writeCsvChunks' Int.MaxValue clamp so the
-    // reported count matches what was actually written.
-    val total = src.count()
-    val records = cfg.maxRecords
-      .map(math.min(_, Int.MaxValue.toLong))
-      .fold(total)(math.min(_, total))
     val p = new Path(chunkDir(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".csv.gz"))
@@ -77,11 +77,13 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     * scratch (pgwarehouse.py:176-178).
     */
   def load(name: String, dropTable: Boolean = false): Long = {
-    if (dropTable) Catalog.dropPath(spark, warehousePath(name))
     // no chunks (all archived or never extracted) → no-op, like replaying
-    // the reference's chunk loop over an empty dir — never wipe the table
+    // the reference's chunk loop over an empty dir — never wipe the table,
+    // so the guard runs BEFORE any drop: a reload whose extract produced
+    // zero chunks must not destroy existing data
     if (pendingChunks(name).isEmpty)
       return warehouseTable(name).map(_.count()).getOrElse(0L)
+    if (dropTable) Catalog.dropPath(spark, warehousePath(name))
     // schema comes from the capture file written at extract time (source
     // access is NOT required to load, matching the reference's two-phase
     // contract); fall back to the live source only if the file is missing
@@ -154,6 +156,22 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
   def reload(name: String): Long = {
     extract(name)
     load(name, dropTable = true)
+  }
+
+  /** `ddl`: the CREATE TABLE a warehouse backend would issue for this
+    * table's captured schema, in the requested dialect (reference
+    * clickhouse_backend.py:143-159 / duckdb_backend.py:89-92 /
+    * snowflake_backend.py:131-133 — there executed against a live server,
+    * here emitted for the operator to run or review).
+    */
+  def ddl(name: String, dialect: String): String = {
+    val d = graft.schema.WarehouseDdl.dialects.getOrElse(dialect.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown dialect '$dialect' (expected one of " +
+          s"${graft.schema.WarehouseDdl.dialects.keys.mkString(", ")})"))
+    val pk = cfg.tables.get(name).flatMap(_.primaryKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    d.createTable(name, sourceTable(name).schema, pk)
   }
 
   /** `list`: source tables with sizes (pgwarehouse.py:218-237). */

@@ -106,18 +106,29 @@ object Tables {
     * than sequentially off a pipe. `maxRecords` is the reference's extract
     * row cap (`postgres.max_records`, pgwarehouse.py:211,286-294): stop after
     * N rows total.
+    *
+    * Returns the number of rows written, counted by an observed metric
+    * INSIDE the write job — so callers (e.g. `extract`) get the count
+    * without a second source scan, which on a JDBC source would be a second
+    * full table read.
     */
   def writeCsvChunks(df: DataFrame, dir: String,
                      maxRecordsPerFile: Long = 1000000L,
-                     maxRecords: Option[Long] = None): Unit =
-    maxRecords.fold(df)(n =>
+                     maxRecords: Option[Long] = None): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val capped = maxRecords.fold(df)(n =>
       df.limit(math.min(n, Int.MaxValue.toLong).toInt))
+    val obs = Observation()
+    capped.observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite")
       .option("header", "true")
       .option("compression", "gzip")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(dir)
+    obs.get("n").asInstanceOf[Long]
+  }
 
   /** S3: CSV chunk source. Schema is pinned (the reference trusts DDL, never
     * infers: duckdb_backend.py:107 `COPY ... (HEADER)`); chunk file order is

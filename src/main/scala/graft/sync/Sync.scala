@@ -82,12 +82,20 @@ object Merge {
   */
 sealed trait SyncStrategy
 object SyncStrategy {
-  /** `WHERE pk > max(pk)` + append (reference "new-records-only"). */
-  case class AppendOnly(pk: String) extends SyncStrategy
+  /** `WHERE pk > max(pk)` + append (reference "new-records-only").
+    * Composite keys are supported (delta via anti join — see SyncEngine).
+    */
+  case class AppendOnly(pks: Seq[String]) extends SyncStrategy
+  object AppendOnly {
+    def apply(pk: String): AppendOnly = AppendOnly(Seq(pk))
+  }
   /** `WHERE lm >= max(lm)` + merge (reference "last-modified upsert"). */
-  case class Upsert(pk: String, lastModified: String) extends SyncStrategy
-  /** Full reload — the only strategy handling deletes/composite PKs
-    * (README.md:170-177). */
+  case class Upsert(pks: Seq[String], lastModified: String) extends SyncStrategy
+  object Upsert {
+    def apply(pk: String, lastModified: String): Upsert =
+      Upsert(Seq(pk), lastModified)
+  }
+  /** Full reload — handles deletes (README.md:170-177). */
   case object Reload extends SyncStrategy
   case object Skip extends SyncStrategy
 }
@@ -115,29 +123,48 @@ class SyncEngine(spark: SparkSession) {
       case Reload =>
         SyncResult(source, -1L, "reload")
       case s: AppendOnly =>
-        rejectComposite(Seq(s.pk))
+        checkPks(s.pks)
         sink match {
           case None => SyncResult(source, -1L, "bootstrap")
           case Some(tgt) =>
-            val delta = Watermark.newerThan(source, s.pk, Watermark.maxOf(tgt, s.pk))
+            // single monotone key → watermark predicate (pushed into the
+            // scan, the cheap path); composite key → anti join on the full
+            // key (no lexicographic watermark exists in general). The anti
+            // join shuffles only the key columns of the target and
+            // AQE-broadcasts when the sink key set is small.
+            val delta = s.pks match {
+              case Seq(pk) =>
+                Watermark.newerThan(source, pk, Watermark.maxOf(tgt, pk))
+              case pks =>
+                source.join(tgt.select(pks.map(tgt(_)): _*).distinct(),
+                  pks, "left_anti")
+            }
             SyncResult(tgt.unionByName(delta), -1L, "append")
         }
       case s: Upsert =>
-        rejectComposite(Seq(s.pk))
+        checkPks(s.pks)
         sink match {
           case None => SyncResult(source, -1L, "bootstrap")
           case Some(tgt) =>
             val delta =
               Watermark.modifiedSince(source, s.lastModified, Watermark.maxOf(tgt, s.lastModified))
-            SyncResult(Merge.merge(tgt, delta, Seq(s.pk), s.lastModified), -1L, "merge")
+            SyncResult(Merge.merge(tgt, delta, s.pks, s.lastModified), -1L, "merge")
         }
     }
 
-  /** The reference rejects composite keys for incremental strategies
-    * (clickhouse_backend.py:200-205; README.md:255-257). Kept explicit.
+  /** Composite keys are natively supported (the merge identity and the
+    * anti-join delta are key-arity-agnostic) — an upgrade over the
+    * reference, which rejects them for incremental strategies
+    * (clickhouse_backend.py:200-205; README.md:255-257). Set the Spark
+    * conf `graft.sync.strictSinglePk=true` to restore the reference-parity
+    * rejection.
     */
-  private def rejectComposite(pk: Seq[String]): Unit =
-    require(pk.size == 1,
-      s"composite primary key ${pk.mkString(",")} only supported via Reload " +
-        "(reference limitation, README.md:255-257)")
+  private def checkPks(pk: Seq[String]): Unit = {
+    require(pk.nonEmpty, "incremental sync needs at least one key column")
+    val strict =
+      spark.conf.getOption("graft.sync.strictSinglePk").exists(_.toBoolean)
+    if (strict) require(pk.size == 1,
+      s"composite primary key ${pk.mkString(",")} rejected: " +
+        "graft.sync.strictSinglePk=true (reference parity, README.md:255-257)")
+  }
 }

@@ -7,7 +7,8 @@ import graft.sync.{Merge, SyncEngine, SyncStrategy, Watermark}
 
 /** Merge identity + watermark semantics (SURVEY §7.4 hard parts): last-
   * writer-wins dedup, idempotence (merge(merge(t,d),d) == merge(t,d)),
-  * null-watermark degradation, composite-PK rejection.
+  * null-watermark degradation, composite-PK merge/append (with the
+  * reference-parity single-key rejection behind graft.sync.strictSinglePk).
   */
 class MergeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -62,6 +63,48 @@ class MergeSpec extends AnyFunSuite {
     val empty = mkEvents(Nil)
     assert(Watermark.maxOf(empty, "id").isEmpty)
     assert(Watermark.newerThan(df, "id", None).count() == 3)
+  }
+
+  test("composite-PK upsert merges on the full key") {
+    val engine = new SyncEngine(spark)
+    val target = Seq((1L, "a", 1, "t1a"), (1L, "b", 1, "t1b"),
+      (2L, "a", 1, "t2a")).toDF("id", "sub", "ver", "payload")
+    val source = Seq((1L, "a", 1, "t1a"), (1L, "b", 2, "NEW1b"),
+      (2L, "a", 1, "t2a"), (3L, "a", 1, "t3a"))
+      .toDF("id", "sub", "ver", "payload")
+    val out = engine.sync(source, Some(target),
+      SyncStrategy.Upsert(Seq("id", "sub"), "ver"))
+    assert(out.action == "merge")
+    assert(rows(out.table) == Set(
+      Seq(1L, "a", 1, "t1a"), Seq(1L, "b", 2, "NEW1b"),
+      Seq(2L, "a", 1, "t2a"), Seq(3L, "a", 1, "t3a")))
+  }
+
+  test("composite-PK append-only: anti-join delta adds only unseen keys") {
+    val engine = new SyncEngine(spark)
+    val target = Seq((1L, "a", 1, "x"), (2L, "a", 1, "y"))
+      .toDF("id", "sub", "ver", "payload")
+    // (2,a) already present — must not duplicate; (2,b) and (9,a) are new
+    val source = Seq((2L, "a", 9, "dup"), (2L, "b", 1, "new"),
+      (9L, "a", 1, "new9")).toDF("id", "sub", "ver", "payload")
+    val out = engine.sync(source, Some(target),
+      SyncStrategy.AppendOnly(Seq("id", "sub")))
+    assert(out.action == "append")
+    assert(rows(out.table) == Set(
+      Seq(1L, "a", 1, "x"), Seq(2L, "a", 1, "y"),
+      Seq(2L, "b", 1, "new"), Seq(9L, "a", 1, "new9")))
+  }
+
+  test("graft.sync.strictSinglePk restores the reference-parity rejection") {
+    val engine = new SyncEngine(spark)
+    val df = Seq((1L, "a", 1, "x")).toDF("id", "sub", "ver", "payload")
+    spark.conf.set("graft.sync.strictSinglePk", "true")
+    try intercept[IllegalArgumentException] {
+      engine.sync(df, Some(df), SyncStrategy.Upsert(Seq("id", "sub"), "ver"))
+    } finally spark.conf.unset("graft.sync.strictSinglePk")
+    // and with the flag off, the same call succeeds
+    assert(engine.sync(df, Some(df),
+      SyncStrategy.Upsert(Seq("id", "sub"), "ver")).action == "merge")
   }
 
   test("sync engine: bootstrap and zero-delta short-circuit") {

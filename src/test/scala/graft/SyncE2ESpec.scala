@@ -202,6 +202,32 @@ class SyncE2ESpec extends AnyFunSuite {
       "load with no pending chunks must not wipe the table")
   }
 
+  test("t12 load(dropTable) with zero pending chunks never wipes the table") {
+    setupSources()
+    val w = wh()
+    w.extract("users10")
+    assert(w.load("users10") == 20)
+    // chunks are now archived; a dropTable load (reload path) with nothing
+    // to replay must leave the existing table intact, not drop-then-bail
+    assert(w.load("users10", dropTable = true) == 20,
+      "empty-chunk reload returns the surviving table's rows")
+    assert(w.warehouseTable("users10").get.count() == 20)
+  }
+
+  test("t13 ddl command emits dialect DDL for a source table's schema") {
+    setupSources()
+    val w = wh()
+    val ch = w.ddl("users10", "clickhouse")
+    assert(ch.startsWith("CREATE TABLE IF NOT EXISTS users10 ("))
+    assert(ch.contains("ENGINE = MergeTree() ORDER BY (id)"),
+      "configured PK drives the MergeTree key")
+    assert(ch.contains("name Nullable(String)"))
+    val duck = w.ddl("local_parks", "duckdb")
+    assert(duck.contains("park_state VARCHAR"), "space-sanitized column")
+    assert(!duck.contains("PRIMARY KEY"), "no configured PK → no key clause")
+    intercept[IllegalArgumentException] { w.ddl("users10", "oracle9i") }
+  }
+
   test("all loop isolates a failing table and reports it") {
     setupSources()
     val broken = cfg().copy(tables = scala.collection.immutable.ListMap(

@@ -32,8 +32,16 @@ class TablesSpec extends AnyFunSuite {
   test("maxRecords caps the extract, like the reference's max_records") {
     val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val dir = TestSpark.tmpDir("csvcap") + "/chunks"
-    Tables.writeCsvChunks(df, dir, maxRecords = Some(12L))
+    val written = Tables.writeCsvChunks(df, dir, maxRecords = Some(12L))
+    assert(written == 12L, "observed in-job count reports the capped rows")
     assert(Tables.readCsvChunks(spark, dir, df.schema).count() == 12)
+  }
+
+  test("writeCsvChunks reports the written row count from inside the " +
+    "write job — no second source scan needed") {
+    val df = (1 to 77).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dir = TestSpark.tmpDir("csvcount") + "/chunks"
+    assert(Tables.writeCsvChunks(df, dir) == 77L)
   }
 
   test("bucketed tables join with zero shuffle on either side") {
