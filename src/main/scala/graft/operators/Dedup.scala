@@ -38,31 +38,11 @@ object Dedup {
     */
   val DefaultMaxBucket = 128
 
-  // Persisted intermediates (band/signature tables) are tracked so library
-  // users with long-lived sessions can release them; Verify/Bench sessions
-  // deliberately retain them for cross-query reuse via the cache manager.
-  // The registry is BOUNDED: beyond `maxPersisted` entries the oldest table
-  // is unpersisted and evicted (FIFO ≈ LRU for the build-once-reuse-soon
-  // access pattern here), so a long-lived library session cannot leak
-  // storage memory without ever calling `unpersistAll`.
-  private val maxPersisted = 16
-  private val persistedTables =
-    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
   private def registerPersisted(df: DataFrame): DataFrame =
-    persistedTables.synchronized {
-      persistedTables += df
-      while (persistedTables.length > maxPersisted) {
-        persistedTables.remove(0).unpersist()
-      }
-      df
-    }
+    CacheRegistry.register(df)
 
-  /** Release every band/signature table persisted by the LSH operators. */
-  def unpersistAll(): Unit = persistedTables.synchronized {
-    persistedTables.foreach(_.unpersist())
-    persistedTables.clear()
-  }
+  /** Release every intermediate persisted by the LSH/k-means operators. */
+  def unpersistAll(): Unit = CacheRegistry.unpersistAll()
 
   /** Exact dedup: one survivor (min id) per identical text. The grouping key
     * is the md5 fingerprint of the normalized text — constant-width, so at

@@ -122,6 +122,92 @@ object Similarity {
       .withColumnRenamed("ccell", "new_cell")
   }
 
+  /** Elementwise floor-mean centroid per cell of quantized vectors —
+    * deterministic (integer sums, exact-double division, floor) so Spark
+    * and an oracle agree bit-for-bit. Returns (ccell, cvq).
+    */
+  private def centroidsOf(assigned: DataFrame, cellCol: String,
+                          vqCol: String): DataFrame =
+    assigned
+      .select(col(cellCol).as("__cell"), posexplode(col(vqCol)).as(Seq("pos", "x")))
+      .groupBy("__cell", "pos")
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+        .cast("long").as("cx"))
+      .groupBy(col("__cell").as("ccell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cvq"))
+
+  /** Exact integer squared distance between a vector and a centroid. */
+  private def distQ(vq: Column, cvq: Column): Column =
+    aggregate(zip_with(vq, cvq, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Multi-probe IVF top-k: instead of probing only the query's own cell
+    * (`ivfTopK` — recall loss when the true neighbor sits just across a
+    * cell boundary), each query probes its `nprobe` nearest cells by exact
+    * integer distance to the cell centroids. Centroids are k tiny rows —
+    * broadcast for probe selection (a deliberate broadcast product, same
+    * shape as `kmeansAssignStep`); the probe→corpus join is then a plain
+    * equi-join on the cell id, hash-partitioned, shuffling O(Q·nprobe)
+    * probe rows against the corpus — never a cross join with the corpus.
+    * Cells partition the corpus, so a neighbor is reachable via exactly
+    * one probed cell — no dedup needed. Returns (qid, nid, dot_q, rank).
+    */
+  def ivfMultiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, cellCol: String, k: Int,
+                        nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(cellCol).as("ncell"),
+      quantize(col(vecCol)).as("nv"))
+    val cents = centroidsOf(c, "ncell", "nv")
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(asc("cdist"), asc("ccell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("ccell"),
+        distQ(col("qv"), col("cvq")).as("cdist"))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("ccell"))
+    val scored = probes
+      .join(c, col("ccell") === col("ncell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dotQ(col("qv"), col("nv")).as("dot_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("dot_q"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Lloyd's k-means iterated to a fixed budget: seed cells from sign-LSH
+    * (iteration 0 = `kmeansAssignStep`'s seeding), then `iters` rounds of
+    * floor-mean centroids + nearest-centroid reassignment, all in the same
+    * deterministic integer arithmetic. Each round is one (cell,pos)
+    * partial-sum shuffle plus one broadcast scoring pass; assignments are
+    * persisted per round (each round's plan reads the previous assignment
+    * twice — centroid build and reassign — and Spark has no ReusedExchange
+    * across that self-reuse). Returns (id, cell, dist_q) after the final
+    * reassignment.
+    */
+  def kmeansIterations(df: DataFrame, idCol: String, vecCol: String,
+                       iters: Int = 2, seedBits: Int = 4,
+                       totalPlanes: Int = 16): DataFrame = {
+    require(iters >= 1, "need at least one assignment round")
+    var assigned = df
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+      .withColumn("cell", signLshBucket(col("vq"), 0 until seedBits, totalPlanes))
+      .withColumn("dist_q", lit(0L))
+    for (_ <- 1 to iters) {
+      val cents = centroidsOf(assigned, "cell", "vq")
+      val w = Window.partitionBy(col("id")).orderBy(asc("dist_q"), asc("ccell"))
+      assigned = CacheRegistry.register(
+        assigned.select(col("id"), col("vq")).crossJoin(broadcast(cents))
+          .select(col("id"), col("vq"), col("ccell"),
+            distQ(col("vq"), col("cvq")).as("dist_q"))
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .select(col("id"), col("vq"), col("ccell").as("cell"), col("dist_q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    assigned.select(col("id"), col("cell"), col("dist_q"))
+  }
+
   /** Random-hyperplane LSH bucket id over a chosen subset of planes: bit j of
     * the bucket is the sign of plane `planes(j)`. Used to pre-bucket near-dup
     * candidates without a cross join; multiple disjoint plane subsets give

@@ -74,6 +74,34 @@ object Pipeline {
   private def bucketSql(t: Int) = (0 until 4).map(j =>
     s"(CASE WHEN s${4 * t + j} >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+  /** Oracle for `Similarity.kmeansIterations(iters)`: a0 is the sign-LSH
+    * seeding; each round re-derives floor-mean centroids from the previous
+    * assignment and reassigns by exact integer squared distance — the same
+    * per-round CTE chain as the Spark loop.
+    */
+  private def kmeansItersSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"a${i - 1}"
+      s"""e$i AS (SELECT cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM $prev),
+         |c$i AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
+         |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+         |  FROM e$i GROUP BY 1, 2),
+         |cent$i AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM c$i GROUP BY cell),
+         |sc$i AS (SELECT a.id, a.vq, cent.ccell,
+         |  CAST(list_sum(list_transform(list_zip(a.vq, cent.cvq),
+         |    x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS dist_q
+         |  FROM $prev a, cent$i cent),
+         |r$i AS (SELECT *, row_number() OVER (PARTITION BY id
+         |  ORDER BY dist_q, ccell) AS rn FROM sc$i),
+         |a$i AS (SELECT id, vq, ccell AS cell, dist_q FROM r$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+       |p0 AS (SELECT vec_id, vq, $planeSumsSql FROM v0),
+       |a0 AS (SELECT vec_id AS id, vq, ${bucketSql(0)} AS cell FROM p0),
+       |$rounds
+       |SELECT id, cell, dist_q FROM a$iters""".stripMargin
+  }
+
   // simhash oracle fragments (mirror Dedup.simhash32)
   private val simSumsSql = (0 until 32).map(i =>
     s"CAST(sum(ascii(substr(h,${i + 1},1)) % 2) AS BIGINT) AS s$i").mkString(", ")
@@ -279,6 +307,42 @@ object Pipeline {
         |r AS (SELECT *, row_number() OVER (PARTITION BY id
         |  ORDER BY dist_q, ccell) AS rn FROM sc)
         |SELECT id, seed_cell, ccell AS new_cell, dist_q FROM r WHERE rn = 1""".stripMargin)),
+
+    // ── Similarity: multi-probe IVF top-3 — each query probes its 2
+    //    nearest cells by centroid distance (recall the single-cell probe
+    //    loses at the boundary), then an equi-join on the probed cell ─────
+    "x_ann_ivf_multiprobe" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfMultiProbeTopK(e.where(col("vec_id") < 10), e,
+          "vec_id", "embedding", "label", 3, 2)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
+        |e AS (SELECT label, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM v),
+        |c1 AS (SELECT label, CAST(z[2] AS BIGINT) AS pos,
+        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT label AS ccell, list(cx ORDER BY pos) AS cvq FROM c1 GROUP BY label),
+        |q AS (SELECT vec_id AS qid, vq AS qv FROM v WHERE vec_id < 10),
+        |pr AS (SELECT qid, qv, ccell,
+        |  CAST(list_sum(list_transform(list_zip(qv, cvq), x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS cdist
+        |  FROM q, cent),
+        |prr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS rn FROM pr),
+        |probes AS (SELECT qid, qv, ccell FROM prr WHERE rn <= 2),
+        |scored AS (SELECT p.qid, b.vec_id AS nid,
+        |  CAST(list_sum(list_transform(list_zip(p.qv, b.vq), x -> x[1]*x[2])) AS BIGINT) AS dot_q
+        |  FROM probes p JOIN v b ON b.label = p.ccell AND p.qid <> b.vec_id),
+        |ranked AS (SELECT qid, nid, dot_q,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
+    // ── Similarity: k-means iterated to a 2-round budget (assign →
+    //    re-centroid → reassign), the trained coarse quantizer an IVF
+    //    index ships with; every round is deterministic integer math ──────
+    "x_ann_kmeans" -> Q(
+      (s, d) => Similarity.kmeansIterations(t(s, d, "embeddings"),
+        "vec_id", "embedding", iters = 2),
+      Some(kmeansItersSql(2))),
 
     // ── Text: language-ID heuristic ────────────────────────────────────────
     "x_lang_id" -> Q(

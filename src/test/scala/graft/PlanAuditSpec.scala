@@ -18,10 +18,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sideEffecting =
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
       "s2_csv_roundtrip")
-  // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign:
-  // k tiny centroid rows broadcast against every vector — the canonical
-  // kmeans assign step, a deliberate broadcast product
-  private val allowCross = Set("x_ann_topk", "x_ann_kmeans_assign")
+  // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
+  // x_ann_kmeans / x_ann_ivf_multiprobe: k tiny centroid rows broadcast
+  // against every vector (assign/probe-selection step) — deliberate
+  // broadcast products over a handful of centroids, never corpus×corpus
+  private val allowCross = Set("x_ann_topk", "x_ann_kmeans_assign",
+    "x_ann_kmeans", "x_ann_ivf_multiprobe")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -39,6 +39,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == Set(2L, 3L, 4L), "cell-1 vector (id 5) is never probed")
   }
 
+  test("multi-probe ivf recovers the cross-cell neighbor single-probe loses") {
+    // query 1 lives in cell 0; its exact duplicate (id 5) lives in cell 1.
+    // nprobe=1 degenerates to the query's nearest cell only; nprobe=2 must
+    // reach into cell 1 and surface the duplicate at rank 1.
+    val two = Similarity.ivfMultiProbeTopK(
+      vecs.where(col("vec_id") === 1), vecs, "vec_id", "embedding", "label",
+      k = 10, nprobe = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(two.contains(5L), "second probe reaches the neighboring cell")
+    assert(two.head == 5L, "the exact duplicate ranks first once reachable")
+    val one = Similarity.ivfMultiProbeTopK(
+      vecs.where(col("vec_id") === 1), vecs, "vec_id", "embedding", "label",
+      k = 10, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(!one.contains(5L) || one.size < two.size,
+      "nprobe=1 probes strictly fewer cells")
+  }
+
+  test("kmeans iterations converge identical vectors into one cell") {
+    val out = Similarity.kmeansIterations(vecs, "vec_id", "embedding",
+      iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), "every vector assigned")
+    assert(out(1L) == out(5L),
+      "identical vectors land in the same trained cell regardless of seed")
+  }
+
   test("quantization is exact at 1e-6 resolution") {
     val q = Seq((1L, Array(0.123456f, -1.5f)))
       .toDF("id", "v")
