@@ -1,23 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, and run decode / feature-extract
   * steps as partition-batched transforms.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * STUBBED deterministic fake (clearly marked below) — what is real and
-  * tested is the Spark-side shape: binary column handling, metadata schema,
-  * `mapPartitions` batching, and partitioning behavior, which is exactly
-  * what a real decoder (JNI/FFI or Pandas-UDF-style batch) plugs into.
+  * The decode step dispatches on the payload's magic bytes:
+  *  - real raster images (PNG/JPEG/GIF/BMP) decode through `javax.imageio`
+  *    (in the JDK — no external codec needed) into true width/height and
+  *    mean luminance;
+  *  - anything else (incl. the test corpus's utf-8 stand-in payloads)
+  *    falls back to a DETERMINISTIC FAKE whose features are pure functions
+  *    of the payload's md5 and byte length — functions an oracle engine
+  *    mirrors in SQL, so the fallback path keeps a hash-checked
+  *    correctness row while the image path is exercised by unit specs on
+  *    generated PNGs.
   *
-  * Scale notes: payload bytes stay columnar in parquet; the decode transform
-  * is a narrow map (no shuffle) so it scales linearly with executors;
-  * `spark.sql.files.maxPartitionBytes` bounds per-task memory for large
-  * blobs.
+  * Scale notes: payload bytes stay columnar in parquet; the decode
+  * transform is a narrow map (no shuffle) so it scales linearly with
+  * executors; `spark.sql.files.maxPartitionBytes` bounds per-task memory
+  * for large blobs. Video/audio remain fallback-only (no codec in the
+  * JDK); a JNI/FFI decoder plugs into the same `mapPartitions` shape.
   */
 object Multimodal {
 
@@ -35,34 +40,77 @@ object Multimodal {
   case class DecodedFeature(doc_id: Long, width: Int, height: Int,
                             n_frames: Int, hex_mean: Double)
 
-  /** STUB DECODE — deterministic fake image decoder, oracle-checkable.
-    *
-    * A real implementation would decode `payload` with an image library and
-    * emit (width, height, frames, features); none ships in this container,
-    * so every fake feature is a pure function of the payload's md5 hex
-    * digest and byte length — functions an oracle engine can mirror in SQL
-    * (md5 / ascii / octet_length), so even the stub gets a hash-checked
-    * correctness row. The batching shape (`mapPartitions` over an iterator,
-    * one output row per input row, explicit output schema) is the
-    * production shape for a JNI decoder.
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      // PNG \x89PNG
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      // JPEG FF D8 FF
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      // GIF8
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      // BMP
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Decode one payload: real image decode when the magic bytes say image
+    * and imageio can parse it; md5-derived deterministic fake otherwise.
     */
-  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
-                     textCol: String): DataFrame = {
+  private def decodeOne(md: java.security.MessageDigest, id: Long,
+                        bytes: Array[Byte]): DecodedFeature = {
+    if (looksLikeImage(bytes)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img != null) {
+        // mean luminance over all pixels: (r+g+b)/3 averaged. Integer sum
+        // first (exact), one division at the end — deterministic.
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val nPx = img.getWidth.toLong * img.getHeight
+        return DecodedFeature(id, img.getWidth, img.getHeight, 1,
+          sum.toDouble / (3L * nPx))
+      }
+    }
+    // deterministic fake (oracle mirrors this in SQL via md5/ascii/length)
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    DecodedFeature(id,
+      16 + hex(0).toInt % 16,
+      16 + hex(1).toInt % 16,
+      1 + bytes.length % 8,
+      hex.map(_.toInt).sum.toDouble / 32)
+  }
+
+  /** Decode features from a BINARY payload column via `mapPartitions` —
+    * one output row per input row, explicit output schema, per-partition
+    * decoder state (the production shape for any batch decoder).
+    */
+  def decodePayload(spark: SparkSession, df: DataFrame, idCol: String,
+                    payloadCol: String): DataFrame = {
     import spark.implicits._
     val src = df.select(col(idCol).cast("long").as("doc_id"),
-      encode(col(textCol), "utf-8").as("payload"))
+      col(payloadCol).cast("binary").as("payload"))
     src.as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-backed temp cache
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, bytes) =>
-        // ??? real decoder goes here; md5-derived deterministic fake below
-        md.reset()
-        val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        DecodedFeature(id,
-          16 + hex(0).toInt % 16,
-          16 + hex(1).toInt % 16,
-          1 + bytes.length % 8,
-          hex.map(_.toInt).sum.toDouble / 32)
-      }
+      it.map { case (id, bytes) => decodeOne(md, id, bytes) }
     }.toDF()
   }
+
+  /** Corpus entry point: the utf-8 bytes of `textCol` stand in for image
+    * payloads (they fail the magic-byte sniff, so this exercises the
+    * deterministic-fake path end-to-end against the DuckDB oracle).
+    */
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    decodePayload(spark,
+      df.select(col(idCol), encode(col(textCol), "utf-8").as("__payload")),
+      idCol, "__payload")
 }

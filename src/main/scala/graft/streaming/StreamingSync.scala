@@ -164,9 +164,12 @@ object StreamingSync {
     * exact cents sum, last-seen µs — the custom-state generalization of the
     * reference's per-table watermark bookkeeping. State is one small row
     * per user, partitioned by user across executors; NoTimeout because the
-    * rollup is over all time. Typed state requires non-null key/value rows
-    * (PK semantics, like the reference's watermark columns) — null rows are
-    * excluded up front rather than crashing the encoder mid-batch.
+    * rollup is over all time. NULL handling matches the batch aggregation
+    * it must stay in parity with (GROUP BY user_id): only a NULL KEY drops
+    * the row; a NULL value maps to the sum's neutral element (0 cents,
+    * like SQL sum skipping NULLs) and a NULL ts to Long.MinValue (ignored
+    * by max unless every ts is NULL — an all-NULL group reports the
+    * sentinel where SQL reports NULL, a documented corner).
     */
   def statefulUserRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -174,9 +177,9 @@ object StreamingSync {
     val base = freshBase(ss, "user")
     val rows = eventsStream(ss, sfDir, base)
       .select(col("user_id").cast("long"),
-        round(col("value") * 100).cast("long").as("cents"),
-        unix_micros(col("ts")).as("ts_us"))
-      .na.drop()
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"),
+        coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"))
+      .where(col("user_id").isNotNull)
       .as[(Long, Long, Long)]
 
     val agg = rows.groupByKey(_._1)

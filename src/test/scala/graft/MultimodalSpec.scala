@@ -1,0 +1,59 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Real image decode through the multimodal mapPartitions pipeline:
+  * generated PNG payloads come back with true dimensions and exact mean
+  * luminance, while non-image payloads take the deterministic fallback.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG payloads decode to real dimensions and exact mean luminance") {
+    val grey = pngBytes(8, 6, 0x808080)  // every channel 128
+    val dark = pngBytes(3, 5, 0x201008)  // channels 32/16/8 → mean 56/3
+    val df = Seq((1L, grey), (2L, dark)).toDF("doc_id", "payload")
+    val out = Multimodal.decodePayload(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((8, 6, 1, 128.0)))
+    assert(out(2L) == ((3, 5, 1, 56.0 / 3)))
+  }
+
+  test("non-image payloads fall back to the md5-derived deterministic fake") {
+    val bytes = "not an image at all".getBytes("UTF-8")
+    val df = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val row = Multimodal.decodePayload(spark, df, "doc_id", "payload")
+      .collect().head
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(row.getInt(1) == 16 + hex(0).toInt % 16)
+    assert(row.getInt(2) == 16 + hex(1).toInt % 16)
+    assert(row.getInt(3) == 1 + bytes.length % 8)
+    assert(row.getDouble(4) == hex.map(_.toInt).sum.toDouble / 32)
+  }
+
+  test("truncated image magic bytes degrade to the fallback, not a crash") {
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3)
+    val df = Seq((9L, junk)).toDF("doc_id", "payload")
+    val out = Multimodal.decodePayload(spark, df, "doc_id", "payload").collect()
+    assert(out.length == 1, "undecodable image bytes still yield a row")
+    assert(out.head.getInt(3) == 1 + junk.length % 8, "fallback features")
+  }
+}

@@ -67,4 +67,29 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch)
   }
+
+  test("stateful rollup NULL semantics match the batch aggregation: only " +
+    "a null KEY drops the row") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("nullev")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    Seq(
+      (Option(1L), Option(1.0), Option(t1)),
+      (Option(1L), Option.empty[Double], Option(t2)), // null value counts
+      (Option(1L), Option(2.0), Option.empty[java.sql.Timestamp]), // null ts counts
+      (Option.empty[Long], Option(9.0), Option(t1))) // null key drops
+      .toDF("user_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$sf/events.parquet")
+    val out = graft.streaming.StreamingSync.statefulUserRollup(spark, sf)
+      .collect()
+    assert(out.length == 1, "only the non-null key survives")
+    val r = out.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 3, "count(*) semantics: null value/ts rows count")
+    assert(r.getLong(2) == 300L, "sum skips the null value (neutral 0)")
+    val expectedUs = Seq(t2).toDF("ts")
+      .select(unix_micros(col("ts"))).head.getLong(0)
+    assert(r.getLong(3) == expectedUs, "max ignores the null ts")
+  }
 }
