@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Elementwise sum of quantized vectors as a typed Aggregator: one
+  * Array[Long] buffer per group, map-side partial aggregation, exact
+  * order-independent integer arithmetic.
+  *
+  * This replaces the posexplode → groupBy(cell, pos) → collect_list →
+  * array_sort centroid build: that shape shuffles `dim` rows per (group,
+  * map partition) and pays a second shuffle to reassemble the array, while
+  * this buffer shuffles ONE row of `dim` longs per (group, map partition)
+  * and no reassembly — the shuffle volume drops by ~dim× on the row count.
+  * (Preference order per the build rules: composing built-ins lost here on
+  * shuffle shape; a typed Aggregator is the (b)-tier extension point — no
+  * whole-operator plan surgery needed.)
+  */
+object VecSum extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+
+  def zero: Array[Long] = Array.emptyLongArray
+
+  private def add(b: Array[Long], a: Seq[Long]): Array[Long] = {
+    if (a == null) return b
+    if (b.length == 0) return a.toArray
+    require(a.length == b.length,
+      s"vector length mismatch: ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < b.length) { b(i) += a(i); i += 1 }
+    b
+  }
+
+  def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = add(b, a)
+
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    if (x.length == 0) y else add(x, y.toSeq)
+
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+
+  private lazy val fn = udaf(this)
+
+  /** Column function: elementwise sum of an ArrayType(LongType) column. */
+  def vecSum(c: Column): Column = fn(c)
+}

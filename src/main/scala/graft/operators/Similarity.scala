@@ -103,14 +103,7 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
       .withColumn("seed_cell",
         signLshBucket(col("vq"), 0 until seedBits, totalPlanes))
-    val centroids = v
-      .select(col("seed_cell"), posexplode(col("vq")).as(Seq("pos", "x")))
-      .groupBy("seed_cell", "pos")
-      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
-        .cast("long").as("cx"))
-      .groupBy(col("seed_cell").as("ccell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s.getField("cx")).as("cvq"))
+    val centroids = centroidsOf(v, "seed_cell", "vq")
     val dist = aggregate(
       zip_with(col("vq"), col("cvq"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
@@ -124,18 +117,19 @@ object Similarity {
 
   /** Elementwise floor-mean centroid per cell of quantized vectors —
     * deterministic (integer sums, exact-double division, floor) so Spark
-    * and an oracle agree bit-for-bit. Returns (ccell, cvq).
+    * and an oracle agree bit-for-bit. The elementwise sum is the VecSum
+    * typed Aggregator: one array buffer per (cell, map partition) instead
+    * of posexplode's dim-rows-per-vector shuffle. Returns (ccell, cvq).
     */
   private def centroidsOf(assigned: DataFrame, cellCol: String,
                           vqCol: String): DataFrame =
     assigned
-      .select(col(cellCol).as("__cell"), posexplode(col(vqCol)).as(Seq("pos", "x")))
-      .groupBy("__cell", "pos")
-      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
-        .cast("long").as("cx"))
-      .groupBy(col("__cell").as("ccell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s.getField("cx")).as("cvq"))
+      .groupBy(col(cellCol).as("ccell"))
+      .agg(graft.functions.VecSum.vecSum(col(vqCol)).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("ccell"),
+        transform(col("sums"),
+          s => floor(s.cast("double") / col("n")).cast("long")).as("cvq"))
 
   /** Exact integer squared distance between a vector and a centroid. */
   private def distQ(vq: Column, cvq: Column): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Contamination, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import graft.queries.Relational.Q
 
 /** LLM-training-data pipeline operators as named queries over `documents` /
@@ -195,6 +195,60 @@ object Pipeline {
         |SELECT c.a_id, c.b_id, c.cell, $cosSql AS cosine
         |FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
         |WHERE $cosSql >= 0.35""".stripMargin)),
+
+    // ── Decontamination: eval-split docs sharing discriminative 8-grams
+    //    with train-split docs (the pre-training train/test overlap check);
+    //    md5-fingerprint equi-join, boilerplate-8-gram cap at docfreq 128 ─
+    "x_decontaminate" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = t(s, d, "documents")
+        Contamination.ngramOverlapPairs(
+          docs.where(h >= 95), docs.where(h < 90), "doc_id", "text")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+        |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER)%100 AS h,
+        |  text FROM documents),
+        |trt AS (SELECT doc_id AS train_id, string_split_regex(lower(text),'\s+') AS l FROM s WHERE h < 90),
+        |evt AS (SELECT doc_id AS eval_id, string_split_regex(lower(text),'\s+') AS l FROM s WHERE h >= 95),
+        |trsh AS (SELECT train_id, unnest(list_distinct(CASE WHEN len(l)<8 THEN [array_to_string(l,' ')]
+        |  ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)] END)) AS sh FROM trt),
+        |evsh AS (SELECT eval_id, unnest(list_distinct(CASE WHEN len(l)<8 THEN [array_to_string(l,' ')]
+        |  ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)] END)) AS sh FROM evt),
+        |trfp AS (SELECT train_id, md5(sh) AS fp FROM trsh),
+        |evfp AS (SELECT eval_id, md5(sh) AS fp FROM evsh),
+        |trc AS (SELECT train_id, fp FROM (SELECT train_id, fp,
+        |  count(*) OVER (PARTITION BY fp) AS dfc FROM trfp) WHERE dfc <= 128)
+        |SELECT e.eval_id, t.train_id, count(*) AS n_shared
+        |FROM evfp e JOIN trc t USING (fp) GROUP BY 1, 2""".stripMargin)),
+
+    // ── Passage-level exact dedup: repeated 8-token passages across the
+    //    corpus (finer than whole-doc dedup — near-dups share passages) ────
+    "x_dedup_passage" -> Q(
+      (s, d) => Dedup.passageDuplicates(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |ps AS (SELECT doc_id, unnest([array_to_string(l[(i-1)*8+1:(i-1)*8+8],' ')
+        |  FOR i IN generate_series(1, CAST(ceil(len(l)/8.0) AS INTEGER))]) AS passage FROM tk)
+        |SELECT md5(passage) AS fp, min(doc_id) AS keep_doc,
+        |  count(*) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ps WHERE len(passage) >= 20 GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
+
+    // ── Corpus composition: per-source doc/token/language stats (the
+    //    mixing report a curation pipeline emits per crawl source) ─────────
+    "x_source_stats" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          countDistinct(col("lang")).as("n_langs")),
+      Some("""SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT)) AS BIGINT) AS n_tokens_total,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin)),
 
     // ── As-of join: each click matched to the user's most recent purchase
     //    at or before it (point-in-time lookup; DuckDB mirrors natively) ─────

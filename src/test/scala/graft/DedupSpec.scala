@@ -111,6 +111,39 @@ class DedupSpec extends AnyFunSuite {
     assert(full.values.toSet == Set(1L), "with budget, the chain collapses")
   }
 
+  test("passage dedup finds repeated 8-token spans across documents") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$span unique tail one two three four five six seven eight"),
+      (2L, s"$span other ending nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "completely different words with no shared passage at all here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L)),
+      "the shared leading passage (docs 1+2) is the only duplicate")
+  }
+
+  test("ngram overlap flags the contaminated eval/train pair only") {
+    import spark.implicits._
+    val leak = "one two three four five six seven eight nine ten eleven twelve"
+    val train = Seq(
+      (100L, s"$leak plus extra training material words here"),
+      (101L, "unrelated training doc with entirely different content words"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (200L, s"prefix words then $leak and a suffix"),
+      (201L, "clean eval doc sharing nothing with training data at all"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .ngramOverlapPairs(eval_, train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((200L, 100L)), "only the leaked pair surfaces")
+    assert(out((200L, 100L)) == 5,
+      "12 shared tokens in a run → 5 shared 8-grams")
+  }
+
   test("embedding near-dup finds identical vectors within a cell") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),

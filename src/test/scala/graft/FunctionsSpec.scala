@@ -41,6 +41,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1999L, 30L, 10001L, -501L))
   }
 
+  test("VecSum aggregates vectors elementwise, exactly, per group") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1L, 2L, 3L)), ("a", Seq(10L, 20L, 30L)),
+      ("b", Seq(-5L, 0L, 5L)))
+      .toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(graft.functions.VecSum.vecSum(org.apache.spark.sql.functions.col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") == Seq(11L, 22L, 33L))
+    assert(out("b") == Seq(-5L, 0L, 5L))
+    // partial/merge path: many partitions, one group
+    val big = (1 to 1000).map(i => ("g", Seq(i.toLong, 1L))).toDF("g", "v")
+      .repartition(8)
+    val s = big.groupBy("g")
+      .agg(graft.functions.VecSum.vecSum(org.apache.spark.sql.functions.col("v")))
+      .collect().head.getSeq[Long](1)
+    assert(s == Seq(500500L, 1000L))
+  }
+
   test("pgSizePretty mirrors the reference's unit ladder") {
     assert(Functions.pgSizePretty(0) == "0 bytes")
     assert(Functions.pgSizePretty(512) == "512 bytes")
