@@ -482,6 +482,59 @@ object Pipeline {
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS h
         |  FROM documents)""".stripMargin)),
 
+    // ── Stratified sampling: deterministic per-language sample of up to 25
+    //    docs, ranked by id-hash (stable under re-runs and reshuffling —
+    //    the curation "inspect N docs per stratum" op) ─────────────────────
+    "x_sample_stratified" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 5, 8), 16, 10)
+          .cast("long")
+        val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), h.as("h"))
+          .withColumn("sample_rank", row_number().over(w).cast("long"))
+          .where(col("sample_rank") <= 25)
+      },
+      Some("""SELECT doc_id, lang, h, CAST(rn AS BIGINT) AS sample_rank
+        |FROM (SELECT doc_id, lang, h,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8) AS BIGINT) AS h
+        |    FROM documents))
+        |WHERE rn <= 25""".stripMargin)),
+
+    // ── Vocabulary coverage: per-doc out-of-vocabulary rate against the
+    //    corpus's top-100 document-frequency vocabulary (the tokenizer-fit
+    //    signal; vocab is tiny → broadcast, corpus side stays narrow) ──────
+    "x_oov_rate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = docs
+          .select(explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("tok")).limit(100)
+          .select(col("tok"))
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        toks.join(broadcast(vocab.withColumn("__in", lit(1))), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"),
+            (sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("oov_rate"))
+      },
+      Some(s"""WITH vocab AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS df
+        |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY tok ORDER BY df DESC, tok LIMIT 100)),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok FROM documents)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id""".stripMargin)),
+
     // ── Vocabulary: top-20 tokens by document frequency (exact, with a
     //    deterministic tie-break) ──────────────────────────────────────────
     "x_top_tokens" -> Q(
