@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the quantized-vector hot path.
+  *
+  * The composed built-in form `aggregate(zip_with(a, b, _*_), 0, _+_)` is
+  * codegen'd but materializes the zipped intermediate array per row and
+  * runs the fold through per-element lambda plumbing; these expressions
+  * `doGenCode` a single allocation-free loop over the two `ArrayData`
+  * buffers (the (b)-tier extension point from the build rules: a native
+  * `Expression` beats a UDF beats everything else). Semantics: inputs are
+  * non-null-element long arrays (quantized vectors); length mismatch
+  * truncates to the shorter input.
+  */
+abstract class VectorLoopExpression extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  /** Scala accumulation step for one element pair. */
+  protected def step(acc: Long, x: Long, y: Long): Long
+  /** Java source for the accumulation step over element vars `x`/`y`. */
+  protected def stepCode(acc: String, x: String, y: String): String
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s = step(s, a.getLong(i), b.getLong(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($i);
+         |  ${stepCode(s, x, y)}
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** Exact integer dot product of two quantized vectors. */
+case class DotProductLong(left: Expression, right: Expression)
+  extends VectorLoopExpression {
+  override def prettyName: String = "dot_product_long"
+  protected def step(acc: Long, x: Long, y: Long): Long = acc + x * y
+  protected def stepCode(acc: String, x: String, y: String): String =
+    s"$acc += $x * $y;"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer squared Euclidean distance between two quantized vectors. */
+case class SquaredDistanceLong(left: Expression, right: Expression)
+  extends VectorLoopExpression {
+  override def prettyName: String = "squared_distance_long"
+  protected def step(acc: Long, x: Long, y: Long): Long = {
+    val d = x - y; acc + d * d
+  }
+  protected def stepCode(acc: String, x: String, y: String): String =
+    s"long __d = $x - $y; $acc += __d * __d;"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeExpressions {
+  /** Column wrapper: exact integer dot product. */
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: exact integer squared distance. */
+  def squaredDistLong(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDistanceLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -26,13 +26,15 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native codegen
+    * Expression (single allocation-free loop; see NativeExpressions).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.NativeExpressions.dotLong(a, b)
 
   /** Exact integer squared norm. */
   def norm2Q(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    graft.functions.NativeExpressions.dotLong(a, a)
 
   /** Bit-deterministic cosine from exact integer dot and squared norms. */
   def cosineFromQ(dot: Column, n2a: Column, n2b: Column): Column =
@@ -104,9 +106,8 @@ object Similarity {
       .withColumn("seed_cell",
         signLshBucket(col("vq"), 0 until seedBits, totalPlanes))
     val centroids = centroidsOf(v, "seed_cell", "vq")
-    val dist = aggregate(
-      zip_with(col("vq"), col("cvq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val dist =
+      graft.functions.NativeExpressions.squaredDistLong(col("vq"), col("cvq"))
     val w = Window.partitionBy(col("id")).orderBy(asc("dist_q"), asc("ccell"))
     v.crossJoin(broadcast(centroids))
       .select(col("id"), col("seed_cell"), col("ccell"), dist.as("dist_q"))
@@ -131,10 +132,11 @@ object Similarity {
         transform(col("sums"),
           s => floor(s.cast("double") / col("n")).cast("long")).as("cvq"))
 
-  /** Exact integer squared distance between a vector and a centroid. */
+  /** Exact integer squared distance between a vector and a centroid —
+    * native codegen Expression (see NativeExpressions).
+    */
   private def distQ(vq: Column, cvq: Column): Column =
-    aggregate(zip_with(vq, cvq, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.NativeExpressions.squaredDistLong(vq, cvq)
 
   /** Multi-probe IVF top-k: instead of probing only the query's own cell
     * (`ivfTopK` — recall loss when the true neighbor sits just across a

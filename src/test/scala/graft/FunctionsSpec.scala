@@ -41,6 +41,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1999L, 30L, 10001L, -501L))
   }
 
+  test("native dot/squared-distance expressions match the composed form") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(16)(rnd.nextLong() % 1000000L),
+      Seq.fill(16)(rnd.nextLong() % 1000000L)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      graft.functions.NativeExpressions.dotLong(col("a"), col("b")).as("dot"),
+      graft.functions.NativeExpressions.squaredDistLong(col("a"), col("b")).as("d2"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("dot_ref"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("d2_ref")).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), "dot parity with zip_with form")
+      assert(r.getLong(1) == r.getLong(3), "dist parity with zip_with form")
+    }
+    // null input propagates null (BinaryExpression null-safety)
+    val withNull = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+      .select(graft.functions.NativeExpressions.dotLong(col("a"), col("b")))
+      .collect().head
+    assert(withNull.isNullAt(0))
+  }
+
   test("VecSum aggregates vectors elementwise, exactly, per group") {
     val spark = TestSpark.spark
     import spark.implicits._
