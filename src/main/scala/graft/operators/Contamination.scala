@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: find evaluation documents that share long
@@ -32,9 +31,14 @@ object Contamination {
         explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n)))
           .as("sh"))
       .select(col(as), md5(col("sh")).as("fp"))
-    val trainCapped = fps(trainDocs, "train_id")
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
-      .where(col("__df") <= maxDocFreq).drop("__df")
+    val train = fps(trainDocs, "train_id")
+    // boilerplate blocklist: n-grams in > maxDocFreq train docs. A groupBy
+    // partial-aggregates map-side and the resulting heavy-fp list is TINY
+    // (only the boilerplate tail), so the cap is a broadcast anti join —
+    // cheaper at every scale than window-counting the full fp stream
+    val heavy = train.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("fp")
+    val trainCapped = train.join(broadcast(heavy), Seq("fp"), "left_anti")
     fps(evalDocs, "eval_id").join(trainCapped, "fp")
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -610,6 +610,50 @@ object Pipeline {
         |    CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))""".stripMargin)),
 
+    // ── Full curation pipeline composed end-to-end: quality gate →
+    //    exact-dedup survivors → train-split gate → per-shard token-budget
+    //    packing. One declarative plan: Catalyst fuses the narrow stages
+    //    and the only shuffles are the dedup fingerprint and the pack
+    //    window — the composition a real corpus build runs nightly ────────
+    "x_pipeline_e2e" -> Q(
+      (s, d) => {
+        val fpW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") % Pipeline.PackShards
+        val packW = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .where(col("n_tokens") >= 30)                       // quality gate
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("__rn", row_number().over(fpW))
+          .where(col("__rn") === 1)                           // dedup survivor
+          .where(h < 90)                                      // train split
+          .withColumn("shard", shard)
+          .withColumn("cum", sum(col("n_tokens")).over(packW))
+          .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+            expr("(cum - 1) div 4096").as("bin"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, lang, text,
+        |  CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text),'\\s+')) >= 30),
+        |sfp AS (SELECT *, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM sfp),
+        |tr AS (SELECT doc_id, lang, n_tokens FROM r WHERE rn = 1
+        |  AND CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER)%100 < 90),
+        |sh AS (SELECT doc_id, lang, n_tokens,
+        |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,2) AS INTEGER)%${Pipeline.PackShards} AS shard
+        |  FROM tr)
+        |SELECT doc_id, lang, shard, n_tokens, CAST((cum - 1) // 4096 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, lang, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)""".stripMargin)),
+
     // ── Embedding pooling: elementwise mean per label over quantized
     //    vectors (doc/corpus-level embedding from member vectors); output
     //    exploded by position so every value is a scalar exact integer ─────
