@@ -267,11 +267,18 @@ object Dedup {
     reliableDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // both union branches read e0; without a persist the upstream candidate
+    // join would run twice inside the edges job (no ReusedExchange across
+    // a self-union), so materialize e0 once and release it as soon as the
+    // symmetric edge set is pinned
     val e0 = pairs.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // pin edges now so e0 can be dropped before the rounds
+    e0.unpersist()
     // warm start: fold the first propagation hop into initialization
     // (label = min of self and direct neighbors), saving one full round
     var labels = edges
