@@ -48,6 +48,43 @@ class PlanAuditSpec extends AnyFunSuite {
         "parallelism would not scale past language count")
   }
 
+  test("pack bins respect the token budget up to one straddling document") {
+    val out = SparkEntry.queries("x_pack_greedy")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(4),
+        r.getLong(3))) // (lang, shard, bin, n_tokens)
+    val maxDoc = out.map(_._4).max
+    out.groupBy(t => (t._1, t._2, t._3)).foreach { case (key, rows) =>
+      val total = rows.map(_._4).sum
+      assert(total < 4096 + maxDoc,
+        s"bin $key holds $total tokens — exceeds budget + one straddler")
+    }
+    // bins are contiguous from 0 within each shard (greedy never skips)
+    out.groupBy(t => (t._1, t._2)).foreach { case (key, rows) =>
+      val bins = rows.map(_._3).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length).toSeq,
+        s"shard $key has non-contiguous bins: $bins")
+    }
+  }
+
+  test("split assignment lands near the declared 90/5/5 fractions") {
+    val rows = SparkEntry.queries("x_split_assign")(spark, "/root/testdata/sf0.01")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.values.sum.toDouble
+    assert(math.abs(rows("train") / n - 0.90) < 0.05,
+      s"train fraction ${rows("train") / n} far from 0.90")
+    assert(rows.keySet == Set("train", "val", "test"))
+  }
+
+  test("pipeline-e2e scan prunes to the three referenced columns") {
+    val plan = SparkEntry.queries("x_pipeline_e2e")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3,
+      s"expected doc_id/lang/text only, got: $readSchema")
+  }
+
   test("parquet scans prune columns: s1 reads only the projected four") {
     val plan = SparkEntry.queries("s1_scan_project")(spark, sf)
       .queryExecution.executedPlan.toString
