@@ -767,6 +767,20 @@ object Pipeline {
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events GROUP BY 1, 2")),
 
+    // ── Structured Streaming: stream-stream self-join — both sides buffer
+    //    in the state store, matches emit exactly once (append mode); same
+    //    output contract and oracle as the batch x_range_join ─────────────
+    "stream_range_join" -> Q(
+      (s, d) => graft.streaming.StreamingSync
+        .streamStreamRangeJoin(s, d, beforeUs = 600000000L),
+      Some("""SELECT p.user_id, p.event_id AS l_id, epoch_us(p.ts) AS l_us,
+        |  c.event_id AS r_id, epoch_us(c.ts) AS r_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin)),
+
     // ── Structured Streaming: exact dedup with engine state (append mode
     //    emits each distinct key exactly once) ───────────────────────────────
     "stream_dedup" -> Q(

@@ -227,6 +227,54 @@ object StreamingSync {
     else ss.read.parquet(sinkDir)
   }
 
+  /** Stream-stream self-join: (purchase, click) pairs within the
+    * `beforeUs` window before each purchase, computed with BOTH sides as
+    * streams — the engine buffers each side's rows in the state store and
+    * emits a match as soon as both halves arrive (the real-time variant of
+    * the batch `RangeJoin.timeRangePairs`; same output contract, so the
+    * same oracle checks both). Inner join in append mode: each match is
+    * emitted exactly once. Batch-parity runs set no watermark (state holds
+    * the bounded corpus); a continuous deployment sets
+    * `graft.stream.watermark` on both sides so join state is evicted once
+    * the window can no longer match — the documented state-boundedness
+    * contract for production stream-stream joins.
+    */
+  def streamStreamRangeJoin(spark: SparkSession, sfDir: String,
+                            beforeUs: Long): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val base = freshBase(ss, "ssjoin")
+    val ev = eventsStream(ss, sfDir, base)
+    // per-side column names keep the self-join unambiguous (both sides
+    // share the source stream's lineage)
+    def side(kind: String, p: String) =
+      withOptionalWatermark(ss,
+        ev.where(col("event_type") === kind), "ts")
+        .select(col("user_id").as(s"${p}_uid"),
+          col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"))
+    val purchases = side("purchase", "l")
+    val clicks = side("click", "r")
+    val joined = purchases.join(clicks,
+      col("l_uid") === col("r_uid") &&
+        unix_micros(col("r_ts")) >= unix_micros(col("l_ts")) - beforeUs &&
+        unix_micros(col("r_ts")) <= unix_micros(col("l_ts")))
+      .select(col("l_uid").as("user_id"), col("l_id"),
+        unix_micros(col("l_ts")).as("l_us"),
+        col("r_id"), unix_micros(col("r_ts")).as("r_us"))
+    val sinkDir = s"$base/sink"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName("graft_stream_range_join")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!sinkExists(ss, sinkDir)) emptyLike(ss, joined.schema)
+    else ss.read.parquet(sinkDir)
+  }
+
   /** The reference's flagship — incremental table sync — in streaming form:
     * new files in the source directory append to the warehouse table
     * exactly once (the checkpoint is the high-watermark; re-running after
