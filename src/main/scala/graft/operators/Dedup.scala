@@ -265,8 +265,12 @@ object Dedup {
     val spark = pairs.sparkSession
     val reliableDir = spark.conf.getOption("graft.checkpointDir")
     reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    // LAZY checkpoint: the convergence count below is the first action on
+    // each round's labels, so it materializes the checkpoint in the SAME
+    // job — eager would spend one extra job per round just materializing
     def materialize(df: DataFrame): DataFrame =
-      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (reliableDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // both union branches read e0; without a persist the upstream candidate
     // join would run twice inside the edges job (no ReusedExchange across
     // a self-union), so materialize e0 once and release it as soon as the
