@@ -171,7 +171,10 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
           s"${graft.schema.WarehouseDdl.dialects.keys.mkString(", ")})"))
     val pk = cfg.tables.get(name).flatMap(_.primaryKey).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    d.createTable(name, sourceTable(name).schema, pk)
+    // captured schema first (two-phase contract: works with the source
+    // detached, same as load); live source only as fallback
+    val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
+    d.createTable(name, schema, pk)
   }
 
   /** `list`: source tables with sizes (pgwarehouse.py:218-237). */

@@ -35,7 +35,9 @@ object VecSum extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = add(b, a)
 
   def merge(x: Array[Long], y: Array[Long]): Array[Long] =
-    if (x.length == 0) y else add(x, y.toSeq)
+    if (x.length == 0) y
+    else if (y.length == 0) x // all-null partition leaves an empty partial
+    else add(x, y.toSeq)
 
   def finish(b: Array[Long]): Seq[Long] = b.toSeq
 

@@ -12,7 +12,12 @@ import org.apache.spark.sql.DataFrame
   * memory cannot leak without `unpersistAll` ever being called.
   */
 private[operators] object CacheRegistry {
-  private val maxEntries = 16
+  // Sized so eviction only triggers in genuinely long-lived sessions:
+  // evicting a table whose lazy consumer has not executed yet silently
+  // restores the double-computation the persist prevents, so the bound is
+  // a leak backstop, not a working-set size — 64 live lazily-planned LSH
+  // queries in one session is already pathological.
+  private val maxEntries = 64
   private val entries =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 

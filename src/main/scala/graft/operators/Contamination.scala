@@ -32,13 +32,14 @@ object Contamination {
           .as("sh"))
       .select(col(as), md5(col("sh")).as("fp"))
     val train = fps(trainDocs, "train_id")
-    // boilerplate blocklist: n-grams in > maxDocFreq train docs. A groupBy
-    // partial-aggregates map-side and the resulting heavy-fp list is TINY
-    // (only the boilerplate tail), so the cap is a broadcast anti join —
-    // cheaper at every scale than window-counting the full fp stream
+    // boilerplate blocklist: n-grams in > maxDocFreq train docs. The
+    // groupBy partial-aggregates map-side; the heavy-fp list is usually
+    // small (the boilerplate tail) but grows with corpus size, so NO
+    // broadcast hint — AQE broadcasts the anti join while the list fits
+    // and falls back to a shuffled anti join when it doesn't
     val heavy = train.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("fp")
-    val trainCapped = train.join(broadcast(heavy), Seq("fp"), "left_anti")
+    val trainCapped = train.join(heavy, Seq("fp"), "left_anti")
     fps(evalDocs, "eval_id").join(trainCapped, "fp")
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))

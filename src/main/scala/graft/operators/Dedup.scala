@@ -254,7 +254,13 @@ object Dedup {
     * set, each round checkpoints RELIABLY to that (shared) directory so a
     * long multi-round job survives executor loss on a real cluster;
     * otherwise `localCheckpoint` (executor-local blocks) is used — fine on
-    * local[*], not durable on a cluster.
+    * local[*], not durable on a cluster. Reliable-round files are deleted
+    * as soon as the NEXT round has materialized (Spark itself only cleans
+    * checkpoints with referenceTracking.cleanCheckpoints on), so the
+    * steady-state footprint is two rounds of labels, not rounds×runs; the
+    * FINAL round's files back the returned DataFrame and are the caller's
+    * to remove after consuming it. Note `setCheckpointDir` applies
+    * session-wide.
     *
     * If the loop hits `maxIter` with labels still changing (a component
     * whose diameter exceeds the budget), the partially-propagated labels
@@ -271,6 +277,29 @@ object Dedup {
     def materialize(df: DataFrame): DataFrame =
       if (reliableDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
+    // Reliable-round garbage collection: once round N has materialized (the
+    // convergence count is its first action), round N-1's rdd-* checkpoint
+    // dirs are dead — delete them. Tracked by snapshot-diffing the context
+    // checkpoint dir, so only dirs THIS loop created are ever touched.
+    val ckFs = reliableDir.map { _ =>
+      val root =
+        new org.apache.hadoop.fs.Path(spark.sparkContext.getCheckpointDir.get)
+      (root, root.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    def listCk(): Set[String] = ckFs.fold(Set.empty[String]) { case (root, fs) =>
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).map(_.getPath.toString).toSet
+    }
+    var ckSeen = listCk()
+    var ckPrevRound = Set.empty[String]
+    def dropPreviousRoundCheckpoints(): Unit = ckFs.foreach { case (_, fs) =>
+      val now = listCk()
+      val created = now -- ckSeen // this round's dirs
+      ckPrevRound.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      ckSeen = now -- ckPrevRound // what remains on disk
+      ckPrevRound = created       // becomes deletable once the next round lands
+    }
     // both union branches read e0; without a persist the upstream candidate
     // join would run twice inside the edges job (no ReusedExchange across
     // a self-union), so materialize e0 once and release it as soon as the
@@ -308,6 +337,7 @@ object Dedup {
             least(coalesce(col("nbl"), col("label")),
               coalesce(col("ll"), col("label")))).as("next")))
       changed = updated.where(col("next") =!= col("label")).count()
+      dropPreviousRoundCheckpoints()
       labels = updated.select(col("node"), col("next").as("label"))
       iter += 1
     }

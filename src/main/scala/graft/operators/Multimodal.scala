@@ -57,8 +57,13 @@ object Multimodal {
   private def decodeOne(md: java.security.MessageDigest, id: Long,
                         bytes: Array[Byte]): DecodedFeature = {
     if (looksLikeImage(bytes)) {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO returns null when no reader claims the stream but THROWS
+      // when a reader claims it by magic bytes and the body is malformed
+      // (truncated JPEG, text that happens to start with "BM"/"GIF8"…) —
+      // either way the row must degrade to the fallback, not kill the job
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
       if (img != null) {
         // mean luminance over all pixels: (r+g+b)/3 averaged. Integer sum
         // first (exact), one division at the end — deterministic.

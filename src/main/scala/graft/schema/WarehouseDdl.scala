@@ -157,8 +157,14 @@ object WarehouseDdl {
       else "String"
     }
 
+    // reserved words are quoted like the reference; names with spaces are
+    // ALSO quoted (the reference leaves them bare — snowflake_backend.py
+    // :111-115 — which Snowflake rejects as a syntax error; quoting is the
+    // strictly-safer superset of its behavior)
     def quoteName(raw: String): String =
-      if (ReservedColNames.contains(raw.toLowerCase)) "\"" + raw + "\"" else raw
+      if (ReservedColNames.contains(raw.toLowerCase) || raw.contains(" "))
+        "\"" + raw + "\""
+      else raw
 
     def createTable(table: String, columns: Seq[(String, String)],
                     primaryKey: Seq[String]): String = {

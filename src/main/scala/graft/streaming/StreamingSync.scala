@@ -254,10 +254,14 @@ object StreamingSync {
           col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"))
     val purchases = side("purchase", "l")
     val clicks = side("click", "r")
+    // the range condition stays in TIMESTAMP arithmetic (not unix_micros):
+    // Spark derives stream-stream state-cleanup watermarks only from
+    // conditions it can analyze over the watermarked ts columns — wrapping
+    // them in a function would silently disable join-state eviction
     val joined = purchases.join(clicks,
       col("l_uid") === col("r_uid") &&
-        unix_micros(col("r_ts")) >= unix_micros(col("l_ts")) - beforeUs &&
-        unix_micros(col("r_ts")) <= unix_micros(col("l_ts")))
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $beforeUs MICROSECOND") &&
+        col("r_ts") <= col("l_ts"))
       .select(col("l_uid").as("user_id"), col("l_id"),
         unix_micros(col("l_ts")).as("l_us"),
         col("r_id"), unix_micros(col("r_ts")).as("r_us"))

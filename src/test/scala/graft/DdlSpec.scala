@@ -67,6 +67,13 @@ class DdlSpec extends AnyFunSuite {
         "name VARCHAR, email VARCHAR, age BIGINT);")
   }
 
+  test("snowflake: space-bearing column names are quoted (the reference " +
+    "emits them bare, which the server rejects)") {
+    val sql = Snowflake.createTable("local_parks", localParks, Nil)
+    assert(sql.contains("\"park state\" STRING"),
+      s"space column must be quoted, got: $sql")
+  }
+
   test("snowflake: no PK clause, reserved column names double-quoted") {
     assert(Snowflake.createTable("users10", users10, Seq("id")) ==
       "CREATE TABLE IF NOT EXISTS users10 (id BIGINT, name STRING, " +

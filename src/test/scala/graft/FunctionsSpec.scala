@@ -88,6 +88,16 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(graft.functions.VecSum.vecSum(org.apache.spark.sql.functions.col("v")))
       .collect().head.getSeq[Long](1)
     assert(s == Seq(500500L, 1000L))
+    // null vectors are the sum's neutral element — including partitions
+    // whose rows are ALL null (empty partial meets non-empty in merge)
+    val withNulls = (
+      (1 to 8).map(i => ("g", Option(Seq(i.toLong)))) ++
+        Seq.fill(8)(("g", Option.empty[Seq[Long]])))
+      .toDF("g", "v").repartition(4, org.apache.spark.sql.functions.col("v"))
+    val ns = withNulls.groupBy("g")
+      .agg(graft.functions.VecSum.vecSum(org.apache.spark.sql.functions.col("v")))
+      .collect().head.getSeq[Long](1)
+    assert(ns == Seq(36L), "null rows skipped, empty partials merge cleanly")
   }
 
   test("pgSizePretty mirrors the reference's unit ladder") {

@@ -56,4 +56,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 1, "undecodable image bytes still yield a row")
     assert(out.head.getInt(3) == 1 + junk.length % 8, "fallback features")
   }
+
+  test("text that matches an image magic prefix falls back instead of " +
+    "crashing the job") {
+    // 'BM...' satisfies the 2-byte BMP sniff; a reader claims it and then
+    // throws on the malformed body — decodeOne must catch and degrade
+    val bmText = "BM25 ranking is a bag-of-words retrieval function"
+      .getBytes("UTF-8")
+    val gifText = "GIF89a-like prose that is not actually an image"
+      .getBytes("UTF-8")
+    val truncatedJpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0)
+    val df = Seq((1L, bmText), (2L, gifText), (3L, truncatedJpeg))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodePayload(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(1L) == 1 + bmText.length % 8, "BM-prefixed text → fallback")
+    assert(out(2L) == 1 + gifText.length % 8, "GIF-prefixed text → fallback")
+    assert(out(3L) == 1 + truncatedJpeg.length % 8,
+      "truncated JPEG → fallback")
+  }
 }
