@@ -95,6 +95,29 @@ class MergeSpec extends AnyFunSuite {
       Seq(2L, "b", 1, "new"), Seq(9L, "a", 1, "new9")))
   }
 
+  test("composite-key merge is idempotent across random change sets") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val target = Seq.tabulate(40)(i =>
+        (i.toLong % 8, s"s${i % 5}", rnd.nextInt(3), s"t$i"))
+        .toDF("id", "sub", "ver", "payload")
+      val changes = Seq.fill(25) {
+        val id = rnd.nextInt(10).toLong
+        val sub = s"s${rnd.nextInt(5)}"
+        (id, sub, 10 + rnd.nextInt(3), s"c$id$sub")
+      }.toDF("id", "sub", "ver", "payload")
+      val once = Merge.merge(target, changes, Seq("id", "sub"), "ver",
+        tieBreakers = Seq("payload"))
+      val twice = Merge.merge(once, changes, Seq("id", "sub"), "ver",
+        tieBreakers = Seq("payload"))
+      assert(rows(once) == rows(twice))
+      // exactly one row per composite key
+      val keys = once.select("id", "sub").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(keys.length == keys.distinct.length)
+    }
+  }
+
   test("graft.sync.strictSinglePk restores the reference-parity rejection") {
     val engine = new SyncEngine(spark)
     val df = Seq((1L, "a", 1, "x")).toDF("id", "sub", "ver", "payload")
