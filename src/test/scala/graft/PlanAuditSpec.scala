@@ -85,6 +85,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected doc_id/lang/text only, got: $readSchema")
   }
 
+  test("watermark predicate pushes into the parquet scan") {
+    val plan = SparkEntry.queries("p3_watermark_pk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThan".r.findFirstIn(plan).isDefined,
+      s"incremental > predicate must reach the scan; plan was:\n$plan")
+  }
+
+  test("catalog left join broadcasts the small dimension side") {
+    val plan = SparkEntry.queries("j4_left_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation dim should broadcast, not shuffle both sides")
+  }
+
   test("parquet scans prune columns: s1 reads only the projected four") {
     val plan = SparkEntry.queries("s1_scan_project")(spark, sf)
       .queryExecution.executedPlan.toString
