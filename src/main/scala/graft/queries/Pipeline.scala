@@ -535,6 +535,26 @@ object Pipeline {
         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         |GROUP BY t.doc_id""".stripMargin)),
 
+    // ── Tokenizer training prep: top-20 adjacent token bigrams by corpus
+    //    frequency — the statistic a BPE/WordPiece merge step maximizes ────
+    "x_bpe_pair_stats" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+        // guard: Spark's sequence(1, 0) counts DOWN (DuckDB's
+        // generate_series(1, 0) is empty) — single-token docs emit no pairs
+        .select(explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(20),
+      Some("""WITH tk AS (SELECT string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |pr AS (SELECT unnest([l[i] || ' ' || l[i+1]
+        |  FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair FROM tk)
+        |SELECT pair, count(*) AS n FROM pr
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
     // ── Vocabulary: top-20 tokens by document frequency (exact, with a
     //    deterministic tie-break) ──────────────────────────────────────────
     "x_top_tokens" -> Q(
@@ -780,6 +800,14 @@ object Pipeline {
         |  ON p.user_id = c.user_id
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin)),
+
+    // ── Structured Streaming: stream-static dimension enrichment — the
+    //    static customer table broadcasts into every micro-batch ──────────
+    "stream_enrich" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamStaticEnrich(s, d),
+      Some("""SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+        |  c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
 
     // ── Structured Streaming: exact dedup with engine state (append mode
     //    emits each distinct key exactly once) ───────────────────────────────

@@ -279,6 +279,36 @@ object StreamingSync {
     else ss.read.parquet(sinkDir)
   }
 
+  /** Stream-static enrichment: the events stream inner-joined row-by-row
+    * against a STATIC dimension table (no state store involved — the
+    * static side broadcasts into every micro-batch, the canonical
+    * dimension-lookup shape). Append mode: each enriched event emits
+    * exactly once.
+    */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "enrich")
+    val ev = eventsStream(ss, sfDir, base)
+    val cust = graft.io.Tables.table(ss, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = ev
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("c_mktsegment"))
+    val sinkDir = s"$base/sink"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName("graft_stream_enrich")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!sinkExists(ss, sinkDir)) emptyLike(ss, joined.schema)
+    else ss.read.parquet(sinkDir)
+  }
+
   /** The reference's flagship — incremental table sync — in streaming form:
     * new files in the source directory append to the warehouse table
     * exactly once (the checkpoint is the high-watermark; re-running after

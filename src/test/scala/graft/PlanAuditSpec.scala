@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val sideEffecting =
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
-      "stream_range_join", "s2_csv_roundtrip")
+      "stream_range_join", "stream_enrich", "s2_csv_roundtrip")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf_multiprobe: k tiny centroid rows broadcast
   // against every vector (assign/probe-selection step) — deliberate
