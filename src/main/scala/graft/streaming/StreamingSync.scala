@@ -206,6 +206,27 @@ object StreamingSync {
     * bound state for time-scoped keys (global keys here → NoTimeout
     * semantics, like a dedup over a bounded backfill).
     */
+  /** Shared append-mode runner: drain `df` to a parquet sink with
+    * AvailableNow and return the sink contents (empty-schema result when
+    * the source produced no batches). The append-mode twin of
+    * `runToChangelog`.
+    */
+  private def runAppendSink(ss: SparkSession, df: DataFrame, base: String,
+                            name: String): DataFrame = {
+    val sinkDir = s"$base/sink"
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!sinkExists(ss, sinkDir)) emptyLike(ss, df.schema)
+    else ss.read.parquet(sinkDir)
+  }
+
   def streamingDedup(spark: SparkSession, sfDir: String,
                      keyCols: Seq[String]): DataFrame = {
     val ss = streamSession(spark)
@@ -213,18 +234,7 @@ object StreamingSync {
     val distinctRows = eventsStream(ss, sfDir, base)
       .select(keyCols.map(col): _*)
       .dropDuplicates(keyCols)
-    val sinkDir = s"$base/sink"
-    val q = distinctRows.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", s"$base/ckpt")
-      .queryName("graft_stream_dedup")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (!sinkExists(ss, sinkDir)) emptyLike(ss, distinctRows.schema)
-    else ss.read.parquet(sinkDir)
+    runAppendSink(ss, distinctRows, base, "graft_stream_dedup")
   }
 
   /** Stream-stream self-join: (purchase, click) pairs within the
@@ -265,25 +275,15 @@ object StreamingSync {
       .select(col("l_uid").as("user_id"), col("l_id"),
         unix_micros(col("l_ts")).as("l_us"),
         col("r_id"), unix_micros(col("r_ts")).as("r_us"))
-    val sinkDir = s"$base/sink"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", s"$base/ckpt")
-      .queryName("graft_stream_range_join")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (!sinkExists(ss, sinkDir)) emptyLike(ss, joined.schema)
-    else ss.read.parquet(sinkDir)
+    runAppendSink(ss, joined, base, "graft_stream_range_join")
   }
 
   /** Stream-static enrichment: the events stream inner-joined row-by-row
     * against a STATIC dimension table (no state store involved — the
-    * static side broadcasts into every micro-batch, the canonical
-    * dimension-lookup shape). Append mode: each enriched event emits
-    * exactly once.
+    * canonical dimension-lookup shape). No broadcast hint: the dimension
+    * grows with the corpus, so the planner picks broadcast while it fits
+    * the threshold and falls back to a shuffled join beyond it. Append
+    * mode: each enriched event emits exactly once.
     */
   def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -292,21 +292,10 @@ object StreamingSync {
     val cust = graft.io.Tables.table(ss, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = ev
-      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(cust, col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("c_mktsegment"))
-    val sinkDir = s"$base/sink"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", s"$base/ckpt")
-      .queryName("graft_stream_enrich")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (!sinkExists(ss, sinkDir)) emptyLike(ss, joined.schema)
-    else ss.read.parquet(sinkDir)
+    runAppendSink(ss, joined, base, "graft_stream_enrich")
   }
 
   /** The reference's flagship — incremental table sync — in streaming form:

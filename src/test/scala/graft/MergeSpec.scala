@@ -101,10 +101,13 @@ class MergeSpec extends AnyFunSuite {
       val target = Seq.tabulate(40)(i =>
         (i.toLong % 8, s"s${i % 5}", rnd.nextInt(3), s"t$i"))
         .toDF("id", "sub", "ver", "payload")
-      val changes = Seq.fill(25) {
+      // payload varies per DRAW (k), not per key — same-key same-ver rows
+      // with different payloads force the tieBreakers path to actually
+      // resolve deterministically
+      val changes = Seq.tabulate(25) { k =>
         val id = rnd.nextInt(10).toLong
         val sub = s"s${rnd.nextInt(5)}"
-        (id, sub, 10 + rnd.nextInt(3), s"c$id$sub")
+        (id, sub, 10 + rnd.nextInt(3), s"c$id$sub$k")
       }.toDF("id", "sub", "ver", "payload")
       val once = Merge.merge(target, changes, Seq("id", "sub"), "ver",
         tieBreakers = Seq("payload"))

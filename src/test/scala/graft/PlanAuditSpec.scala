@@ -93,10 +93,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("catalog left join broadcasts the small dimension side") {
+    // guards the explicit broadcast hint on the region dimension from
+    // being dropped — the planner would usually still broadcast at this
+    // size, but the hint is the declared 100 TB posture
     val plan = SparkEntry.queries("j4_left_join")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
-      "nation dim should broadcast, not shuffle both sides")
+      "region dim must broadcast (hint dropped?), not shuffle both sides")
   }
 
   test("parquet scans prune columns: s1 reads only the projected four") {

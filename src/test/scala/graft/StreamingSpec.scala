@@ -68,6 +68,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment equals the batch join at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSync.streamStaticEnrich(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val batch = Tables.table(spark, sf, "events")
+      .join(Tables.table(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful rollup NULL semantics match the batch aggregation: only " +
     "a null KEY drops the row") {
     import spark.implicits._
