@@ -266,6 +266,15 @@ object Dedup {
     * whose diameter exceeds the budget), the partially-propagated labels
     * would silently disagree with a full transitive closure — so this
     * throws instead; raise `maxIter` for pathological chain-shaped data.
+    *
+    * Small-graph fast path: candidate pairs from a well-deduped corpus are
+    * typically a vanishing fraction of it. When the symmetric edge set
+    * fits `graft.clusters.driverMaxEdges` (default 1M edges ≈ tens of MB),
+    * the components are solved by a driver-side union-find in
+    * milliseconds — identical min-label output — instead of paying
+    * cluster-scheduling overhead per propagation round (measured 3.5s for
+    * 255 pairs on local[32]). The distributed loop remains the path for
+    * genuinely large pair sets, where it is the only option.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -310,8 +319,17 @@ object Dedup {
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // pin edges now so e0 can be dropped before the rounds
+    val nEdges =
+      edges.count() // pin edges now so e0 can be dropped before the rounds
     e0.unpersist()
+
+    val driverMax = spark.conf.getOption("graft.clusters.driverMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    if (nEdges <= driverMax) {
+      val out = unionFindClusters(edges)
+      edges.unpersist()
+      return out
+    }
     // warm start: fold the first propagation hop into initialization
     // (label = min of self and direct neighbors), saving one full round
     var labels = edges
@@ -377,6 +395,53 @@ object Dedup {
         count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc")).as("n_docs"))
       .where(col("n_occurrences") > 1)
+
+  /** Driver-side union-find over a collected symmetric edge set: path
+    * compression + min-tracking per root, so the emitted cluster label is
+    * the component MINIMUM — bit-identical to the distributed min-label
+    * propagation and the oracle's recursive closure. Key type is whatever
+    * the id column holds (Long/Int/String all order via Comparable).
+    */
+  private def unionFindClusters(edges: DataFrame): DataFrame = {
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: java.lang.Comparable[_], b) =>
+        a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+      case _ => x.toString < y.toString
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) {
+        parent(r) = parent(parent(r)) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { m =>
+      val r = find(m)
+      minOfRoot.get(r) match {
+        case Some(cur) => if (lt(m, cur)) minOfRoot(r) = m
+        case None      => minOfRoot(r) = m
+      }
+    }
+    val idType = edges.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("cluster", idType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        parent.keys.toSeq.map(m =>
+          org.apache.spark.sql.Row(m, minOfRoot(find(m))))).asJava
+    edges.sparkSession.createDataFrame(rows, schema)
+  }
 
   /** Embedding near-duplicates: pairs in the same (cell, sign-LSH bucket)
     * with cosine above threshold, from exact integer dot/norms

@@ -73,7 +73,8 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains((4L, 5L)), "unrelated docs filtered by hamming")
   }
 
-  test("dedup clusters: chains collapse transitively to the min id") {
+  test("dedup clusters: chains collapse transitively to the min id " +
+    "(driver union-find path)") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 9-1, 1-2, 2-3; {5,7}; pairs only
     val pairs = Seq((1L, 9L), (1L, 2L), (2L, 3L), (5L, 7L)).toDF("a", "b")
@@ -83,10 +84,27 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 7L -> 5L))
   }
 
+  test("dedup clusters: distributed path emits identical clusters to the " +
+    "union-find fast path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    def run(): Map[Long, Long] = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run()
+    spark.conf.set("graft.clusters.driverMaxEdges", "0")
+    try {
+      val distributed = run()
+      assert(distributed == fast)
+    } finally spark.conf.unset("graft.clusters.driverMaxEdges")
+  }
+
   test("dedup clusters: graft.checkpointDir switches to reliable checkpoints") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("ckpt")
     spark.conf.set("graft.checkpointDir", dir)
+    spark.conf.set("graft.clusters.driverMaxEdges", "0") // force distributed
     try {
       val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
       val out = Dedup.dedupClusters(pairs).collect()
@@ -95,20 +113,27 @@ class DedupSpec extends AnyFunSuite {
       val wrote = new java.io.File(dir).listFiles()
       assert(wrote != null && wrote.nonEmpty,
         "reliable checkpoint data lands in graft.checkpointDir")
-    } finally spark.conf.unset("graft.checkpointDir")
+    } finally {
+      spark.conf.unset("graft.checkpointDir")
+      spark.conf.unset("graft.clusters.driverMaxEdges")
+    }
   }
 
   test("dedup clusters: non-convergence at maxIter throws instead of " +
     "returning partial labels") {
     import spark.implicits._
-    // a 6-hop chain cannot converge in one round
-    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
-    intercept[IllegalStateException] {
-      Dedup.dedupClusters(chain, maxIter = 1)
-    }
-    val full = Dedup.dedupClusters(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(full.values.toSet == Set(1L), "with budget, the chain collapses")
+    spark.conf.set("graft.clusters.driverMaxEdges", "0") // force distributed
+    try {
+      // a 6-hop chain cannot converge in one round
+      val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+        .toDF("a", "b")
+      intercept[IllegalStateException] {
+        Dedup.dedupClusters(chain, maxIter = 1)
+      }
+      val full = Dedup.dedupClusters(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(full.values.toSet == Set(1L), "with budget, the chain collapses")
+    } finally spark.conf.unset("graft.clusters.driverMaxEdges")
   }
 
   test("passage dedup finds repeated 8-token spans across documents") {
