@@ -729,6 +729,68 @@ object Pipeline {
         |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin)),
 
+    // ── Quality filter report: per-document reject reasons + keep verdict
+    //    (the audit artifact a curation run emits alongside the kept set;
+    //    pure per-row expressions, zero shuffle) ───────────────────────────
+    "x_quality_flags" -> Q(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val nTok = TextAnalysis.tokenCount(col("text"))
+        val shl = Dedup.shinglesFromTokens(TextAnalysis.tokens(col("text")))
+        val repRatio = lit(1.0) -
+          size(array_distinct(shl)).cast("double") / size(shl).cast("double")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            (nTok < 20).as("too_short"),
+            (nTok > 1000).as("too_long"),
+            (repRatio > 0.3).as("high_repetition"),
+            (size(regexp_extract_all(col("text"), lit(email), lit(0))) > 0)
+              .as("has_pii"))
+          .withColumn("keep",
+            !(col("too_short") || col("too_long") ||
+              col("high_repetition") || col("has_pii")))
+      },
+      Some("""SELECT doc_id,
+        |  n_tokens < 20 AS too_short,
+        |  n_tokens > 1000 AS too_long,
+        |  rep > 0.3 AS high_repetition,
+        |  n_emails > 0 AS has_pii,
+        |  NOT (n_tokens < 20 OR n_tokens > 1000 OR rep > 0.3 OR n_emails > 0) AS keep
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens,
+        |  1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl) AS rep,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        |  FROM (SELECT doc_id, text, CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
+        |    ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl
+        |    FROM (SELECT doc_id, text, string_split_regex(lower(text),'\s+') AS l FROM documents)))""".stripMargin)),
+
+    // ── Contrastive negative sampling: K deterministic pseudo-random
+    //    negatives per doc (md5-derived, stable under re-runs); candidate
+    //    ids are validated against the corpus by hash equi-join, so only
+    //    existing docs are emitted — no assumption of dense ids ────────────
+    "x_negative_sample" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val ks = explode(sequence(lit(1), lit(3))).as("k")
+        val cand = docs.select(col("doc_id"), ks)
+          .withColumn("neg_id",
+            conv(substring(md5(concat_ws("#",
+              col("doc_id").cast("string"), col("k").cast("string"))), 1, 8),
+              16, 10).cast("long") % n + 1)
+          .where(col("neg_id") =!= col("doc_id"))
+        cand.join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"))
+          .select(col("doc_id"), col("k").cast("long").as("k"), col("neg_id"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+        |cand AS (SELECT d.doc_id, k,
+        |  CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % (SELECT n FROM n) + 1 AS neg_id
+        |  FROM documents d, generate_series(1, 3) AS g(k))
+        |SELECT c.doc_id, CAST(c.k AS BIGINT) AS k, c.neg_id
+        |FROM cand c JOIN documents e ON e.doc_id = c.neg_id
+        |WHERE c.neg_id <> c.doc_id""".stripMargin)),
+
     // ── Quality: repetition ratio (share of duplicated 3-gram shingles —
     //    the classic boilerplate / degenerate-text signal) ──────────────────
     "x_repetition" -> Q(
