@@ -383,6 +383,55 @@ object Relational {
         "FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(l_quantity) AS BIGINT) > 150) b " +
         "ON o_orderkey = l_orderkey")),
 
+    // ── Q4 shape: EXISTS correlated subquery → left-semi join with an
+    //    extra range predicate on top of the equi key ────────────────────────
+    "q4_late_ship_priority" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-04-01")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            usec(col("o_orderdate")).as("order_us"))
+        val l = t(s, d, "lineitem")
+          .select(col("l_orderkey"), usec(col("l_shipdate")).as("ship_us"))
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("ship_us") > col("order_us") + lit(90L * 86400000000L),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+        |FROM orders o
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 7776000000000)
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ── Q17 shape: correlated scalar subquery (per-part average) → join
+    //    against the grouped aggregate instead of a per-row subquery ────────
+    "q17_small_quantity_revenue" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val partAvg = li.groupBy(col("l_partkey").as("avg_partkey"))
+          .agg((sum(col("l_quantity")).cast("long").cast("double") /
+            count(lit(1))).as("avg_qty"))
+        val brandParts = t(s, d, "part")
+          .where(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))
+        li.join(brandParts, col("l_partkey") === col("p_partkey"))
+          .join(partAvg, col("l_partkey") === col("avg_partkey"))
+          .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(sum(Functions.cents(col("l_extendedprice"))).as("revenue_cents"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#4'
+        |  AND l.l_quantity < 0.5 * (SELECT CAST(CAST(sum(l2.l_quantity) AS BIGINT) AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
+
     // ── U3: except (customers with F-status orders but no O-status) ────────
     "u3_except" -> Q(
       (s, d) => {
