@@ -309,27 +309,29 @@ object Dedup {
       ckSeen = now -- ckPrevRound // what remains on disk
       ckPrevRound = created       // becomes deletable once the next round lands
     }
-    // both union branches read e0; without a persist the upstream candidate
-    // join would run twice inside the edges job (no ReusedExchange across
-    // a self-union), so materialize e0 once and release it as soon as the
-    // symmetric edge set is pinned
+    // materialize the raw pair set once: the fast-path gate needs its
+    // count, the fast path collects it directly (union-find is direction-
+    // and duplicate-insensitive, so no symmetrize/distinct shuffle), and
+    // the distributed path reads it twice for the symmetric union (no
+    // ReusedExchange across a self-union without the persist)
     val e0 = pairs.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = e0.count()
+
+    val driverMax = spark.conf.getOption("graft.clusters.driverMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    if (nPairs <= driverMax) {
+      val out = unionFindClusters(e0)
+      e0.unpersist()
+      return out
+    }
+
     val edges = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges =
-      edges.count() // pin edges now so e0 can be dropped before the rounds
+    edges.count() // pin edges now so e0 can be dropped before the rounds
     e0.unpersist()
-
-    val driverMax = spark.conf.getOption("graft.clusters.driverMaxEdges")
-      .map(_.toLong).getOrElse(1000000L)
-    if (nEdges <= driverMax) {
-      val out = unionFindClusters(edges)
-      edges.unpersist()
-      return out
-    }
     // warm start: fold the first propagation hop into initialization
     // (label = min of self and direct neighbors), saving one full round
     var labels = edges
@@ -400,10 +402,23 @@ object Dedup {
     * compression + min-tracking per root, so the emitted cluster label is
     * the component MINIMUM — bit-identical to the distributed min-label
     * propagation and the oracle's recursive closure. Key type is whatever
-    * the id column holds (Long/Int/String all order via Comparable).
+    * the id column holds; STRING ids compare by UTF-8 bytes to match
+    * Spark's UTF8String binary ordering (Java's UTF-16 compareTo disagrees
+    * for supplementary characters).
     */
   private def unionFindClusters(edges: DataFrame): DataFrame = {
     def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        while (i < n) {
+          val c = (ab(i) & 0xFF) - (bb(i) & 0xFF)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        ab.length < bb.length
       case (a: java.lang.Comparable[_], b) =>
         a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
       case _ => x.toString < y.toString

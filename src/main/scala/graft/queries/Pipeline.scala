@@ -23,6 +23,13 @@ object Pipeline {
     */
   val PackShards = 16
 
+  /** Shared email pattern for PII redaction/flagging — one definition used
+    * by both the Spark expressions and the DuckDB oracle SQL (lockstep
+    * rule: a divergence between copies would silently split n_emails from
+    * has_pii). Deliberately free of engine-specific syntax.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -710,7 +717,7 @@ object Pipeline {
     //    redacted-text fingerprint + counts so outputs stay compact ─────────
     "x_redact_pii" -> Q(
       (s, d) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val email = Pipeline.EmailRe
         val digits = "[0-9]{7,}"
         val redacted = regexp_replace(
           regexp_replace(col("text"), email, "<EMAIL>"), digits, "<NUM>")
@@ -721,48 +728,55 @@ object Pipeline {
             .cast("long").as("n_digit_runs"),
           md5(redacted).as("redacted_fp"))
       },
-      Some("""SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      Some(s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${Pipeline.EmailRe}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
         |  md5(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '${Pipeline.EmailRe}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin)),
 
     // ── Quality filter report: per-document reject reasons + keep verdict
     //    (the audit artifact a curation run emits alongside the kept set;
-    //    pure per-row expressions, zero shuffle) ───────────────────────────
+    //    pure per-row expressions, zero shuffle). Thresholds are tuned so
+    //    each corpus-derivable flag actually FIRES on the fixture data
+    //    (too_long > 90 with max 99 tokens, repetition > 0.05 with max
+    //    ~0.077) — a flag that can never fire would let a Spark/oracle
+    //    divergence in its expression hash-match vacuously. `has_pii`
+    //    stays corpus-vacuous (the synthetic text has no emails) and is
+    //    covered by FunctionsSpec-level checks of the shared regex instead.
+    //    Token array and shingles are STAGED projections — inlining
+    //    tokenization into the shingle lambda re-splits the text per
+    //    element (O(tokens²), see shinglesFromTokens) ─────────────────────
     "x_quality_flags" -> Q(
-      (s, d) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val nTok = TextAnalysis.tokenCount(col("text"))
-        val shl = Dedup.shinglesFromTokens(TextAnalysis.tokens(col("text")))
-        val repRatio = lit(1.0) -
-          size(array_distinct(shl)).cast("double") / size(shl).cast("double")
-        t(s, d, "documents")
-          .select(col("doc_id"),
-            (nTok < 20).as("too_short"),
-            (nTok > 1000).as("too_long"),
-            (repRatio > 0.3).as("high_repetition"),
-            (size(regexp_extract_all(col("text"), lit(email), lit(0))) > 0)
-              .as("has_pii"))
-          .withColumn("keep",
-            !(col("too_short") || col("too_long") ||
-              col("high_repetition") || col("has_pii")))
-      },
-      Some("""SELECT doc_id,
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"), size(col("toks")).as("n_tokens"),
+          Dedup.shinglesFromTokens(col("toks")).as("shl"))
+        .select(col("doc_id"),
+          (col("n_tokens") < 20).as("too_short"),
+          (col("n_tokens") > 90).as("too_long"),
+          ((lit(1.0) - size(array_distinct(col("shl"))).cast("double") /
+            size(col("shl")).cast("double")) > 0.05).as("high_repetition"),
+          (size(regexp_extract_all(col("text"), lit(Pipeline.EmailRe),
+            lit(0))) > 0).as("has_pii"))
+        .withColumn("keep",
+          !(col("too_short") || col("too_long") ||
+            col("high_repetition") || col("has_pii"))),
+      Some(s"""SELECT doc_id,
         |  n_tokens < 20 AS too_short,
-        |  n_tokens > 1000 AS too_long,
-        |  rep > 0.3 AS high_repetition,
+        |  n_tokens > 90 AS too_long,
+        |  rep > 0.05 AS high_repetition,
         |  n_emails > 0 AS has_pii,
-        |  NOT (n_tokens < 20 OR n_tokens > 1000 OR rep > 0.3 OR n_emails > 0) AS keep
+        |  NOT (n_tokens < 20 OR n_tokens > 90 OR rep > 0.05 OR n_emails > 0) AS keep
         |FROM (SELECT doc_id,
-        |  CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens,
         |  1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl) AS rep,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        |  len(regexp_extract_all(text, '${Pipeline.EmailRe}')) AS n_emails
         |  FROM (SELECT doc_id, text, CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
         |    ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl
-        |    FROM (SELECT doc_id, text, string_split_regex(lower(text),'\s+') AS l FROM documents)))""".stripMargin)),
+        |    FROM (SELECT doc_id, text, string_split_regex(lower(text),'\\s+') AS l FROM documents)))""".stripMargin)),
 
     // ── Contrastive negative sampling: K deterministic pseudo-random
     //    negatives per doc (md5-derived, stable under re-runs); candidate
@@ -773,11 +787,13 @@ object Pipeline {
         val docs = t(s, d, "documents")
         val n = docs.count()
         val ks = explode(sequence(lit(1), lit(3))).as("k")
+        // doc_ids are 0-based: `% n` covers 0..n-1 exactly (a `+ 1` would
+        // make doc 0 unsamplable and map n out of the id space)
         val cand = docs.select(col("doc_id"), ks)
           .withColumn("neg_id",
             conv(substring(md5(concat_ws("#",
               col("doc_id").cast("string"), col("k").cast("string"))), 1, 8),
-              16, 10).cast("long") % n + 1)
+              16, 10).cast("long") % n)
           .where(col("neg_id") =!= col("doc_id"))
         cand.join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"))
           .select(col("doc_id"), col("k").cast("long").as("k"), col("neg_id"))
@@ -785,7 +801,7 @@ object Pipeline {
       Some("""WITH n AS (SELECT count(*) AS n FROM documents),
         |cand AS (SELECT d.doc_id, k,
         |  CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT)
-        |    % (SELECT n FROM n) + 1 AS neg_id
+        |    % (SELECT n FROM n) AS neg_id
         |  FROM documents d, generate_series(1, 3) AS g(k))
         |SELECT c.doc_id, CAST(c.k AS BIGINT) AS k, c.neg_id
         |FROM cand c JOIN documents e ON e.doc_id = c.neg_id
