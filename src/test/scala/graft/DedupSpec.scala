@@ -169,6 +169,23 @@ class DedupSpec extends AnyFunSuite {
       "12 shared tokens in a run → 5 shared 8-grams")
   }
 
+  test("ngram overlap: boilerplate above maxDocFreq stops producing hits") {
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight"
+    // the same 8-gram in BOTH train docs → docfreq 2
+    val train = Seq((100L, s"$boiler alpha beta"), (101L, s"$boiler gamma delta"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((200L, s"$boiler prefix suffix")).toDF("doc_id", "text")
+    val loose = graft.operators.Contamination
+      .ngramOverlapPairs(eval_, train, "doc_id", "text", maxDocFreq = 2)
+      .count()
+    val capped = graft.operators.Contamination
+      .ngramOverlapPairs(eval_, train, "doc_id", "text", maxDocFreq = 1)
+      .count()
+    assert(loose > 0, "shared 8-gram matches when under the cap")
+    assert(capped == 0, "8-grams over the docfreq cap carry no signal")
+  }
+
   test("embedding near-dup finds identical vectors within a cell") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),
