@@ -14,8 +14,32 @@ import org.apache.spark.sql.SparkSession
   * very last thing after `spark.stop()` — so a driver that tails the
   * process output always sees the complete line, untruncated by shutdown
   * noise.
+  *
+  * Tail-window budget: the driver captures only the LAST 2000 chars of
+  * output (measured from BENCH_r03's `tail` field), under which a
+  * 90+-query map can never fit — r02/r03 both came back `parsed: null`
+  * with the line's head sheared off. So stdout carries `value` = the
+  * full-suite total plus a ~30-query HEADLINE subset (one flagship per
+  * operator family, 3-decimal timings, ≪2000 bytes), while the COMPLETE
+  * per-query map goes to `bench.json`, which is committed with the round.
   */
 object Bench {
+
+  /** One flagship query per operator family — the per-query timings that
+    * fit the driver's 2000-char tail window. Membership is asserted
+    * against SparkEntry.queries at runtime (a missing name is a bug). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_revenue", "q5_supplier_nation_revenue",
+    "q18_large_orders", "s1_scan_project", "s2_csv_roundtrip",
+    "j1_merge_upsert", "sync_upsert_e2e", "w1_rownum_dedup",
+    "w3_sessionize", "u4_intersect_all", "catalog_counts",
+    "f1_best_effort_ts", "x_dedup_exact", "x_dedup_minhash_lsh",
+    "x_dedup_jaccard", "x_dedup_simhash_pairs", "x_dedup_clusters",
+    "x_neardup_embedding", "x_ann_topk", "x_ann_ivf", "x_ann_kmeans",
+    "x_asof_join", "x_range_join", "x_decontaminate", "x_pipeline_e2e",
+    "x_token_count", "stream_window_agg", "stream_dedup",
+    "x_multimodal_decode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,16 +73,29 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val missingHeadline = headline.filterNot(SparkEntry.queries.contains)
+    if (missingHeadline.nonEmpty)
+      throw new IllegalStateException(
+        s"headline names not in SparkEntry.queries: ${missingHeadline.mkString(",")}")
+
+    // Locale.ROOT: a comma-decimal locale would emit unparseable JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+    val byName = results.toMap
+    val headlineQs = toJson(headline.map(n => n -> byName(n)))
+    def lineOf(qs: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"bench.json"}"""
+    val stdoutLine = lineOf(headlineQs)
+    val fullLine = lineOf(toJson(results))
 
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
@@ -66,7 +103,7 @@ object Bench {
     // stop FIRST so shutdown noise precedes (never truncates) the JSON line
     spark.stop()
     System.err.flush()
-    println(line)
+    println(stdoutLine)
     System.out.flush()
   }
 }
