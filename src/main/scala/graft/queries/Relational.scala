@@ -21,18 +21,18 @@ object Relational {
 
   case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
   /** µs-since-epoch of any timestamp flavor (NTZ parquet cols cast to LTZ;
     * session TZ is UTC so the instant is the wall-clock value — matching
     * DuckDB's naive-timestamp `epoch_us`). */
-  private def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
+  private[queries] def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** revenue term quantized: round(price*100) * round((1-disc)*100), a long. */
-  private def revE4(price: Column, disc: Column): Column =
+  private[queries] def revE4(price: Column, disc: Column): Column =
     round(price * 100).cast("long") * round((lit(1) - disc) * 100).cast("long")
-  private val revE4Sql =
+  private[queries] val revE4Sql =
     "CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round((1-l_discount)*100) AS BIGINT)"
 
   val all: Map[String, Q] = Map(

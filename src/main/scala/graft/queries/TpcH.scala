@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions
+import graft.queries.Relational.{Q, revE4, revE4Sql, t, usec}
+
+/** TPC-H-shaped breadth queries beyond the round-2/3 set — each exercises a
+  * distinct plan shape the first wave didn't cover: nation-pair disjunctive
+  * join filters (q7), share-of-total CASE aggregation over a 7-way star
+  * (q8), grouped top-k over a 3-way fact join (q10), join-condition range
+  * arithmetic (q12), single-row ratio aggregates (q14), count-distinct with
+  * an anti-joined exclusion list (q16), OR-of-ANDs pushdown (q19), the
+  * "only late supplier" double-aggregate semi pattern (q21), and a global
+  * scalar threshold + anti join (q22).
+  *
+  * The testdata star lacks `partsupp` and lineitem's commit/receipt dates
+  * (TESTDATA.md), so q12/q16/q21 are adapted to the available columns with
+  * identical plan shapes: lateness is `l_shipdate > o_orderdate + N days`,
+  * supplier-per-part counts come from lineitem facts, and q22's country
+  * code is the customer's nation key.
+  *
+  * Determinism follows SURVEY §7.4: integer-cents money, epoch-µs dates,
+  * exact-integer scalar comparisons (q22 compares `bal*cnt > total` instead
+  * of dividing), numerator+denominator instead of ratios (q8, q14).
+  */
+object TpcH {
+
+  val all: Map[String, Q] = Map(
+
+    // ── Q7 shape: bidirectional nation-pair volume. Nations are prefiltered
+    //    onto supplier/customer BEFORE the fact join (at 100 TB the 2-nation
+    //    filter kills ~92% of both dims pre-shuffle); only the cross-pair
+    //    disjunction remains post-join ─────────────────────────────────────
+    "q7_volume_shipping" -> Q(
+      (s, d) => {
+        val pair = Seq(3, 7)
+        val sn = t(s, d, "nation").select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+        val cn = t(s, d, "nation").select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+        val sp = t(s, d, "supplier").where(col("s_nationkey").isin(pair: _*))
+          .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "supp_nation")
+        val cu = t(s, d, "customer").where(col("c_nationkey").isin(pair: _*))
+          .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+          .select("c_custkey", "cust_nation")
+        val li = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(cu, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        s"CAST(sum($revE4Sql) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7') " +
+        "    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')) " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+
+    // ── Q8 shape: market share as numerator+denominator (no double
+    //    division); region restricts the customer side, the CASE tags the
+    //    supplier side ──────────────────────────────────────────────────────
+    "q8_market_share" -> Q(
+      (s, d) => {
+        val euroNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val cu = t(s, d, "customer")
+          .join(broadcast(euroNations), col("c_nationkey") === col("cn_key"), "left_semi")
+          .select("c_custkey")
+        val sn = t(s, d, "nation").select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+        val sp = t(s, d, "supplier")
+          .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "supp_nation")
+        val pt = t(s, d, "part").where(col("p_type") === "ECONOMY").select("p_partkey")
+        val or = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        t(s, d, "lineitem")
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(or, col("l_orderkey") === col("o_orderkey"))
+          .join(cu, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_5",
+              revE4(col("l_extendedprice"), col("l_discount"))).otherwise(0L))
+              .as("nation_rev_e4"),
+            sum(revE4(col("l_extendedprice"), col("l_discount"))).as("total_rev_e4"))
+          .orderBy("o_year")
+      },
+      Some("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        s"CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN $revE4Sql ELSE 0 END) AS BIGINT) AS nation_rev_e4, " +
+        s"CAST(sum($revE4Sql) AS BIGINT) AS total_rev_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN region ON cn.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    // ── Q10 shape: returned-item revenue per customer, grouped top-20.
+    //    Fact-to-fact shuffle join (orders×lineitem), customer joined after
+    //    the group-by keys demand it ────────────────────────────────────────
+    "q10_returned_items" -> Q(
+      (s, d) => {
+        val or = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        val li = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        t(s, d, "customer")
+          .join(or, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue_e4"), asc("c_custkey")).limit(20)
+      },
+      Some("SELECT c_custkey, c_name, " +
+        s"CAST(sum($revE4Sql) AS BIGINT) AS revenue_e4, count(*) AS n_items " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' " +
+        "GROUP BY 1, 2 ORDER BY revenue_e4 DESC, c_custkey LIMIT 20")),
+
+    // ── Q12 shape: range arithmetic inside the join condition (late shipment
+    //    = shipped >90 days after order), CASE-bucketed priority counts ─────
+    "q12_priority_late" -> Q(
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey") &&
+              usec(col("l_shipdate")) > usec(col("o_orderdate")) + lit(90L * 86400000000L))
+          .groupBy("l_linestatus")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate) + 7776000000000 " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus")),
+
+    // ── Q14 shape: promo share of one month's revenue, numerator and
+    //    denominator as exact longs (caller divides if a ratio is wanted) ───
+    "q14_promo_revenue" -> Q(
+      (s, d) => {
+        val pt = t(s, d, "part").select("p_partkey", "p_type")
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              revE4(col("l_extendedprice"), col("l_discount"))).otherwise(0L))
+              .as("promo_rev_e4"),
+            sum(revE4(col("l_extendedprice"), col("l_discount"))).as("total_rev_e4"))
+      },
+      Some("SELECT " +
+        s"CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revE4Sql ELSE 0 END) AS BIGINT) AS promo_rev_e4, " +
+        s"CAST(sum($revE4Sql) AS BIGINT) AS total_rev_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'")),
+
+    // ── Q16 shape: suppliers-per-part-profile count-distinct with an
+    //    anti-joined exclusion list (negative-balance suppliers stand in for
+    //    the reference's complaint suppliers; partsupp absent → lineitem
+    //    provides the part↔supplier facts) ──────────────────────────────────
+    "q16_supplier_cnt" -> Q(
+      (s, d) => {
+        val pt = t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "MEDIUM" &&
+            col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val excl = t(s, d, "supplier").where(col("s_acctbal") < 0).select("s_suppkey")
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+      },
+      Some("SELECT p_brand, p_type, p_size, " +
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM' " +
+        "AND p_size IN (1,5,9,14,20,25,30,36) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size")),
+
+    // ── Q19 shape: disjunction of brand/size/quantity conjunctions — the
+    //    classic OR-of-ANDs Catalyst must keep as a join post-filter while
+    //    still pushing the common p_partkey equi key ────────────────────────
+    "q19_disjunctive" -> Q(
+      (s, d) => {
+        val pt = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+        t(s, d, "lineitem")
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(1, 15)) ||
+            (col("p_brand") === "Brand#12" && col("p_size").between(5, 20) &&
+              col("l_quantity").between(10, 25)) ||
+            (col("p_brand") === "Brand#20" && col("p_size").between(10, 35) &&
+              col("l_quantity").between(20, 40)))
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"SELECT CAST(sum($revE4Sql) AS BIGINT) AS revenue_e4, count(*) AS n " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15) " +
+        "OR (p_brand = 'Brand#12' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 25) " +
+        "OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 35 AND l_quantity BETWEEN 20 AND 40)")),
+
+    // ── Q21 shape: "the only late supplier on a multi-supplier order" —
+    //    the correlated EXISTS/NOT-EXISTS pair becomes two per-order
+    //    distinct-supplier aggregates joined back to the late facts (no
+    //    correlated subqueries, no row explosion; all joins on l_orderkey) ──
+    "q21_late_suppliers" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        val ordF = t(s, d, "orders").where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val late = li
+          .join(ordF, col("l_orderkey") === col("o_orderkey") &&
+            usec(col("l_shipdate")) > usec(col("o_orderdate")) + lit(60L * 86400000000L))
+          .select("l_orderkey", "l_suppkey")
+        val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        val latePerOrder = late.groupBy(col("l_orderkey").as("lo_key"))
+          .agg(countDistinct(col("l_suppkey")).as("n_late"))
+        late
+          .join(latePerOrder, col("l_orderkey") === col("lo_key") && col("n_late") === 1,
+            "left_semi")
+          .join(perOrder.where(col("n_supp") > 1), col("l_orderkey") === col("po_key"),
+            "left_semi")
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name")).limit(25)
+      },
+      Some("WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem " +
+        "JOIN orders ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F' " +
+        "AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 5184000000000), " +
+        "per_order AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp " +
+        "FROM lineitem GROUP BY 1), " +
+        "late_per_order AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_late " +
+        "FROM late GROUP BY 1) " +
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM late " +
+        "JOIN per_order ON late.l_orderkey = per_order.ok " +
+        "JOIN late_per_order ON late.l_orderkey = late_per_order.ok " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE n_supp > 1 AND n_late = 1 " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25")),
+
+    // ── Q22 shape: above-average balances with no recent orders. The global
+    //    average is ONE scalar agg job collected to the driver (the
+    //    watermark pattern — not a 1-row broadcast nested-loop join), and
+    //    the comparison is exact integer cross-multiplication, never a
+    //    double division ─────────────────────────────────────────────────────
+    "q22_idle_customers" -> Q(
+      (s, d) => {
+        val cu = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            Functions.cents(col("c_acctbal")).as("bal_cents"),
+            col("c_acctbal"))
+        val stats = cu.where(col("c_acctbal") > 0)
+          .agg(sum(col("bal_cents")).as("total"), count(lit(1)).as("cnt"))
+          .head()
+        val (total, cnt) = (stats.getLong(0), stats.getLong(1))
+        val recent = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey")
+        cu.where(col("bal_cents") * lit(cnt) > lit(total))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("WITH stats AS (SELECT " +
+        "CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_cents, " +
+        "count(*) AS cnt FROM customer WHERE c_acctbal > 0) " +
+        "SELECT c_nationkey, count(*) AS numcust, " +
+        "CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents " +
+        "FROM customer, stats " +
+        "WHERE CAST(round(c_acctbal*100) AS BIGINT) * cnt > total_cents " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey")))
+}
