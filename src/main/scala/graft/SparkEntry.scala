@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Pipeline, Relational, TpcH}
+import graft.queries.{Analytics, Pipeline, Relational, TpcH}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
-  private def allQ = Relational.all ++ TpcH.all ++ Pipeline.all
+  private def allQ =
+    Relational.all ++ TpcH.all ++ Analytics.all ++ Pipeline.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate / order-statistic aggregates built only from
+  * cross-engine-deterministic primitives (md5 bits, integer shifts, exact
+  * row-number selection) so the same math can be mirrored in any warehouse
+  * SQL dialect bit-for-bit — unlike engine-native sketches
+  * (`approx_count_distinct`'s HLL++ or t-digest percentiles) whose register
+  * layouts and interpolation differ per engine and can never hash-match an
+  * oracle.
+  *
+  * Scale: every operator here is one or two hash-partitioned aggregations —
+  * the HLL register table is at most `groups × m` rows regardless of input
+  * size, and the quantile window partitions by the group key.
+  */
+object Sketches {
+
+  /** HyperLogLog distinct-count estimate with integer-only arithmetic.
+    *
+    * Per value: a 60-bit md5 prefix splits into a register index (low 8
+    * bits, m=256) and a 52-bit tail whose leading-zero rank is
+    * `53 - length(bin(tail))` — the binary-string length IS the integer
+    * floor(log2)+1, avoiding float logs. The harmonic sum is scaled by 2^20
+    * (terms below 2^-20 clamp to 1 — irrelevant at the raw-estimator
+    * cardinalities this targets and identical in any mirroring engine), and
+    * the estimate is a single BIGINT division with alpha≈0.7213 carried as
+    * the exact rational 7213/10000.
+    *
+    * Raw-regime caveat: no small-range linear-counting correction (its
+    * `m·ln(m/V)` needs a float log); accurate for n ≳ 10·m distinct.
+    *
+    * Output: one row per group — n_reg (non-empty registers), sum_scaled
+    * (diagnostic), hll_est.
+    */
+  def approxDistinctHll(df: DataFrame, groupCol: String, valueCol: String)
+  : DataFrame = {
+    val m = 256
+    val h60 = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = shiftright(h60, 8) // h60 div 256, nonneg
+    val rho = when(w === 0, lit(53))
+      .otherwise(lit(53) - length(bin(w)))
+    val reg = df
+      .select(col(groupCol), (h60 % m).as("j"), rho.as("rho"))
+      .groupBy(col(groupCol), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+    reg.groupBy(col(groupCol))
+      .agg(
+        (sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(greatest(20 - m_j, 0) AS INT)) AS BIGINT)")) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << 20)).as("sum_scaled"),
+        count(lit(1)).as("n_reg"))
+      .select(col(groupCol), col("n_reg"), col("sum_scaled"),
+        expr(s"(CAST(7213 AS BIGINT) * $m * $m * ${1L << 20}) " +
+          "div (10000 * sum_scaled)").as("hll_est"))
+  }
+
+  /** Discrete (non-interpolating) per-group percentiles: the value at row
+    * ceil(p·n) of the group's sort order — exact row selection, so any
+    * engine that sorts the same way returns the identical data value. The
+    * tie-break column makes the row order total.
+    */
+  def quantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+                    tieCol: String, percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val aggs = percents.map(p =>
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col(valueCol)))
+        .as(s"p${p}_${valueCol}"))
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-column table profile: count / nulls / distinct / min / max, one
+    * row per requested column (min/max rendered as strings so numeric and
+    * text columns union into one result). Each column is an independent
+    * single-pass aggregate; Spark scans the table once per column but reads
+    * only that column thanks to parquet pruning.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
+    cols.map { case (name, c) =>
+      df.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(c)).as("n_null"),
+        countDistinct(c).as("n_distinct"),
+        min(c).cast("string").as("min_v"),
+        max(c).cast("string").as("max_v"))
+        .select(lit(name).as("col"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_ unionByName _).orderBy("col")
+}

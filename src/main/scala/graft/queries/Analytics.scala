@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Functions
+import graft.operators.Sketches
+import graft.queries.Relational.{Q, t}
+
+/** Data-profiling / approximate-analytics queries: the "know your corpus
+  * before you train on it" toolkit — deterministic HLL cardinality,
+  * discrete quantiles, per-column profiles, log2 length histograms, and
+  * integer tf-idf salient terms. All arithmetic is cross-engine exact
+  * (md5 bits, BIGINT shifts and division, row-number selection), so every
+  * query hash-matches its DuckDB oracle.
+  */
+object Analytics {
+
+  val all: Map[String, Q] = Map(
+
+    // ── Deterministic HyperLogLog: distinct orders per returnflag. The
+    //    register table is ≤ 3×256 rows however large lineitem gets — the
+    //    point of the sketch at 100 TB (exact count-distinct shuffles every
+    //    key; this shuffles 256 per group) ───────────────────────────────────
+    "x_approx_distinct_hll" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val est = Sketches.approxDistinctHll(li, "l_returnflag", "l_orderkey")
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        est.join(exact, "l_returnflag").orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+        |  FROM lineitem
+        |), reg AS (
+        |  SELECT l_returnflag, h60 % 256 AS j,
+        |         max(CASE WHEN h60 // 256 = 0 THEN 53
+        |             ELSE 53 - length(bin(h60 // 256)) END) AS m_j
+        |  FROM h GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CASE WHEN 20 - m_j > 0 THEN 1 << (20 - m_j) ELSE 1 END) AS BIGINT)
+        |           + (256 - count(*)) * 1048576 AS sum_scaled,
+        |         count(*) AS n_reg
+        |  FROM reg GROUP BY 1
+        |), ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1
+        |)
+        |SELECT agg.l_returnflag, CAST(n_reg AS BIGINT) AS n_reg, sum_scaled,
+        |       CAST((CAST(7213 AS BIGINT) * 256 * 256 * 1048576) // (10000 * sum_scaled) AS BIGINT) AS hll_est,
+        |       CAST(n_exact AS BIGINT) AS n_exact
+        |FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
+        |ORDER BY agg.l_returnflag""".stripMargin)),
+
+    // ── Discrete quantiles of order value per priority: the value AT row
+    //    ceil(p·n) — no interpolation, so the result is a data value both
+    //    engines agree on exactly ─────────────────────────────────────────────
+    "x_quantiles_disc" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            Functions.cents(col("o_totalprice")).as("cents"))
+        Sketches.quantilesDisc(o, "o_orderpriority", "cents", "o_orderkey",
+          Seq(25, 50, 75, 99))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH v AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority,
+        |  CAST(max(CASE WHEN rn = (n*25 + 99) // 100 THEN cents END) AS BIGINT) AS p25_cents,
+        |  CAST(max(CASE WHEN rn = (n*50 + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN rn = (n*75 + 99) // 100 THEN cents END) AS BIGINT) AS p75_cents,
+        |  CAST(max(CASE WHEN rn = (n*99 + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
+        |FROM v GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Per-column profile of orders: nulls / distincts / min / max. Money
+    //    profiled in cents (the engine's canonical exact representation) ─────
+    "x_profile_table" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        Sketches.profile(o, Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_totalprice" -> Functions.cents(col("o_totalprice")),
+          "o_orderpriority" -> col("o_orderpriority")))
+      },
+      Some(Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice", "CAST(round(o_totalprice*100) AS BIGINT)"),
+        ("o_orderpriority", "o_orderpriority")).map { case (name, e) =>
+        s"SELECT '$name' AS col, count(*) AS n, count(*) - count($e) AS n_null, " +
+          s"CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($e) AS VARCHAR) AS min_v, CAST(max($e) AS VARCHAR) AS max_v " +
+          "FROM orders"
+      }.mkString("", " UNION ALL ", " ORDER BY col"))),
+
+    // ── Log2-bucketed document-length histogram per language: bucket =
+    //    length(bin(n)) = floor(log2 n)+1, integer-exact in both engines ─────
+    "x_hist_log2" -> Q(
+      (s, d) => t(s, d, "documents")
+        .where(col("n_chars") > 0)
+        .groupBy(col("lang"),
+          length(bin(col("n_chars").cast("long"))).cast("long").as("log2_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy("lang", "log2_bucket"),
+      Some("SELECT lang, CAST(length(bin(CAST(n_chars AS BIGINT))) AS BIGINT) AS log2_bucket, " +
+        "count(*) AS n, CAST(min(n_chars) AS BIGINT) AS min_chars, " +
+        "CAST(max(n_chars) AS BIGINT) AS max_chars " +
+        "FROM documents WHERE n_chars > 0 GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // ── Integer tf-idf: score = tf · n_docs div df (BIGINT division — no
+    //    float logs), top-3 salient terms per source. The per-source window
+    //    ranks over the source's VOCABULARY (bounded), not its corpus ────────
+    "x_tfidf_top_terms" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
+        val toks = docs
+          .select(col("source"), col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+          .where(length(col("tok")) >= 3)
+        val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+        val df_ = toks.groupBy("tok")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val scored = tf.join(df_, "tok")
+          .withColumn("score", expr(s"(tf * CAST($nDocs AS BIGINT)) div df"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(desc("score"), asc("tok"))))
+          .where(col("rk") <= 3)
+        scored.select(col("source"), col("tok"), col("tf"), col("score"),
+          col("rk").cast("long").as("rk"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH tok2 AS (
+        |  SELECT source, doc_id, tok
+        |  FROM (SELECT source, doc_id,
+        |          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) >= 3
+        |), tf AS (
+        |  SELECT source, tok, count(*) AS tf FROM tok2 GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1
+        |), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT source, tf.tok AS tok, tf,
+        |         CAST(tf * (SELECT n_docs FROM nd) // df AS BIGINT) AS score,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY CAST(tf * (SELECT n_docs FROM nd) // df AS BIGINT) DESC, tf.tok) AS rk
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |)
+        |SELECT source, tok, CAST(tf AS BIGINT) AS tf, score, CAST(rk AS BIGINT) AS rk
+        |FROM scored WHERE rk <= 3 ORDER BY source, rk""".stripMargin)))
+}

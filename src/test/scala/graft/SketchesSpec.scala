@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+/** Semantic checks on the deterministic sketch operators — tolerance of
+  * the HLL estimate, exact quantile selection, and profile null/distinct
+  * accounting — on data small enough to verify by hand.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("HLL estimate lands within 15% of exact at raw-regime cardinality") {
+    // 8000 distinct values ≈ 31×m — inside the raw-estimator regime
+    val df = (1 to 8000).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val row = Sketches.approxDistinctHll(df, "grp", "v").head()
+    val est = row.getAs[Long]("hll_est")
+    assert(math.abs(est - 8000.0) / 8000.0 < 0.15, s"est=$est")
+  }
+
+  test("HLL register table is bounded by m per group regardless of rows") {
+    val df = (1 to 5000).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "v")
+    val out = Sketches.approxDistinctHll(df, "grp", "v").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("n_reg") <= 256))
+  }
+
+  test("HLL is insensitive to duplication — same estimate for 1x and 10x copies") {
+    val base = (1 to 2000).map(i => ("g", i.toLong))
+    val dup = Seq.fill(10)(base).flatten
+    val e1 = Sketches.approxDistinctHll(base.toDF("grp", "v"), "grp", "v")
+      .head().getAs[Long]("hll_est")
+    val e2 = Sketches.approxDistinctHll(dup.toDF("grp", "v"), "grp", "v")
+      .head().getAs[Long]("hll_est")
+    assert(e1 == e2)
+  }
+
+  test("quantilesDisc picks the exact ceil(p*n) order statistic") {
+    // values 10,20,...,1000 (n=100): p50 -> rn 50 -> 500; p99 -> rn 99 -> 990
+    val df = (1 to 100).map(i => ("g", i * 10L, i.toLong)).toDF("grp", "v", "id")
+    val row = Sketches.quantilesDisc(df, "grp", "v", "id", Seq(25, 50, 75, 99)).head()
+    assert(row.getAs[Long]("p25_v") == 250L)
+    assert(row.getAs[Long]("p50_v") == 500L)
+    assert(row.getAs[Long]("p75_v") == 750L)
+    assert(row.getAs[Long]("p99_v") == 990L)
+  }
+
+  test("quantilesDisc ties break on the tie column, making selection total") {
+    // all values equal: any percentile must return that value, not NULL
+    val df = (1 to 10).map(i => ("g", 7L, i.toLong)).toDF("grp", "v", "id")
+    val row = Sketches.quantilesDisc(df, "grp", "v", "id", Seq(50)).head()
+    assert(row.getAs[Long]("p50_v") == 7L)
+  }
+
+  test("profile counts nulls and distincts per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("num", "txt")
+    val out = Sketches.profile(df, Seq("num" -> col("num"), "txt" -> col("txt")))
+      .collect().map(r => r.getAs[String]("col") -> r).toMap
+    assert(out("num").getAs[Long]("n") == 4)
+    assert(out("num").getAs[Long]("n_null") == 1)
+    assert(out("num").getAs[Long]("n_distinct") == 2)
+    assert(out("num").getAs[String]("min_v") == "1")
+    assert(out("num").getAs[String]("max_v") == "2")
+    assert(out("txt").getAs[Long]("n_null") == 1)
+    assert(out("txt").getAs[Long]("n_distinct") == 2)
+  }
+}
