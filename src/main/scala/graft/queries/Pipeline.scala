@@ -562,6 +562,76 @@ object Pipeline {
         |SELECT pair, count(*) AS n FROM pr
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
 
+    // ── BPE training loop: 3 adaptive merge rounds. Each round counts
+    //    adjacent pairs (distributed agg), collects the top pair (one tiny
+    //    driver scalar, like a watermark), and rewrites the corpus by
+    //    string-replace over the space-joined token sequence. Replace is
+    //    non-overlapping left-to-right in Spark and DuckDB alike, so both
+    //    engines merge the identical occurrences — the one (documented)
+    //    deviation from canonical array-fold BPE is immediately-adjacent
+    //    repeats of the winning pair, where scan order differs from fold
+    //    order. The rewrite is a narrow per-row map; nothing driver-side
+    //    ever holds more than one (pair, count) row per round ──────────────
+    "x_bpe_merges" -> Q(
+      (s, d) => {
+        var cur = t(s, d, "documents")
+          .select(concat(lit(" "),
+            concat_ws(" ", TextAnalysis.tokens(col("text"))), lit(" ")).as("s"))
+        val merges = (1 to 3).map { r =>
+          val top = cur
+            .select(split(trim(col("s")), " ").as("l"))
+            .select(explode(when(size(col("l")) >= 2,
+              transform(sequence(lit(1), size(col("l")) - 1),
+                i => concat_ws(" ", element_at(col("l"), i),
+                  element_at(col("l"), i + 1))))
+              .otherwise(array().cast("array<string>"))).as("pair"))
+            .groupBy("pair").agg(count(lit(1)).as("n"))
+            .orderBy(desc("n"), asc("pair")).limit(1).head()
+          val (pair, n) = (top.getString(0), top.getLong(1))
+          cur = cur.select(org.apache.spark.sql.functions.replace(col("s"),
+            lit(" " + pair + " "),
+            lit(" " + pair.replace(' ', '¦') + " ")).as("s"))
+          (r.toLong, pair, n)
+        }
+        s.createDataFrame(merges).toDF("round", "pair", "n")
+      },
+      Some("""WITH tk0 AS (
+        |  SELECT ' ' || array_to_string(string_split_regex(lower(text), '\s+'), ' ') || ' ' AS s
+        |  FROM documents
+        |),
+        |p1 AS (
+        |  SELECT pair, count(*) AS n FROM (
+        |    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair
+        |    FROM (SELECT string_split(trim(s, ' '), ' ') AS l FROM tk0)
+        |  ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+        |),
+        |tk1 AS (
+        |  SELECT replace(s, ' ' || (SELECT pair FROM p1) || ' ',
+        |                 ' ' || replace((SELECT pair FROM p1), ' ', '¦') || ' ') AS s
+        |  FROM tk0
+        |),
+        |p2 AS (
+        |  SELECT pair, count(*) AS n FROM (
+        |    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair
+        |    FROM (SELECT string_split(trim(s, ' '), ' ') AS l FROM tk1)
+        |  ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+        |),
+        |tk2 AS (
+        |  SELECT replace(s, ' ' || (SELECT pair FROM p2) || ' ',
+        |                 ' ' || replace((SELECT pair FROM p2), ' ', '¦') || ' ') AS s
+        |  FROM tk1
+        |),
+        |p3 AS (
+        |  SELECT pair, count(*) AS n FROM (
+        |    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair
+        |    FROM (SELECT string_split(trim(s, ' '), ' ') AS l FROM tk2)
+        |  ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS round, pair, n FROM p1
+        |UNION ALL SELECT 2, pair, n FROM p2
+        |UNION ALL SELECT 3, pair, n FROM p3
+        |ORDER BY round""".stripMargin)),
+
     // ── Vocabulary: top-20 tokens by document frequency (exact, with a
     //    deterministic tie-break) ──────────────────────────────────────────
     "x_top_tokens" -> Q(
