@@ -62,8 +62,14 @@ object Bench {
       }
     }
 
+    // dev profiling filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch {
@@ -74,7 +80,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val missingHeadline = headline.filterNot(SparkEntry.queries.contains)
-    if (missingHeadline.nonEmpty)
+    if (missingHeadline.nonEmpty && only.isEmpty)
       throw new IllegalStateException(
         s"headline names not in SparkEntry.queries: ${missingHeadline.mkString(",")}")
 
@@ -87,7 +93,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val byName = results.toMap
-    val headlineQs = toJson(headline.map(n => n -> byName(n)))
+    val headlineQs = toJson(headline.filter(byName.contains).map(n => n -> byName(n)))
     def lineOf(qs: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"bench.json"}"""
     val stdoutLine = lineOf(headlineQs)

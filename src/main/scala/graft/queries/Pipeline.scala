@@ -571,7 +571,10 @@ object Pipeline {
     //    deviation from canonical array-fold BPE is immediately-adjacent
     //    repeats of the winning pair, where scan order differs from fold
     //    order. The rewrite is a narrow per-row map; nothing driver-side
-    //    ever holds more than one (pair, count) row per round ──────────────
+    //    ever holds more than one (pair, count) row per round. Re-deriving
+    //    each round from the parquet scan measured the same as caching the
+    //    rewritten corpus per round (the explode+count dominates, not the
+    //    tokenize), so no persist — no cache pressure on a shared cluster ───
     "x_bpe_merges" -> Q(
       (s, d) => {
         var cur = t(s, d, "documents")
