@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the given sf dir
   * and prints ONE parseable JSON line. Failures are NEVER swallowed into a
@@ -41,17 +40,30 @@ object Bench {
     "x_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // corpus events.ts is ns-precision parquet; see graft.io.Tables.table
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = LocalSession.sfDir()
+
+    // dev profiling filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those.
+    // Unknown names fail fast (a typo must not masquerade as a 0s suite),
+    // and filtered runs default to bench.dev.json so they can never
+    // overwrite the committed full-suite artifact.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+    }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench.dev.json" else "bench.json")
+
+    // static contract check BEFORE the ~70s suite run, so a renamed query
+    // can't waste a full benchmark before the mismatch surfaces
+    val missingHeadline = headline.filterNot(SparkEntry.queries.contains)
+    if (missingHeadline.nonEmpty)
+      throw new IllegalStateException(
+        s"headline names not in SparkEntry.queries: ${missingHeadline.mkString(",")}")
+
+    val spark = LocalSession.build(logLevel = "ERROR")
 
     // Warmup: scan+agg, broadcast join, window — the codegen paths the
     // timed queries exercise. Results discarded; failures ignored here
@@ -62,9 +74,6 @@ object Bench {
       }
     }
 
-    // dev profiling filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
 
@@ -79,11 +88,6 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val missingHeadline = headline.filterNot(SparkEntry.queries.contains)
-    if (missingHeadline.nonEmpty && only.isEmpty)
-      throw new IllegalStateException(
-        s"headline names not in SparkEntry.queries: ${missingHeadline.mkString(",")}")
-
     // Locale.ROOT: a comma-decimal locale would emit unparseable JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -95,11 +99,10 @@ object Bench {
     val byName = results.toMap
     val headlineQs = toJson(headline.filter(byName.contains).map(n => n -> byName(n)))
     def lineOf(qs: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"bench.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"$outFile"}"""
     val stdoutLine = lineOf(headlineQs)
     val fullLine = lineOf(toJson(results))
 
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

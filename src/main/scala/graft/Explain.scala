@@ -1,18 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan of the named queries.
+  * `sbt "runMain graft.Explain q21_late_suppliers x_tfidf_top_terms"`;
+  * honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
+    val spark = LocalSession.build(defaultCpus = "8", logLevel = "ERROR")
+    val sf = LocalSession.sfDir("/root/testdata/sf0.001")
     for (q <- args) {
       println(s"===== $q =====")
-      SparkEntry.queries(q)(spark, sf).explain("formatted")
+      SparkEntry.queries.getOrElse(q, sys.error(
+        s"unknown query '$q'; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+        .apply(spark, sf).explain("formatted")
     }
     spark.stop()
   }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** THE local SparkSession builder for every runnable main (Bench, Verify,
+  * Smoke, Scratch, Explain). One definition so a session-level config (a
+  * new legacy flag, a timezone) can never silently diverge between the
+  * tools — before this, the same five-line block lived in five mains.
+  */
+object LocalSession {
+  /** Cores default honors SPARK_GRAFT_CPUS; shuffle partitions track cores
+    * (never the 200 default — pointless tiny tasks on local data). */
+  def build(defaultCpus: String = "4", logLevel: String = "WARN"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // corpus events.ts is ns-precision parquet; see graft.io.Tables.table
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+
+  /** The sf dir every tool should read unless told otherwise. */
+  def sfDir(default: String = "/root/testdata/sf0.1"): String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", default)
+}

@@ -1,19 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Throwaway local runner for iterating on a single query / plan audits. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    val spark = LocalSession.build(defaultCpus = "32")
+    val d = LocalSession.sfDir()
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

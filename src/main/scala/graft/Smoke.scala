@@ -1,20 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Local smoke-check of the driver contract's `entry` gate (rows > 0 on
   * sf0.001). Run: `sbt "runMain graft.Smoke"`.
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.build(logLevel = "ERROR")
     val df = SparkEntry.entry(spark)
     df.show(10, truncate = false)
     println(s"ENTRY_ROWS=${df.count()}")

@@ -60,13 +60,17 @@ object Sketches {
   /** Discrete (non-interpolating) per-group percentiles: the value at row
     * ceil(p·n) of the group's sort order — exact row selection, so any
     * engine that sorts the same way returns the identical data value. The
-    * tie-break column makes the row order total.
+    * tie-break column makes the row order total. NULL values are dropped
+    * up front: Spark sorts NULLS FIRST ascending where most dialects
+    * (DuckDB included) default NULLS LAST, so keeping them would shift
+    * every rank by the group's null count in one engine only.
     */
   def quantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
                     tieCol: String, percents: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = df
       .select(col(groupCol), col(valueCol), col(tieCol))
+      .where(col(valueCol).isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))

@@ -39,6 +39,9 @@ object TpcH {
           col("n_name").as("supp_nation"))
         val cn = t(s, d, "nation").select(col("n_nationkey").as("cn_key"),
           col("n_name").as("cust_nation"))
+        // broadcast() only on nation (25 rows, bounded); supplier/customer
+        // scale with SF — Catalyst/AQE picks broadcast at small scale and
+        // shuffle at 100 TB (a forced hint would hit the 8 GB limit there)
         val sp = t(s, d, "supplier").where(col("s_nationkey").isin(pair: _*))
           .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
           .select("s_suppkey", "supp_nation")
@@ -50,7 +53,7 @@ object TpcH {
             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(cu, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(sp, col("l_suppkey") === col("s_suppkey"))
           .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
             (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
           .groupBy(col("supp_nation"), col("cust_nation"),
@@ -85,6 +88,8 @@ object TpcH {
           .select("c_custkey")
         val sn = t(s, d, "nation").select(col("n_nationkey").as("sn_key"),
           col("n_name").as("supp_nation"))
+        // part/supplier scale with SF — no forced broadcast (see q7 note);
+        // euroNations stays hinted (bounded by the 25-nation table)
         val sp = t(s, d, "supplier")
           .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
           .select("s_suppkey", "supp_nation")
@@ -93,10 +98,10 @@ object TpcH {
           .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         t(s, d, "lineitem")
-          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(pt, col("l_partkey") === col("p_partkey"))
           .join(or, col("l_orderkey") === col("o_orderkey"))
           .join(cu, col("o_custkey") === col("c_custkey"), "left_semi")
-          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(sp, col("l_suppkey") === col("s_suppkey"))
           .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
           .agg(
             sum(when(col("supp_nation") === "NATION_5",
@@ -173,7 +178,7 @@ object TpcH {
         t(s, d, "lineitem")
           .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(pt, col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "PROMO",
               revE4(col("l_extendedprice"), col("l_discount"))).otherwise(0L))
@@ -198,8 +203,8 @@ object TpcH {
           .select("p_partkey", "p_brand", "p_type", "p_size")
         val excl = t(s, d, "supplier").where(col("s_acctbal") < 0).select("s_suppkey")
         t(s, d, "lineitem").select("l_partkey", "l_suppkey")
-          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
@@ -219,7 +224,7 @@ object TpcH {
       (s, d) => {
         val pt = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
         t(s, d, "lineitem")
-          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(pt, col("l_partkey") === col("p_partkey"))
           .where(
             (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
               col("l_quantity").between(1, 15)) ||
@@ -258,7 +263,7 @@ object TpcH {
             "left_semi")
           .join(perOrder.where(col("n_supp") > 1), col("l_orderkey") === col("po_key"),
             "left_semi")
-          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy(desc("numwait"), asc("s_name")).limit(25)
