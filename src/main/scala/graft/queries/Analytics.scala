@@ -119,6 +119,103 @@ object Analytics {
         "CAST(max(n_chars) AS BIGINT) AS max_chars " +
         "FROM documents WHERE n_chars > 0 GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // ── Incremental aggregate maintenance: a pre-aggregated "materialized"
+    //    slice (event_id ≤ watermark) is combined with the delta's partial
+    //    aggregate by re-aggregating the UNION of partials — sum/count are
+    //    associative, so the maintained result is bit-identical to a full
+    //    recompute, which is exactly what the oracle computes (the hash
+    //    match IS the proof). At 100 TB this is the difference between
+    //    re-scanning the corpus per refresh and scanning only the delta ─────
+    "x_incr_agg" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            Functions.cents(col("value")).as("cents"))
+        val Array(mn, mx) = ev.agg(min("event_id"), max("event_id")).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val wm = mx - (mx - mn) / 10 // last ~10% is "new since refresh"
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        partial(ev.where(col("event_id") <= wm))
+          .unionByName(partial(ev.where(col("event_id") > wm)))
+          .groupBy("event_type")
+          .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // ── Mergeable histogram quantiles: per-group log2-bucket counts (≤ 64
+    //    rows of state per group, a plain sum to merge across partitions or
+    //    refreshes), quantile = upper bound of the first bucket whose
+    //    cumulative count reaches ceil(p·n). Coarse by construction (one
+    //    power of two), exact integer arithmetic throughout ─────────────────
+    "x_approx_quantile_hist" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = t(s, d, "orders")
+          .where(col("o_totalprice") > 0)
+          .groupBy(col("o_orderpriority").as("pri"),
+            length(bin(Functions.cents(col("o_totalprice")))).as("b"))
+          .agg(count(lit(1)).as("n"))
+        val c = h
+          .withColumn("cum", sum(col("n")).over(
+            Window.partitionBy(col("pri")).orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total", sum(col("n")).over(Window.partitionBy(col("pri"))))
+        def ub(p: Int) = min(when(col("cum") * 100 >= col("total") * p,
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) AS BIGINT)") - 1))
+          .as(s"p${p}_ub_cents")
+        c.groupBy(col("pri"))
+          .agg(max(col("total")).as("n"), ub(50), ub(90), ub(99))
+          .orderBy("pri")
+      },
+      Some("""WITH h AS (
+        |  SELECT o_orderpriority AS pri,
+        |         length(bin(CAST(round(o_totalprice*100) AS BIGINT))) AS b,
+        |         count(*) AS n
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2
+        |), c AS (
+        |  SELECT pri, b, n,
+        |         sum(n) OVER (PARTITION BY pri ORDER BY b
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(n) OVER (PARTITION BY pri) AS total
+        |  FROM h
+        |)
+        |SELECT pri, CAST(max(total) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum*100 >= total*50 THEN (1 << b) - 1 END) AS BIGINT) AS p50_ub_cents,
+        |  CAST(min(CASE WHEN cum*100 >= total*90 THEN (1 << b) - 1 END) AS BIGINT) AS p90_ub_cents,
+        |  CAST(min(CASE WHEN cum*100 >= total*99 THEN (1 << b) - 1 END) AS BIGINT) AS p99_ub_cents
+        |FROM c GROUP BY pri ORDER BY pri""".stripMargin)),
+
+    // ── Key-skew diagnostic: the 10 hottest join/shuffle keys with integer
+    //    basis-point share — the pre-flight check before deciding to salt
+    //    (x_skew_distinct_tokens) or let AQE split a skewed partition ────────
+    "x_skew_report" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, d, "orders")
+        val total = o.count()
+        // top-10 FIRST via distributed TakeOrdered, so the global
+        // row_number window only ever ranks 10 rows — a rank-then-filter
+        // would funnel every key through one window partition at scale
+        o.groupBy(col("o_custkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share_bp", expr(s"(n * 10000) div CAST($total AS BIGINT)"))
+          .orderBy(desc("n"), asc("key")).limit(10)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(desc("n"), asc("key"))).cast("long"))
+          .orderBy("rk")
+      },
+      Some("""WITH k AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |       CAST(n * 10000 // total AS BIGINT) AS share_bp,
+        |       CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rk
+        |FROM k, t ORDER BY rk LIMIT 10""".stripMargin)),
+
     // ── Integer tf-idf: score = tf · n_docs div df (BIGINT division — no
     //    float logs), top-3 salient terms per source. The per-source window
     //    ranks over the source's VOCABULARY (bounded), not its corpus ────────

@@ -967,6 +967,29 @@ object Pipeline {
         Seq("user_id", "event_type")),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // ── Structured Streaming: merging session windows — the streaming twin
+    //    of w3_sessionize; oracle = gaps-and-islands with the same 30-min
+    //    gap, session end = last event + gap ───────────────────────────────
+    "stream_sessionize" -> Q(
+      (s, d) => graft.streaming.StreamingSync.sessionizedCounts(s, d, 30),
+      Some("""WITH g AS (
+        |  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, cents,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+        |       epoch_us(max(ts)) + 1800000000 AS sess_end_us,
+        |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // ── Structured Streaming: custom per-key state via mapGroupsWithState,
     //    batch-parity with a plain per-user rollup ───────────────────────────
     "stream_user_rollup" -> Q(

@@ -113,15 +113,19 @@ object StreamingSync {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Run an update-mode streaming result to a parquet changelog with
-    * AvailableNow, then compact it last-writer-wins per `keyCols`.
+  /** Run a streaming aggregation to a parquet changelog with AvailableNow,
+    * then compact it last-writer-wins per `keyCols`. Update mode by
+    * default; session windows only allow complete (each batch re-emits all
+    * state — the same compaction applies, the final batch simply wins
+    * everywhere).
     */
   private def runToChangelog(agg: DataFrame, base: String, name: String,
-                             keyCols: Seq[String]): DataFrame = {
+                             keyCols: Seq[String],
+                             outputMode: String = "update"): DataFrame = {
     val spark = agg.sparkSession
     val sinkDir = s"$base/sink"
     val q = agg.writeStream
-      .outputMode("update")
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(sinkDir)
@@ -133,7 +137,14 @@ object StreamingSync {
       .start()
     q.awaitTermination()
     if (!sinkExists(spark, sinkDir)) emptyLike(spark, agg.schema)
-    else {
+    else if (outputMode == "complete") {
+      // complete re-emits the WHOLE state per batch, so only the final
+      // batch is current — per-key last-writer would resurrect keys that a
+      // later batch dropped (e.g. a session merged into an earlier start)
+      val log = spark.read.parquet(sinkDir)
+      val last = log.agg(max(col("batch_id"))).head().getLong(0)
+      log.where(col("batch_id") === last).drop("batch_id")
+    } else {
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col("batch_id").desc)
       spark.read.parquet(sinkDir)
@@ -157,6 +168,33 @@ object StreamingSync {
         col("event_type"), col("n"), col("cents"))
     runToChangelog(agg, base, "graft_stream_window_agg",
       Seq("win_start_us", "event_type"))
+  }
+
+  /** Session-window aggregation: Spark's merging `session_window` groups
+    * events per user into gap-separated sessions (start = first event,
+    * end = last event + gap) with counts and exact cents — the streaming
+    * twin of the batch gaps-and-islands query (`w3_sessionize`). Session
+    * aggregations only support complete output mode without a watermark,
+    * so the changelog keeps the final batch's full re-emission (state
+    * grows with session count — a continuous deployment sets
+    * `graft.stream.watermark` to evict closed sessions and switch the
+    * cost model; batch-parity backfills drain in one AvailableNow pass).
+    */
+  def sessionizedCounts(spark: SparkSession, sfDir: String,
+                        gapMinutes: Int = 30): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "sess")
+    val agg = withOptionalWatermark(ss, eventsStream(ss, sfDir, base), "ts")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"), col("cents"))
+    runToChangelog(agg, base, "graft_stream_sessionize",
+      Seq("user_id", "sess_start_us"), outputMode = "complete")
   }
 
   /** Running per-user state carried by the engine's own state store
