@@ -22,14 +22,15 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   private val commands =
-    Set("init", "list", "listwh", "extract", "load", "sync", "reload", "ddl")
+    Set("init", "list", "listwh", "extract", "load", "sync", "reload", "ddl",
+      "profile")
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = parseArgs(args)
     val command = positional.headOption.getOrElse("")
     if (!commands(command)) {
       System.err.println(
-        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl> " +
+        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile> " +
           "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake]")
       sys.exit(2)
     }
@@ -98,6 +99,10 @@ object Main {
       }
       case "ddl" => each { t =>
         println(wh.ddl(t, dialect))
+      }
+      case "profile" => each { t =>
+        println(s"$t:")
+        wh.profile(t).show(200, truncate = false)
       }
       case other => throw new IllegalArgumentException(other)
     }

@@ -177,6 +177,17 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     d.createTable(name, schema, pk)
   }
 
+  /** `profile`: per-column null/distinct/min/max report for a source
+    * table — the pre-sync data-quality check (no reference analog; the
+    * operator equivalent of eyeballing `SELECT *` before a backfill).
+    */
+  def profile(name: String): DataFrame = {
+    val df = sourceTable(name)
+    graft.operators.Sketches.profile(df,
+      df.schema.fields.map(f =>
+        f.name -> org.apache.spark.sql.functions.col(f.name)).toSeq)
+  }
+
   /** `list`: source tables with sizes (pgwarehouse.py:218-237). */
   def list(): DataFrame =
     Catalog.listWithSizes(spark, cfg.sourceDir,

@@ -140,6 +140,36 @@ object Tables {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(dir)
 
+  /** JSONL interchange twin of the CSV chunk sink: gzip-compressed
+    * newline-delimited JSON with the same rollover, row-cap, and
+    * observed-count contract. JSONL survives schema evolution better than
+    * CSV (self-describing field names, no quoting ambiguity) at ~2× the
+    * bytes — the right interchange when the consumer is another engine's
+    * JSON reader rather than a COPY command.
+    */
+  def writeJsonlChunks(df: DataFrame, dir: String,
+                       maxRecordsPerFile: Long = 1000000L,
+                       maxRecords: Option[Long] = None): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val capped = maxRecords.fold(df)(n =>
+      df.limit(math.min(n, Int.MaxValue.toLong).toInt))
+    val obs = Observation()
+    capped.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .json(dir)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** JSONL chunk source, schema pinned like the CSV twin. */
+  def readJsonlChunks(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .json(dir)
+
   /** S4-S6 generalized: bulk append into a warehouse table over JDBC. */
   def jdbcAppend(df: DataFrame, url: String, dbtable: String): Unit =
     df.write.format("jdbc").option("url", url).option("dbtable", dbtable)

@@ -80,6 +80,44 @@ object Sketches {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Count-min sketch: depth×width integer counters addressed by disjoint
+    * 16-bit md5 chunks (the same hash family as the minhash operators).
+    * The sketch is ≤ depth·width rows whatever the input size — the
+    * frequency twin of [[approxDistinctHll]] — and merges by plain
+    * summation. Estimates only ever overcount (min over depth rows).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Build the (row, bucket) → count table for one value column. */
+  def cmsSketch(df: DataFrame, valueCol: String): DataFrame = {
+    val coords = (0 until CmsDepth).map { i =>
+      struct(lit(i).as("i"),
+        (conv(substring(md5(col(valueCol).cast("string")), 4 * i + 1, 4), 16, 10)
+          .cast("long") % CmsWidth).as("bucket"))
+    }
+    df.select(explode(array(coords: _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each key in `keys(keyCol)`: min over
+    * the depth rows the key hashes to. The sketch side is tiny (≤ 4096
+    * rows) — Catalyst broadcasts it; the probe never shuffles the corpus.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    val probes = (0 until CmsDepth).map { i =>
+      struct(lit(i).as("i"),
+        (conv(substring(md5(col(keyCol).cast("string")), 4 * i + 1, 4), 16, 10)
+          .cast("long") % CmsWidth).as("bucket"))
+    }
+    keys.select(col(keyCol), explode(array(probes: _*)).as("c"))
+      .select(col(keyCol), col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .join(sketch, Seq("i", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("n_est"))
+  }
+
   /** Per-column table profile: count / nulls / distinct / min / max, one
     * row per requested column (min/max rendered as strings so numeric and
     * text columns union into one result). Each column is an independent

@@ -119,6 +119,40 @@ object Analytics {
         "CAST(max(n_chars) AS BIGINT) AS max_chars " +
         "FROM documents WHERE n_chars > 0 GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // ── Count-min frequency estimates for the exact top-10 tokens: the
+    //    sketch is ≤ 4×1024 counters however large the corpus (frequency
+    //    twin of the HLL query); estimates only overcount, and the oracle
+    //    rebuilds the identical md5-chunk sketch ─────────────────────────────
+    "x_freq_cms" -> Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+        val sketch = Sketches.cmsSketch(toks, "tok")
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), asc("tok")).limit(10)
+        exact.join(Sketches.cmsEstimate(sketch, exact.select("tok"), "tok"), "tok")
+          .orderBy(desc("n_exact"), asc("tok"))
+      },
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+        |), ii AS (SELECT unnest([0,1,2,3]) AS i),
+        |sketch AS (
+        |  SELECT i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket,
+        |         count(*) AS cnt
+        |  FROM tok, ii GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT tok, count(*) AS n_exact FROM tok GROUP BY 1
+        |  ORDER BY n_exact DESC, tok LIMIT 10
+        |), est AS (
+        |  SELECT e.tok, min(cnt) AS n_est
+        |  FROM (SELECT tok, i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket
+        |        FROM exact, ii) e
+        |  JOIN sketch USING (i, bucket) GROUP BY e.tok
+        |)
+        |SELECT exact.tok, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
+        |FROM exact JOIN est ON exact.tok = est.tok
+        |ORDER BY n_exact DESC, exact.tok""".stripMargin)),
+
     // ── Incremental aggregate maintenance: a pre-aggregated "materialized"
     //    slice (event_id ≤ watermark) is combined with the delta's partial
     //    aggregate by re-aggregating the UNION of partials — sum/count are

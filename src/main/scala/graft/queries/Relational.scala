@@ -65,6 +65,25 @@ object Relational {
         "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus")),
 
+    // ── S2b/S3b: gzip JSONL chunk sink + schema-pinned source, round-trip
+    //    (the self-describing interchange twin of the CSV path) ─────────────
+    "s3_jsonl_roundtrip" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
+          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
+        Tables.writeJsonlChunks(o, dir, maxRecordsPerFile = 100000L)
+        Tables.readJsonlChunks(s, dir, o.schema)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(Functions.cents(col("o_totalprice"))).as("cents"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "count(DISTINCT o_custkey) AS n_cust " +
+        "FROM orders GROUP BY o_orderstatus")),
+
     // ── P2: explicit projection + predicate + deterministic limit ──────────
     "p2_projection" -> Q(
       (s, d) => t(s, d, "orders")

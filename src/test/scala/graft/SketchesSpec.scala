@@ -55,6 +55,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(row.getAs[Long]("p50_v") == 7L)
   }
 
+  test("CMS estimates never undercount and are exact without collisions") {
+    // 20 distinct keys with known multiplicities 1..20 — far below width
+    // 1024, so collisions are unlikely but not impossible: assert the
+    // one-sided error bound exactly and equality for the majority
+    val rows = (1 to 20).flatMap(k => Seq.fill(k)((s"key_$k", 1)))
+    val df = rows.toDF("k", "one")
+    val sketch = Sketches.cmsSketch(df, "k")
+    assert(sketch.count() <= 4L * 1024)
+    val keys = (1 to 20).map(k => s"key_$k").toDF("k")
+    val est = Sketches.cmsEstimate(sketch, keys, "k").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_est")).toMap
+    (1 to 20).foreach { k =>
+      assert(est(s"key_$k") >= k, s"CMS undercounted key_$k")
+    }
+    assert((1 to 20).count(k => est(s"key_$k") == k) >= 15,
+      "most estimates should be collision-free at this load factor")
+  }
+
+  test("CMS sketches merge by summation") {
+    val a = Seq.fill(5)("x").toDF("k")
+    val b = Seq.fill(7)("x").toDF("k")
+    val merged = Sketches.cmsSketch(a, "k").unionByName(Sketches.cmsSketch(b, "k"))
+      .groupBy("i", "bucket").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val est = Sketches.cmsEstimate(merged, Seq("x").toDF("k"), "k")
+      .head().getAs[Long]("n_est")
+    assert(est == 12L)
+  }
+
   test("profile counts nulls and distincts per column") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),

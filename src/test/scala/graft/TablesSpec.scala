@@ -29,6 +29,20 @@ class TablesSpec extends AnyFunSuite {
       "values round-trip exactly (incl. µs timestamps)")
   }
 
+  test("jsonl chunks round-trip values incl. timestamps, with observed count") {
+    val df = (1 to 50).map(i =>
+      (i.toLong, s"name $i", 1.5 * i, Timestamp.valueOf(s"2022-01-01 00:00:${i % 60}")))
+      .toDF("id", "name", "amount", "updated")
+    val dir = TestSpark.tmpDir("jsonl") + "/chunks"
+    val n = Tables.writeJsonlChunks(df.repartition(1), dir, maxRecordsPerFile = 20L)
+    assert(n == 50, "observed in-job count")
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".json.gz"))
+    assert(files.length >= 2, s"50 rows / 20-row cap → ≥2 chunks, got ${files.length}")
+    val back = Tables.readJsonlChunks(spark, dir, df.schema)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet,
+      "values round-trip exactly (incl. µs timestamps)")
+  }
+
   test("maxRecords caps the extract, like the reference's max_records") {
     val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val dir = TestSpark.tmpDir("csvcap") + "/chunks"
