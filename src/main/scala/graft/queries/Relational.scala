@@ -311,6 +311,20 @@ object Relational {
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)")),
 
+    // ── A6c: explicit GROUPING SETS through the spark.sql surface (the
+    //    library's third entry point besides DataFrame and streaming) ───────
+    "a6c_grouping_sets" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())")),
+
     // ── A7: distinct ───────────────────────────────────────────────────────
     "a7_distinct" -> Q(
       (s, d) => t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct(),
@@ -363,6 +377,26 @@ object Relational {
         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ind
         |    FROM events WHERE event_type IN ('click', 'purchase')))
         |WHERE event_type = 'purchase'""".stripMargin)),
+
+    // ── W6: sliding (hopping) window aggregation — each event lands in
+    //    windowLen/slide windows; Spark's window() emits them natively,
+    //    the oracle unrolls the two candidate starts per event ──────────────
+    "w6_sliding_window" -> Q(
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Functions.cents(col("value"))).as("cents"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("cents")),
+      Some("""WITH w AS (
+        |  SELECT epoch_us(ts) AS ts_us, event_type,
+        |         CAST(round(value*100) AS BIGINT) AS cents,
+        |         unnest([ (epoch_us(ts) // 300000000) * 300000000,
+        |                  (epoch_us(ts) // 300000000) * 300000000 - 300000000 ]) AS win_start_us
+        |  FROM events
+        |)
+        |SELECT win_start_us, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM w GROUP BY 1, 2""".stripMargin)),
 
     // ── O1/O2: global sort + deterministic top-k ───────────────────────────
     "o2_topk_orders" -> Q(
