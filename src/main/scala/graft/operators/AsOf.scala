@@ -25,10 +25,17 @@ object AsOf {
 
   /** Left rows keep (`leftId`, keys, ts); each gains the as-of `rightId`
     * and `rightVals` (null when no right row precedes it).
+    *
+    * `forward = true` flips the direction: the single EARLIEST right row
+    * with `right.ts >= left.ts` (the "next snapshot" lookup — e.g. the
+    * next price print after an order). Same union+window shape, traversed
+    * in reverse event-time order; at equal ts the right row still
+    * qualifies in both directions.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, leftId: String, rightId: String,
-               rightVals: Seq[(String, Column)]): DataFrame = {
+               rightVals: Seq[(String, Column)],
+               forward: Boolean = false): DataFrame = {
     val keyCols = keys.map(col)
 
     // one right row per (key, ts): greatest id wins (deterministic ties)
@@ -56,8 +63,9 @@ object AsOf {
     // independent last(ignoreNulls) calls would let a NULL value on the
     // matched row be silently backfilled from an older right row,
     // mispairing (id, value).
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col(tsCol).asc, col("__is_left").asc,
+      .orderBy(tsOrder, col("__is_left").asc,
         coalesce(col("__r_id"), col("__l_id")).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val rStruct = when(col("__is_left") === 0,

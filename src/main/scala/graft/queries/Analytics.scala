@@ -250,6 +250,59 @@ object Analytics {
         |       CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rk
         |FROM k, t ORDER BY rk LIMIT 10""".stripMargin)),
 
+    // ── Z-order layout audit: interleave (custkey, orderkey) into a Morton
+    //    code and show each z-bucket covers one axis-aligned tile of BOTH
+    //    key ranges — the multi-dimension file-skipping layout. Sorting the
+    //    table by zval is the write-side move; this query verifies tile
+    //    locality (max_x-min_x stays one tile wide per bucket) ──────────────
+    "x_zorder_layout" -> Q(
+      (s, d) => {
+        val z = t(s, d, "orders").select(
+          (col("o_custkey") % 256).as("x"), (col("o_orderkey") % 256).as("y"))
+          .withColumn("zval",
+            graft.operators.ZOrder.zValue(Seq(col("x"), col("y")), bits = 8))
+        z.groupBy(expr("zval div 4096").as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).cast("long").as("min_x"), max(col("x")).cast("long").as("max_x"),
+            min(col("y")).cast("long").as("min_y"), max(col("y")).cast("long").as("max_y"))
+          .orderBy("zbucket")
+      },
+      Some {
+        val zx = (0 until 8).map(i =>
+          s"((((o_custkey % 256) >> $i) & 1) << ${2 * i})").mkString(" + ")
+        val zy = (0 until 8).map(i =>
+          s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        s"""WITH z AS (SELECT o_custkey % 256 AS x, o_orderkey % 256 AS y,
+           |  CAST($zx AS BIGINT) + CAST($zy AS BIGINT) AS zval FROM orders)
+           |SELECT zval // 4096 AS zbucket, count(*) AS n,
+           |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ── Corpus-mix diversity: exact-integer Gini impurity of the source
+    //    distribution per language — numerator/denominator (total² − Σn²,
+    //    total²) so no float division enters the gate; the data-mixing
+    //    diagnostic before reweighting (x_mix_weighted) ──────────────────────
+    "x_gini_mix" -> Q(
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .groupBy("lang")
+        .agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_sources"),
+          sum(col("n") * col("n")).as("sum_sq"))
+        .select(col("lang"), col("total"), col("n_sources"),
+          (col("total") * col("total") - col("sum_sq")).as("gini_num"),
+          (col("total") * col("total")).as("gini_den"))
+        .orderBy("lang"),
+      Some("""WITH n AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total,
+        |             CAST(sum(n*n) AS BIGINT) AS sum_sq, count(*) AS n_sources
+        |      FROM n GROUP BY 1)
+        |SELECT lang, total, CAST(n_sources AS BIGINT) AS n_sources,
+        |       total*total - sum_sq AS gini_num, total*total AS gini_den
+        |FROM t ORDER BY lang""".stripMargin)),
+
     // ── Integer tf-idf: score = tf · n_docs div df (BIGINT division — no
     //    float logs), top-3 salient terms per source. The per-source window
     //    ranks over the source's VOCABULARY (bounded), not its corpus ────────

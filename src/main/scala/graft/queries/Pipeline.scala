@@ -280,6 +280,35 @@ object Pipeline {
         |  r.r_id AS asof_event_id, r.r_cents AS asof_cents
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // ── Forward as-of: the NEXT purchase at-or-after each click (reverse
+    //    traversal of the same union+window plan; oracle is a LATERAL
+    //    first-match since DuckDB's native ASOF is backward-only) ──────────
+    "x_asof_forward" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+        val purchases = ev.where(col("event_type") === "purchase")
+        AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+          "event_id", "event_id",
+          Seq("cents" -> round(col("value") * 100).cast("long")),
+          forward = true)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("asof_event_id").as("next_event_id"),
+            col("asof_cents").as("next_cents"))
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, event_id AS r_id, CAST(round(value*100) AS BIGINT) AS r_cents,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, r_id, r_cents FROM r0 WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+        |  nxt.r_id AS next_event_id, nxt.r_cents AS next_cents
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r_id, r_cents FROM r
+        |  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+        |  ORDER BY r.ts ASC LIMIT 1) nxt ON TRUE""".stripMargin)),
+
     // ── Range join: (purchase, click) pairs within the 10 minutes before
     //    each purchase, via bucketed equi-join (no theta cross product) ─────
     "x_range_join" -> Q(

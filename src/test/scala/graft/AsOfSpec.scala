@@ -50,6 +50,31 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.size == 5, "every left row survives exactly once")
   }
 
+  test("forward asofJoin picks the earliest right row at or after each left") {
+    val left = Seq(
+      (101L, 1L, ts(5)),   // before r1(ts 10) → matches r1
+      (102L, 1L, ts(10)),  // exactly at r1 → boundary counts
+      (103L, 1L, ts(25)),  // after every right row → null
+      (104L, 2L, ts(1)))   // other key, no rights → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (201L, 1L, ts(10), 100.0),
+      (202L, 1L, ts(20), 200.0))
+      .toDF("event_id", "user_id", "ts", "amount")
+    val out = AsOf.asofJoin(left, right, Seq("user_id"), "ts",
+      "event_id", "event_id",
+      Seq("cents" -> round(col("amount") * 100).cast("long")),
+      forward = true)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_event_id")))
+      .toMap
+    assert(out(101L) == Some(201L), "next right row after the left")
+    assert(out(102L) == Some(201L), ">= boundary includes the equal-ts row")
+    assert(out(103L) == None, "no later right row")
+    assert(out(104L) == None, "key with no right rows")
+  }
+
   test("a NULL value on the matched right row stays NULL (no backfill)") {
     val left = Seq((1L, 1L, ts(30))).toDF("event_id", "user_id", "ts")
     val right = Seq(

@@ -83,6 +83,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(est == 12L)
   }
 
+  test("zValue interleaves bits and preserves tile locality") {
+    import graft.operators.ZOrder
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+    val out = df.withColumn("z", ZOrder.zValue(Seq(col("x"), col("y")), 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("z")).toMap
+    assert(out((0L, 0L)) == 0L)
+    assert(out((1L, 0L)) == 1L, "x occupies even bit positions")
+    assert(out((0L, 1L)) == 2L, "y occupies odd bit positions")
+    // 3=0b11, 5=0b101 → interleaved x@even y@odd: 0b100111 = 39
+    assert(out((3L, 5L)) == 39L)
+    assert(out((255L, 255L)) == 65535L, "full 8-bit range packs into 16 bits")
+  }
+
   test("profile counts nulls and distincts per column") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),
