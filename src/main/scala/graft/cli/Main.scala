@@ -23,14 +23,14 @@ object Main {
 
   private val commands =
     Set("init", "list", "listwh", "extract", "load", "sync", "reload", "ddl",
-      "profile")
+      "profile", "compact")
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = parseArgs(args)
     val command = positional.headOption.getOrElse("")
     if (!commands(command)) {
       System.err.println(
-        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile> " +
+        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact> " +
           "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake]")
       sys.exit(2)
     }
@@ -103,6 +103,10 @@ object Main {
       case "profile" => each { t =>
         println(s"$t:")
         wh.profile(t).show(200, truncate = false)
+      }
+      case "compact" => each { t =>
+        val (before, after, rows) = wh.compact(t)
+        println(s"$t: compacted $before files -> $after ($rows rows)")
       }
       case other => throw new IllegalArgumentException(other)
     }

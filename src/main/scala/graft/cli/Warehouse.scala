@@ -215,6 +215,30 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     * a sibling tmp path, then swap — Spark cannot overwrite a path it is
     * reading from, and a mid-job crash must not destroy the old table.
     */
+  /** `compact`: bin-pack a warehouse table's small files to ~`targetBytes`
+    * parquet files (the maintenance op every incremental-append table
+    * eventually needs — each sync appends its own files until scans pay a
+    * per-file open cost). Rewrites through the same atomic staged swap as
+    * load, so readers never see a partial table. Returns (files before,
+    * files after, rows).
+    */
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024)
+  : (Long, Long, Long) = {
+    val path = warehousePath(name)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no warehouse table $name")
+    def dataFiles = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    writeAtomic(df.repartition(nFiles), path)
+    val rows = spark.read.parquet(path).count()
+    (before.length.toLong, dataFiles.length.toLong, rows)
+  }
+
   private def writeAtomic(df: DataFrame, path: String): Unit = {
     val tmp = path + ".__tmp"
     df.write.mode("overwrite").parquet(tmp)

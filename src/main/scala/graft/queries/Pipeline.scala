@@ -958,6 +958,61 @@ object Pipeline {
         |  CAST(list_sum([ascii(c) FOR c IN regexp_extract_all(hx, '.')]) AS DOUBLE) / 32 AS hex_mean
         |FROM h""".stripMargin)),
 
+    // ── Salted equi-join: the generic skew mitigation — the hot side's key
+    //    gains an md5 salt (8 shards), the dim side is replicated once per
+    //    salt, and the join key becomes (key, salt) so one hot user spreads
+    //    over 8 partitions instead of stalling one. Result is EXACTLY the
+    //    plain join (oracle proves it); the replicate factor trades dim-side
+    //    volume for hot-key parallelism ─────────────────────────────────────
+    "x_skew_join_salted" -> Q(
+      (s, d) => {
+        val nSalts = 8
+        val ev = t(s, d, "events")
+          .withColumn("salt",
+            conv(substring(md5(col("event_id").cast("string")), 1, 2), 16, 10)
+              .cast("int") % nSalts)
+        val dim = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+        ev.join(dim,
+          ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Schema-evolution union: an old extract missing a column unions
+    //    with the current schema (missing column NULL-filled) — the drift
+    //    case the reference handles by full reload, handled here as one
+    //    declarative merge ──────────────────────────────────────────────────
+    "x_schema_evolution" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val oldSlice = o.where(col("o_orderkey") % 2 === 0)
+          .drop("o_orderpriority") // the column that didn't exist yet
+        val newSlice = o.where(col("o_orderkey") % 2 =!= 0)
+        oldSlice.unionByName(newSlice, allowMissingColumns = true)
+          .groupBy(coalesce(col("o_orderpriority"), lit("<pre-migration>"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .orderBy("priority")
+      },
+      Some("""WITH u AS (
+        |  SELECT o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 <> 0
+        |)
+        |SELECT coalesce(o_orderpriority, '<pre-migration>') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── Structured Streaming: windowed agg over the events stream, run with
     //    Trigger.AvailableNow for batch parity ───────────────────────────────
     "stream_window_agg" -> Q(

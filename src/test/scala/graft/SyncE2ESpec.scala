@@ -228,6 +228,20 @@ class SyncE2ESpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { w.ddl("users10", "oracle9i") }
   }
 
+  test("t14 compact bin-packs small files, preserves rows, swaps atomically") {
+    val w = wh()
+    writeSource("users10", users(200))
+    // fragment the warehouse table into many tiny files
+    val frag = spark.read.parquet(s"$sourceDir/users10.parquet").repartition(16)
+    frag.write.mode(SaveMode.Overwrite).parquet(s"$warehouseDir/users10.parquet")
+    val (before, after, rows) = w.compact("users10")
+    assert(before == 16, s"fragmented table should start at 16 files, got $before")
+    assert(after == 1, "tiny table packs to one file at the default target")
+    assert(rows == 200)
+    val back = spark.read.parquet(s"$warehouseDir/users10.parquet")
+    assert(back.count() == 200, "values survive the rewrite")
+  }
+
   test("all loop isolates a failing table and reports it") {
     setupSources()
     val broken = cfg().copy(tables = scala.collection.immutable.ListMap(
