@@ -233,9 +233,13 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     val before = dataFiles
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(path)
-    writeAtomic(df.repartition(nFiles), path)
-    val rows = spark.read.parquet(path).count()
+    // row count observed INSIDE the rewrite job — a read-back count()
+    // would scan the whole compacted table a second time
+    val obs = org.apache.spark.sql.Observation()
+    writeAtomic(spark.read.parquet(path).repartition(nFiles)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")), path)
+    val rows = obs.get("n").asInstanceOf[Long]
     (before.length.toLong, dataFiles.length.toLong, rows)
   }
 

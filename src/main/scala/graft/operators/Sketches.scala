@@ -104,6 +104,9 @@ object Sketches {
   /** Point-estimate the frequency of each key in `keys(keyCol)`: min over
     * the depth rows the key hashes to. The sketch side is tiny (≤ 4096
     * rows) — Catalyst broadcasts it; the probe never shuffles the corpus.
+    * An empty counter is 0, so a key the sketch never saw estimates 0 (a
+    * LEFT join — an inner join would silently drop never-seen keys or,
+    * worse, take the min over only their colliding coordinates).
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
     val probes = (0 until CmsDepth).map { i =>
@@ -113,9 +116,9 @@ object Sketches {
     }
     keys.select(col(keyCol), explode(array(probes: _*)).as("c"))
       .select(col(keyCol), col("c.i").as("i"), col("c.bucket").as("bucket"))
-      .join(sketch, Seq("i", "bucket"))
+      .join(sketch, Seq("i", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
   /** Per-column table profile: count / nulls / distinct / min / max, one

@@ -70,7 +70,7 @@ object Analytics {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey) AS rn,
         |         count(*) OVER (PARTITION BY o_orderpriority) AS n
-        |  FROM orders
+        |  FROM orders WHERE o_totalprice IS NOT NULL
         |)
         |SELECT o_orderpriority,
         |  CAST(max(CASE WHEN rn = (n*25 + 99) // 100 THEN cents END) AS BIGINT) AS p25_cents,
@@ -280,28 +280,32 @@ object Analytics {
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
-    // ── Corpus-mix diversity: exact-integer Gini impurity of the source
-    //    distribution per language — numerator/denominator (total² − Σn²,
-    //    total²) so no float division enters the gate; the data-mixing
-    //    diagnostic before reweighting (x_mix_weighted) ──────────────────────
+    // ── Corpus-mix diversity: Gini impurity of the source distribution per
+    //    language, quantized to basis points. Shares are s_bp = n·10⁴ div
+    //    total (≤ 10⁴), gini_bp = 10⁴ − Σ s_bp² div 10⁴ — every
+    //    intermediate is bounded by ~10⁸·n_sources whatever the corpus
+    //    size (a raw total² formulation overflows BIGINT past ~3·10⁹ rows
+    //    per language, i.e. exactly at the 100 TB scale this targets).
+    //    Floor division quantizes identically in both engines ───────────────
     "x_gini_mix" -> Q(
       (s, d) => t(s, d, "documents")
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .withColumn("s_bp", expr("(n * 10000) div total"))
         .groupBy("lang")
-        .agg(sum(col("n")).as("total"),
+        .agg(max(col("total")).as("total"),
           count(lit(1)).as("n_sources"),
-          sum(col("n") * col("n")).as("sum_sq"))
-        .select(col("lang"), col("total"), col("n_sources"),
-          (col("total") * col("total") - col("sum_sq")).as("gini_num"),
-          (col("total") * col("total")).as("gini_den"))
+          (lit(10000L) - sum(expr("(s_bp * s_bp) div 10000"))).as("gini_bp"))
         .orderBy("lang"),
       Some("""WITH n AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
-        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total,
-        |             CAST(sum(n*n) AS BIGINT) AS sum_sq, count(*) AS n_sources
-        |      FROM n GROUP BY 1)
-        |SELECT lang, total, CAST(n_sources AS BIGINT) AS n_sources,
-        |       total*total - sum_sq AS gini_num, total*total AS gini_den
-        |FROM t ORDER BY lang""".stripMargin)),
+        |s AS (SELECT lang, n, sum(n) OVER (PARTITION BY lang) AS total,
+        |             (n * 10000) // sum(n) OVER (PARTITION BY lang) AS s_bp
+        |      FROM n)
+        |SELECT lang, CAST(max(total) AS BIGINT) AS total,
+        |       count(*) AS n_sources,
+        |       CAST(10000 - sum((s_bp * s_bp) // 10000) AS BIGINT) AS gini_bp
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ── Integer tf-idf: score = tf · n_docs div df (BIGINT division — no
     //    float logs), top-3 salient terms per source. The per-source window

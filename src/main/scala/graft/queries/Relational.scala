@@ -383,6 +383,9 @@ object Relational {
     //    the oracle unrolls the two candidate starts per event ──────────────
     "w6_sliding_window" -> Q(
       (s, d) => t(s, d, "events")
+        // Spark's TimeWindowing silently drops NULL-ts rows; filter
+        // explicitly so the oracle can mirror the same exclusion
+        .where(col("ts").isNotNull)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(Functions.cents(col("value"))).as("cents"))
@@ -393,7 +396,7 @@ object Relational {
         |         CAST(round(value*100) AS BIGINT) AS cents,
         |         unnest([ (epoch_us(ts) // 300000000) * 300000000,
         |                  (epoch_us(ts) // 300000000) * 300000000 - 300000000 ]) AS win_start_us
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |)
         |SELECT win_start_us, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
         |FROM w GROUP BY 1, 2""".stripMargin)),

@@ -73,6 +73,16 @@ class SketchesSpec extends AnyFunSuite {
       "most estimates should be collision-free at this load factor")
   }
 
+  test("CMS estimates a never-seen key as 0, not dropped or inflated") {
+    val sketch = Sketches.cmsSketch(Seq.fill(9)("present").toDF("k"), "k")
+    val est = Sketches.cmsEstimate(sketch,
+      Seq("present", "never_seen").toDF("k"), "k").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_est")).toMap
+    assert(est("present") == 9L)
+    assert(est.contains("never_seen"), "absent key must not vanish")
+    assert(est("never_seen") == 0L, "empty counters are 0")
+  }
+
   test("CMS sketches merge by summation") {
     val a = Seq.fill(5)("x").toDF("k")
     val b = Seq.fill(7)("x").toDF("k")
