@@ -109,6 +109,45 @@ object Multimodal {
     }.toDF()
   }
 
+  case class Frame(doc_id: Long, frame_idx: Long, start_byte: Long,
+                   energy: Long, peak: Long)
+
+  /** Frame-sample a payload into overlapping windows with per-frame
+    * integer features — the audio/video feature-extraction shape (think
+    * PCM frames or video GOPs): `frameLen` bytes per frame advancing by
+    * `hop`, per-frame energy (Σ unsigned bytes) and peak. Imperative
+    * per-partition loop like [[decodePayload]] — a real codec's
+    * frame iterator drops into the same `mapPartitions` slot; output rows
+    * are (payload rows × frames), still a narrow map with no shuffle.
+    * Payloads shorter than one frame emit nothing (no partial frames).
+    */
+  def frameFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                    payloadCol: String, frameLen: Int = 64,
+                    hop: Int = 32): DataFrame = {
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val n = bytes.length
+        val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+        (0 until nFrames).iterator.map { f =>
+          val start = f * hop
+          var sum = 0L
+          var peak = 0L
+          var k = 0
+          while (k < frameLen) {
+            val v = bytes(start + k) & 0xFF
+            sum += v
+            if (v > peak) peak = v
+            k += 1
+          }
+          Frame(id, f, start.toLong, sum, peak)
+        }
+      }
+    }.toDF()
+  }
+
   /** Corpus entry point: the utf-8 bytes of `textCol` stand in for image
     * payloads (they fail the magic-byte sniff, so this exercises the
     * deterministic-fake path end-to-end against the DuckDB oracle).

@@ -1013,6 +1013,28 @@ object Pipeline {
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ── Multimodal: overlapping frame-sampling with per-frame integer
+    //    energy/peak — the audio/video feature-extraction shape over the
+    //    same stand-in payload bytes; oracle recomputes every byte via hex
+    //    expansion ──────────────────────────────────────────────────────────
+    "x_multimodal_frames" -> Q(
+      (s, d) => Multimodal.frameFeatures(s,
+        t(s, d, "documents")
+          .select(col("doc_id"), expr("encode(text, 'utf-8')").as("payload")),
+        "doc_id", "payload"),
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, hx,
+        |  unnest(generate_series(0, (nb-64)//32)) AS frame_idx
+        |  FROM h WHERE nb >= 64)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx*32 AS BIGINT) AS start_byte,
+        |  CAST(list_sum([CAST('0x'||substr(hx,(frame_idx*32+k)*2+1,2) AS INTEGER)
+        |    FOR k IN generate_series(0,63)]) AS BIGINT) AS energy,
+        |  CAST(list_max([CAST('0x'||substr(hx,(frame_idx*32+k)*2+1,2) AS INTEGER)
+        |    FOR k IN generate_series(0,63)]) AS BIGINT) AS peak
+        |FROM f""".stripMargin)),
+
     // ── Structured Streaming: windowed agg over the events stream, run with
     //    Trigger.AvailableNow for batch parity ───────────────────────────────
     "stream_window_agg" -> Q(

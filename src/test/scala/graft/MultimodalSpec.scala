@@ -75,4 +75,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == 1 + truncatedJpeg.length % 8,
       "truncated JPEG → fallback")
   }
+
+  test("frameFeatures windows bytes with hop overlap; short payloads skip") {
+    import spark.implicits._
+    // 10 bytes, frame 4, hop 2 → frames at 0,2,4,6 (start+4 <= 10)
+    val bytes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = graft.operators.Multimodal
+      .frameFeatures(spark, df, "id", "payload", frameLen = 4, hop = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("start_byte"), r.getAs[Long]("energy"), r.getAs[Long]("peak")))
+      .toMap
+    assert(out.keys.count(_._1 == 1L) == 4, "(10-4)/2+1 = 4 frames")
+    assert(out((1L, 0L)) == (0L, 1 + 2 + 3 + 4, 4L))
+    assert(out((1L, 1L)) == (2L, 3 + 4 + 5 + 6, 6L), "hop-2 overlap")
+    assert(out((1L, 3L)) == (6L, 7 + 8 + 9 + 10, 10L))
+    assert(!out.keys.exists(_._1 == 2L), "payload shorter than one frame")
+  }
 }
