@@ -1013,6 +1013,69 @@ object Pipeline {
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ── Rarity score: an integer perplexity surrogate — per token,
+    //    bits = length(bin(n_docs div docfreq)) ≈ its IDF in bits (the
+    //    binary-string length is floor(log2)+1, no float logs); per doc,
+    //    the mean of bits² over occurrences, squared to keep one rare
+    //    token visible against hundreds of common ones. One token-keyed
+    //    join against the docfreq table; n_docs is a driver scalar ─────────
+    "x_rarity_score" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val dfT = toks.groupBy("tok")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val bits = length(bin(expr(s"CAST($nDocs AS BIGINT) div df")))
+        toks.join(dfT, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum((bits * bits).cast("long")).as("bits_sq"))
+          .select(col("doc_id"), col("n_toks"),
+            expr("(bits_sq * 100) div n_toks").as("rarity_e2"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\s+')) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_toks,
+        |         CAST(sum(length(bin((SELECT n_docs FROM nd) // df.df)) *
+        |                  length(bin((SELECT n_docs FROM nd) // df.df))) AS BIGINT) AS bits_sq
+        |  FROM tok t JOIN df ON t.tok = df.tok GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |       CAST((bits_sq * 100) // n_toks AS BIGINT) AS rarity_e2
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ── Curriculum ordering: easy-to-hard by rarity with a total
+    //    tie-break — the deterministic "which 20 docs start epoch 1" cut.
+    //    Top-k BEFORE ranking (TakeOrdered), so no global sort window ───────
+    "x_curriculum_order" -> Q(
+      (s, d) => {
+        val scored = Pipeline.all("x_rarity_score").fn(s, d)
+        scored.orderBy(asc("rarity_e2"), asc("doc_id")).limit(20)
+          .withColumn("pos", row_number().over(
+            Window.orderBy(asc("rarity_e2"), asc("doc_id"))).cast("long"))
+          .select("pos", "doc_id", "rarity_e2")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\s+')) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_toks,
+        |         CAST((sum(length(bin((SELECT n_docs FROM nd) // df.df)) *
+        |                   length(bin((SELECT n_docs FROM nd) // df.df))) * 100)
+        |              // count(*) AS BIGINT) AS rarity_e2
+        |  FROM tok t JOIN df ON t.tok = df.tok GROUP BY 1
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY rarity_e2, doc_id) AS BIGINT) AS pos,
+        |       doc_id, rarity_e2
+        |FROM sc ORDER BY rarity_e2, doc_id LIMIT 20""".stripMargin)),
+
     // ── Multimodal: overlapping frame-sampling with per-frame integer
     //    energy/peak — the audio/video feature-extraction shape over the
     //    same stand-in payload bytes; oracle recomputes every byte via hex
