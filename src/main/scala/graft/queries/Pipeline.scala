@@ -1165,6 +1165,16 @@ object Pipeline {
       (s, d) => graft.streaming.StreamingSync.statefulUserRollup(s, d),
       Some("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id")),
+
+    // ── Structured Streaming: the SAME rollup on Spark 4's
+    //    transformWithState arbitrary-state API (typed ValueState in the
+    //    RocksDB store) — both stateful APIs stay exercised against one
+    //    batch oracle ───────────────────────────────────────────────────────
+    "stream_rollup_tws" -> Q(
+      (s, d) => graft.streaming.StreamingSync.statefulUserRollupTws(s, d),
+      Some("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
         "epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id"))
   )
 }

@@ -238,6 +238,59 @@ object StreamingSync {
   case class UserState(user_id: Long, n_events: Long, sum_cents: Long,
                        last_us: Long)
 
+  /** The same rollup on Spark 4's `transformWithState` arbitrary-state
+    * API — typed per-key `ValueState` in the RocksDB state store (the only
+    * provider the operator supports; disk-backed, so per-key state volume
+    * is no longer bounded by executor heap the way HDFS-backed
+    * mapGroupsWithState state is). Semantics and oracle identical to
+    * [[statefulUserRollup]]; kept as a separate query so both stateful
+    * APIs stay exercised.
+    */
+  private class RollupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), UserState] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("rollup",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[UserState] = {
+      val prev = if (state.exists()) state.get()
+        else UserState(key, 0L, 0L, Long.MinValue)
+      val next = rows.foldLeft(prev) { case (s, (_, cents, ts)) =>
+        UserState(key, s.n_events + 1, s.sum_cents + cents,
+          math.max(s.last_us, ts))
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def statefulUserRollupTws(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val base = freshBase(ss, "tws")
+    val rows = eventsStream(ss, sfDir, base)
+      .select(col("user_id").cast("long"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"),
+        coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"))
+      .where(col("user_id").isNotNull)
+      .as[(Long, Long, Long)]
+    val agg = rows.groupByKey(_._1)
+      .transformWithState(new RollupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+    runToChangelog(agg, base, "graft_stream_rollup_tws", Seq("user_id"))
+  }
+
   /** Streaming exact dedup: first-seen row per key, state = one entry per
     * distinct key sharded across the state store. Append mode emits each
     * key exactly once however the input is batched; the watermark would
