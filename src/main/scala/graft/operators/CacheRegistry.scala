@@ -11,7 +11,7 @@ import org.apache.spark.sql.DataFrame
   * (FIFO ≈ LRU for the build-once-reuse-soon pattern here), so storage
   * memory cannot leak without `unpersistAll` ever being called.
   */
-private[operators] object CacheRegistry {
+private[graft] object CacheRegistry {
   // Sized so eviction only triggers in genuinely long-lived sessions:
   // evicting a table whose lazy consumer has not executed yet silently
   // restores the double-computation the persist prevents, so the bound is

@@ -124,9 +124,16 @@ object Multimodal {
   def frameFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                     payloadCol: String, frameLen: Int = 64,
                     hop: Int = 32): DataFrame = {
+    require(frameLen > 0 && hop > 0,
+      s"frameLen and hop must be positive (no-overlap is hop == frameLen), " +
+        s"got frameLen=$frameLen hop=$hop")
     import spark.implicits._
+    // NULL payloads drop like every SQL-side operator (an unguarded
+    // bytes.length would NPE the task where an oracle's WHERE just
+    // omits the row)
     val src = df.select(col(idCol).cast("long").as("doc_id"),
       col(payloadCol).cast("binary").as("payload"))
+      .where(col("payload").isNotNull)
     src.as[(Long, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
         val n = bytes.length

@@ -42,6 +42,50 @@ object Pipeline {
       "sqrt(CAST(list_sum([y*y FOR y IN b.vq]) AS DOUBLE)))"
   private val toksSql = "list_distinct(string_split_regex(lower(text),'\\s+'))"
 
+  /** ONE CTE chain for the rarity scoring (tok → docfreq → per-doc bits²
+    * sum), shared by the `x_rarity_score` and `x_curriculum_order`
+    * oracles — a per-query copy would let a future scoring change
+    * silently split the two. */
+  private val rarityCtesSql =
+    """tok AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\s+')) AS tok
+      |  FROM documents),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT t.doc_id, count(*) AS n_toks,
+      |         CAST(sum(length(bin((SELECT n_docs FROM nd) // df.df)) *
+      |                  length(bin((SELECT n_docs FROM nd) // df.df))) AS BIGINT) AS bits_sq
+      |  FROM tok t JOIN df ON t.tok = df.tok GROUP BY 1
+      |)""".stripMargin
+
+  /** Spark side of the rarity CTEs: (doc_id, n_toks, rarity_e2), token
+    * frame persisted because it feeds both the docfreq aggregate and the
+    * join side. */
+  private def rarityScores(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
+    val toks = graft.operators.CacheRegistry.register(
+      docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok")).persist())
+    val dfT = toks.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val bits = length(bin(expr(s"CAST($nDocs AS BIGINT) div df")))
+    toks.join(dfT, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum((bits * bits).cast("long")).as("bits_sq"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("(bits_sq * 100) div n_toks").as("rarity_e2"))
+  }
+
+  /** ONE oracle for the per-user rollup, shared by the mapGroupsWithState
+    * and transformWithState queries (their semantics are identical by
+    * construction — see StreamingSync.userEventRows). */
+  private val userRollupSql =
+    "SELECT user_id, count(*) AS n_events, " +
+      "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+      "epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id"
+
   // minhash oracle fragments (must mirror Dedup.minhashSignature/lshBands):
   // each shingle is hashed twice (md5(sh) || md5('#'+sh) = 64 hex chars); the
   // 16 disjoint 4-hex chunks decode to 16-bit ints (the Spark side uses
@@ -1018,63 +1062,31 @@ object Pipeline {
     //    binary-string length is floor(log2)+1, no float logs); per doc,
     //    the mean of bits² over occurrences, squared to keep one rare
     //    token visible against hundreds of common ones. One token-keyed
-    //    join against the docfreq table; n_docs is a driver scalar ─────────
+    //    join against the docfreq table; n_docs is a driver scalar; the
+    //    token frame is persisted because it feeds BOTH the docfreq agg
+    //    and the join side (no ReusedExchange across a self-join) ──────────
     "x_rarity_score" -> Q(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
-        val toks = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        val dfT = toks.groupBy("tok")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val bits = length(bin(expr(s"CAST($nDocs AS BIGINT) div df")))
-        toks.join(dfT, "tok")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_toks"),
-            sum((bits * bits).cast("long")).as("bits_sq"))
-          .select(col("doc_id"), col("n_toks"),
-            expr("(bits_sq * 100) div n_toks").as("rarity_e2"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\s+')) AS tok
-        |  FROM documents),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |sc AS (
-        |  SELECT t.doc_id, count(*) AS n_toks,
-        |         CAST(sum(length(bin((SELECT n_docs FROM nd) // df.df)) *
-        |                  length(bin((SELECT n_docs FROM nd) // df.df))) AS BIGINT) AS bits_sq
-        |  FROM tok t JOIN df ON t.tok = df.tok GROUP BY 1
-        |)
+      (s, d) => Pipeline.rarityScores(s, d).orderBy("doc_id"),
+      Some(s"""WITH $rarityCtesSql
         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
         |       CAST((bits_sq * 100) // n_toks AS BIGINT) AS rarity_e2
         |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // ── Curriculum ordering: easy-to-hard by rarity with a total
     //    tie-break — the deterministic "which 20 docs start epoch 1" cut.
-    //    Top-k BEFORE ranking (TakeOrdered), so no global sort window ───────
+    //    Top-k BEFORE ranking (TakeOrdered), so no global sort window;
+    //    oracle derives from the SAME sc CTE as x_rarity_score ──────────────
     "x_curriculum_order" -> Q(
-      (s, d) => {
-        val scored = Pipeline.all("x_rarity_score").fn(s, d)
-        scored.orderBy(asc("rarity_e2"), asc("doc_id")).limit(20)
-          .withColumn("pos", row_number().over(
-            Window.orderBy(asc("rarity_e2"), asc("doc_id"))).cast("long"))
-          .select("pos", "doc_id", "rarity_e2")
-      },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\s+')) AS tok
-        |  FROM documents),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |sc AS (
-        |  SELECT t.doc_id, count(*) AS n_toks,
-        |         CAST((sum(length(bin((SELECT n_docs FROM nd) // df.df)) *
-        |                   length(bin((SELECT n_docs FROM nd) // df.df))) * 100)
-        |              // count(*) AS BIGINT) AS rarity_e2
-        |  FROM tok t JOIN df ON t.tok = df.tok GROUP BY 1
-        |)
+      (s, d) => Pipeline.rarityScores(s, d)
+        .orderBy(asc("rarity_e2"), asc("doc_id")).limit(20)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(asc("rarity_e2"), asc("doc_id"))).cast("long"))
+        .select("pos", "doc_id", "rarity_e2"),
+      Some(s"""WITH $rarityCtesSql,
+        |r AS (SELECT doc_id, CAST((bits_sq * 100) // n_toks AS BIGINT) AS rarity_e2 FROM sc)
         |SELECT CAST(row_number() OVER (ORDER BY rarity_e2, doc_id) AS BIGINT) AS pos,
         |       doc_id, rarity_e2
-        |FROM sc ORDER BY rarity_e2, doc_id LIMIT 20""".stripMargin)),
+        |FROM r ORDER BY rarity_e2, doc_id LIMIT 20""".stripMargin)),
 
     // ── Multimodal: overlapping frame-sampling with per-frame integer
     //    energy/peak — the audio/video feature-extraction shape over the
@@ -1163,18 +1175,14 @@ object Pipeline {
     //    batch-parity with a plain per-user rollup ───────────────────────────
     "stream_user_rollup" -> Q(
       (s, d) => graft.streaming.StreamingSync.statefulUserRollup(s, d),
-      Some("SELECT user_id, count(*) AS n_events, " +
-        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
-        "epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id")),
+      Some(userRollupSql)),
 
     // ── Structured Streaming: the SAME rollup on Spark 4's
     //    transformWithState arbitrary-state API (typed ValueState in the
     //    RocksDB store) — both stateful APIs stay exercised against one
-    //    batch oracle ───────────────────────────────────────────────────────
+    //    shared batch oracle ────────────────────────────────────────────────
     "stream_rollup_tws" -> Q(
       (s, d) => graft.streaming.StreamingSync.statefulUserRollupTws(s, d),
-      Some("SELECT user_id, count(*) AS n_events, " +
-        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
-        "epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id"))
+      Some(userRollupSql))
   )
 }

@@ -213,22 +213,14 @@ object StreamingSync {
     val ss = streamSession(spark)
     import ss.implicits._
     val base = freshBase(ss, "user")
-    val rows = eventsStream(ss, sfDir, base)
-      .select(col("user_id").cast("long"),
-        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"),
-        coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"))
-      .where(col("user_id").isNotNull)
-      .as[(Long, Long, Long)]
+    val rows = userEventRows(ss, sfDir, base)
 
     val agg = rows.groupByKey(_._1)
       .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[(Long, Long, Long)],
          state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(uid, 0L, 0L, Long.MinValue))
-          val next = it.foldLeft(prev) { case (s, (_, cents, ts)) =>
-            UserState(uid, s.n_events + 1, s.sum_cents + cents,
-              math.max(s.last_us, ts))
-          }
+          val next = it.foldLeft(prev)(foldUserEvent(uid))
           state.update(next)
           next
       }.toDF()
@@ -237,6 +229,29 @@ object StreamingSync {
 
   case class UserState(user_id: Long, n_events: Long, sum_cents: Long,
                        last_us: Long)
+
+  /** ONE definition of the rollup's event projection and state fold,
+    * shared by the mapGroupsWithState and transformWithState
+    * implementations — their "semantics identical" claim is enforced by
+    * construction, not by keeping two copies in sync.
+    */
+  private def userEventRows(ss: SparkSession, sfDir: String, base: String)
+  : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import ss.implicits._
+    eventsStream(ss, sfDir, base)
+      .select(col("user_id").cast("long"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"),
+        coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"))
+      .where(col("user_id").isNotNull)
+      .as[(Long, Long, Long)]
+  }
+
+  private def foldUserEvent(uid: Long)(s: UserState, row: (Long, Long, Long))
+  : UserState = {
+    val (_, cents, ts) = row
+    UserState(uid, s.n_events + 1, s.sum_cents + cents,
+      math.max(s.last_us, ts))
+  }
 
   /** The same rollup on Spark 4's `transformWithState` arbitrary-state
     * API — typed per-key `ValueState` in the RocksDB state store (the only
@@ -260,12 +275,11 @@ object StreamingSync {
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
                                  timerValues: org.apache.spark.sql.streaming.TimerValues)
     : Iterator[UserState] = {
-      val prev = if (state.exists()) state.get()
-        else UserState(key, 0L, 0L, Long.MinValue)
-      val next = rows.foldLeft(prev) { case (s, (_, cents, ts)) =>
-        UserState(key, s.n_events + 1, s.sum_cents + cents,
-          math.max(s.last_us, ts))
-      }
+      // ONE store read: get() returns null when unset (exists()+get()
+      // would hit RocksDB twice per key per batch on the hot path)
+      val prev = Option(state.get())
+        .getOrElse(UserState(key, 0L, 0L, Long.MinValue))
+      val next = rows.foldLeft(prev)(foldUserEvent(key))
       state.update(next)
       Iterator.single(next)
     }
@@ -277,12 +291,7 @@ object StreamingSync {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ss.implicits._
     val base = freshBase(ss, "tws")
-    val rows = eventsStream(ss, sfDir, base)
-      .select(col("user_id").cast("long"),
-        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"),
-        coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"))
-      .where(col("user_id").isNotNull)
-      .as[(Long, Long, Long)]
+    val rows = userEventRows(ss, sfDir, base)
     val agg = rows.groupByKey(_._1)
       .transformWithState(new RollupProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
