@@ -121,6 +121,44 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
+  /** Bloom filter as a relation: the distinct (hash-row, bit-position)
+    * pairs a key set lights up — ≤ depth·2¹⁶ rows however large the set,
+    * same md5-chunk hash family as the CMS. The canonical 100 TB use is
+    * JOIN PRUNING: build the filter from the join key's small-but-too-big-
+    * to-broadcast side, semi-join the huge fact table against it (bits
+    * broadcast), and feed only survivors (members + a bounded
+    * false-positive trickle) to the real join.
+    */
+  val BloomHashes = 4
+  val BloomBits = 65536
+
+  private def bloomPositions(keyCol: String) =
+    (0 until BloomHashes).map { i =>
+      struct(lit(i).as("i"),
+        (conv(substring(md5(col(keyCol).cast("string")), 4 * i + 1, 4), 16, 10)
+          .cast("long") % BloomBits).as("pos"))
+    }
+
+  /** The filter: distinct lit bit positions of `df(keyCol)`. */
+  def bloomBits(df: DataFrame, keyCol: String): DataFrame =
+    df.select(explode(array(bloomPositions(keyCol): _*)).as("c"))
+      .select(col("c.i").as("i"), col("c.pos").as("pos"))
+      .distinct()
+
+  /** Keys of `probe(keyCol)` that MIGHT be members: all `BloomHashes`
+    * positions present in the filter (exact members always pass; a
+    * non-member passes only on a full hash collision).
+    */
+  def bloomMightContain(bits: DataFrame, probe: DataFrame, keyCol: String)
+  : DataFrame =
+    probe.select(col(keyCol), explode(array(bloomPositions(keyCol): _*)).as("c"))
+      .select(col(keyCol), col("c.i").as("i"), col("c.pos").as("pos"))
+      .join(bits, Seq("i", "pos"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") === BloomHashes)
+      .select(col(keyCol))
+
   /** Per-column table profile: count / nulls / distinct / min / max, one
     * row per requested column (min/max rendered as strings so numeric and
     * text columns union into one result). Each column is an independent

@@ -153,6 +153,45 @@ object Analytics {
         |FROM exact JOIN est ON exact.tok = est.tok
         |ORDER BY n_exact DESC, exact.tok""".stripMargin)),
 
+    // ── Bloom join pruning: filter bits built from the high-value orders'
+    //    customer keys, every customer probed through them. Members always
+    //    pass; the pass count bounds the false-positive trickle the real
+    //    join would then absorb. All three counts are deterministic (md5
+    //    positions), so the oracle rebuilds the identical filter ─────────────
+    "x_bloom_prefilter" -> Q(
+      (s, d) => {
+        val members = t(s, d, "orders")
+          .where(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("key")).distinct()
+        val bits = Sketches.bloomBits(members, "key")
+        val pass = Sketches.bloomMightContain(
+          bits, t(s, d, "customer").select(col("c_custkey")), "c_custkey")
+        val nTrue = members.count()
+        val nPass = pass.count()
+        val nProbed = t(s, d, "customer").count()
+        import s.implicits._
+        Seq((nTrue, nPass, nProbed)).toDF("n_true", "n_bloom_pass", "n_probed")
+      },
+      Some("""WITH ii AS (SELECT unnest([0,1,2,3]) AS i),
+        |members AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 400000),
+        |bits AS (
+        |  SELECT DISTINCT i,
+        |    CAST('0x'||substr(md5(CAST(key AS VARCHAR)), 4*i+1, 4) AS BIGINT) % 65536 AS pos
+        |  FROM members, ii
+        |),
+        |probe AS (
+        |  SELECT c_custkey, i,
+        |    CAST('0x'||substr(md5(CAST(c_custkey AS VARCHAR)), 4*i+1, 4) AS BIGINT) % 65536 AS pos
+        |  FROM customer, ii
+        |),
+        |pass AS (
+        |  SELECT c_custkey FROM probe JOIN bits USING (i, pos)
+        |  GROUP BY c_custkey HAVING count(*) = 4
+        |)
+        |SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_true,
+        |       CAST((SELECT count(*) FROM pass) AS BIGINT) AS n_bloom_pass,
+        |       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_probed""".stripMargin)),
+
     // ── Incremental aggregate maintenance: a pre-aggregated "materialized"
     //    slice (event_id ≤ watermark) is combined with the delta's partial
     //    aggregate by re-aggregating the UNION of partials — sum/count are

@@ -107,6 +107,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(out((255L, 255L)) == 65535L, "full 8-bit range packs into 16 bits")
   }
 
+  test("bloom filter passes every member and is bounded by 4*65536 rows") {
+    val members = (1 to 500).map(i => s"m$i").toDF("k")
+    val bits = Sketches.bloomBits(members, "k")
+    assert(bits.count() <= 4L * 65536)
+    val probes = ((1 to 500).map(i => s"m$i") ++ (1 to 500).map(i => s"x$i"))
+      .toDF("k")
+    val pass = Sketches.bloomMightContain(bits, probes, "k")
+      .collect().map(_.getString(0)).toSet
+    assert((1 to 500).forall(i => pass(s"m$i")), "no false negatives, ever")
+    val fps = (1 to 500).count(i => pass(s"x$i"))
+    assert(fps <= 5, s"FP rate at 3% fill should be ~0, got $fps/500")
+  }
+
   test("profile counts nulls and distincts per column") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),
