@@ -126,8 +126,8 @@ object Dedup {
     * pairing inside it is O(bucket²) for no information. Window count, one
     * pass over the already-partitioned bucket table.
     */
-  private def capBuckets(bucketed: DataFrame, bucketCols: Seq[String],
-                         maxBucket: Int): DataFrame =
+  private[operators] def capBuckets(bucketed: DataFrame, bucketCols: Seq[String],
+                                    maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) bucketed
     else bucketed
       .withColumn("__bsz", count(lit(1)).over(

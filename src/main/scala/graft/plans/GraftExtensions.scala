@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedExpression, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+import graft.functions.{DotProductLong, SquaredDistanceLong}
+
+/** Session extensions: the (c)-tier Catalyst integration point from the
+  * build rules. Registers the native quantized-vector expressions as SQL
+  * functions (so `spark.sql("... dot_product_long(a, b) ...")` works
+  * without touching the Scala API) and installs [[VectorLoopRewrite]],
+  * which transparently upgrades the composed built-in form
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (s,x) -> s+x)` to the
+  * allocation-free native loop.
+  *
+  * Install via `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.plans.GraftExtensions` — both
+  * [[graft.LocalSession]] and the test session do the former, so every
+  * verified query and spec runs under these extensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotProductLongFn)
+    ext.injectFunction(GraftExtensions.squaredDistanceLongFn)
+    ext.injectOptimizerRule(_ => VectorLoopRewrite)
+  }
+}
+
+object GraftExtensions {
+
+  private def binary(name: String, build: (Expression, Expression) => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[DotProductLong].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"$name expects exactly 2 arguments, got ${children.length}")
+        build(children.head, children(1))
+      })
+
+  /** `dot_product_long(array<bigint>, array<bigint>) -> bigint` */
+  val dotProductLongFn = binary("dot_product_long", DotProductLong.apply)
+
+  /** `squared_distance_long(array<bigint>, array<bigint>) -> bigint` */
+  val squaredDistanceLongFn = binary("squared_distance_long", SquaredDistanceLong.apply)
+
+  /** Conf key gating [[VectorLoopRewrite]] (default on). */
+  val RewriteConfKey = "spark.graft.rewriteVectorLoop"
+}
+
+/** Rewrites the composed dot-product idiom to [[DotProductLong]]:
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x) }}}
+  *
+  * becomes `dot_product_long(a, b)` whenever both inputs are
+  * `array<bigint>` with provably non-null elements (`containsNull=false` —
+  * e.g. built by `transform(..., v -> coalesce(cast(...), 0L))`). The
+  * composed form materializes the zipped struct array per row and folds
+  * through lambda plumbing; the native expression is one fused loop.
+  *
+  * Semantics caveat (documented, not silent): `zip_with` pads the shorter
+  * input with NULLs — on UNEQUAL-length inputs the composed form yields
+  * NULL while the native loop truncates to the shorter vector, matching
+  * the rest of the quantized-vector path (see
+  * [[graft.functions.VectorLoopExpression]]). Vectors in one corpus share
+  * one dimensionality, so the rewrite is on by default; set
+  * `spark.graft.rewriteVectorLoop=false` for strict padding semantics.
+  */
+object VectorLoopRewrite extends Rule[LogicalPlan] {
+
+  private def nonNullLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  private def sameVar(use: Expression, arg: NamedExpression): Boolean =
+    (use, arg) match {
+      case (u: NamedLambdaVariable, a: NamedLambdaVariable) => u.exprId == a.exprId
+      case _ => false
+    }
+
+  /** Both operands of a commutative op are exactly the two lambda args. */
+  private def usesBoth(l: Expression, r: Expression,
+                       a: NamedExpression, b: NamedExpression): Boolean =
+    (sameVar(l, a) && sameVar(r, b)) || (sameVar(l, b) && sameVar(r, a))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(GraftExtensions.RewriteConfKey, "true").toBoolean) plan
+    else plan.transformAllExpressionsWithPruning(_.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
+      case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(x, y, _), Seq(xa: NamedLambdaVariable, ya: NamedLambdaVariable), _)),
+          Literal(0L, LongType),
+          LambdaFunction(Add(s, e, _), Seq(sa: NamedLambdaVariable, ea: NamedLambdaVariable), _),
+          LambdaFunction(fin, Seq(fa: NamedLambdaVariable), _))
+        if nonNullLongArray(a) && nonNullLongArray(b) &&
+          usesBoth(x, y, xa, ya) && usesBoth(s, e, sa, ea) && sameVar(fin, fa) =>
+        DotProductLong(a, b)
+    }
+}

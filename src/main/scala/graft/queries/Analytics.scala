@@ -389,5 +389,99 @@ object Analytics {
         |  FROM tf JOIN df ON tf.tok = df.tok
         |)
         |SELECT source, tok, CAST(tf AS BIGINT) AS tf, score, CAST(rk AS BIGINT) AS rk
-        |FROM scored WHERE rk <= 3 ORDER BY source, rk""".stripMargin)))
+        |FROM scored WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
+    // ── Link-graph ranking: scaled-integer PageRank over the trade graph
+    //    (customer nation → supplier nation). The edge aggregation is the
+    //    distributed heavy part; the power iteration runs on the aggregated
+    //    domain graph — the crawl-quality signal a sampling policy weights
+    //    by. operators/Graphs.scala; oracle = 5 chained CTE iterations with
+    //    identical BIGINT floor division ────────────────────────────────────
+    "x_pagerank_trade" -> Q(
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        graft.operators.Graphs.pageRankInt(edges, iters = PrIters)
+          .orderBy(desc("rank"), asc("node"))
+      },
+      Some(pageRankOracle)),
+
+    // ── Robust outlier detection: IQR fences on exact discrete quartiles
+    //    (integer cents; fence arithmetic in BIGINT — no float stddev whose
+    //    summation order diverges across engines). The quality-screen shape
+    //    for numeric telemetry columns ──────────────────────────────────────
+    "x_outlier_iqr" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            col("event_id"))
+        val qs = Sketches.quantilesDisc(ev, "event_type", "cents", "event_id",
+          Seq(25, 75))
+          .withColumn("iqr", col("p75_cents") - col("p25_cents"))
+          .withColumn("fence_lo", col("p25_cents") - expr("(3 * iqr) div 2"))
+          .withColumn("fence_hi", col("p75_cents") + expr("(3 * iqr) div 2"))
+        ev.join(qs, "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("fence_lo")).as("fence_lo"),
+            max(col("fence_hi")).as("fence_hi"),
+            sum(when(col("cents") < col("fence_lo") ||
+              col("cents") > col("fence_hi"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |rk AS (SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev WHERE cents IS NOT NULL),
+        |qs AS (SELECT event_type,
+        |  max(CASE WHEN rn = (n * 25 + 99) // 100 THEN cents END) AS q1,
+        |  max(CASE WHEN rn = (n * 75 + 99) // 100 THEN cents END) AS q3
+        |  FROM rk GROUP BY 1),
+        |f AS (SELECT event_type, q1 - (3 * (q3 - q1)) // 2 AS fence_lo,
+        |             q3 + (3 * (q3 - q1)) // 2 AS fence_hi FROM qs)
+        |SELECT ev.event_type, count(*) AS n, max(fence_lo) AS fence_lo,
+        |  max(fence_hi) AS fence_hi,
+        |  CAST(sum(CASE WHEN cents < fence_lo OR cents > fence_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN f ON ev.event_type = f.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+
+  /** PageRank iteration count — shared by the Spark query and the
+    * generated oracle CTE chain (lockstep rule). */
+  private val PrIters = 5
+
+  /** The oracle mirrors Graphs.pageRankInt round for round: same node set,
+    * same teleport scalar, same `//` floor-division points. Generated
+    * programmatically so the iteration count can never drift from the
+    * Spark side. */
+  private def pageRankOracle: String = {
+    val base = """WITH e AS (
+      |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey IS NOT NULL AND s_nationkey IS NOT NULL),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |cnt AS (SELECT count(*) AS n FROM nodes),
+      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |it0 AS (SELECT node, 1000000000 // (SELECT n FROM cnt) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""it$k AS (SELECT nodes.node,
+         |  (150000000 // (SELECT n FROM cnt))
+         |    + (85 * coalesce(s.incoming, 0)) // 100 AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS incoming
+         |    FROM it${k - 1} r JOIN e ON r.node = e.src JOIN od ON e.src = od.src
+         |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM it$PrIters ORDER BY rank DESC, node"
+  }
 }

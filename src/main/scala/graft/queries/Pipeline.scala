@@ -419,6 +419,29 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
         |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // ── SQL surface through the session extensions (plans/GraftExtensions):
+    //    the first column writes the composed built-in idiom and relies on
+    //    the injected VectorLoopRewrite optimizer rule to collapse it to the
+    //    native DotProductLong loop; the second calls the injected
+    //    dot_product_long SQL function directly. Both must equal the oracle
+    //    dot product — and ExtensionsSpec asserts the rewrite actually
+    //    fired in the optimized plan. ─────────────────────────────────────
+    "x_vec_sql_native" -> Q(
+      (s, d) => {
+        t(s, d, "embeddings").createOrReplaceTempView("graft_emb_v")
+        s.sql("""WITH v AS (SELECT vec_id,
+          |  transform(embedding, e -> coalesce(CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT), 0L)) AS vq
+          |  FROM graft_emb_v)
+          |SELECT a.vec_id AS qid, b.vec_id AS nid,
+          |  aggregate(zip_with(a.vq, b.vq, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS dot_rewrite,
+          |  dot_product_long(a.vq, b.vq) AS dot_fn
+          |FROM v a JOIN v b ON a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 25""".stripMargin)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings)
+        |SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  $dotSql AS dot_rewrite, $dotSql AS dot_fn
+        |FROM v a JOIN v b ON a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 25""".stripMargin)),
+
     // ── Similarity: one deterministic k-means step (LSH-seeded cells →
     //    integer centroids → nearest-centroid reassignment) — the learned
     //    coarse quantizer an IVF index trains with ──────────────────────────
@@ -1183,6 +1206,75 @@ object Pipeline {
     //    shared batch oracle ────────────────────────────────────────────────
     "stream_rollup_tws" -> Q(
       (s, d) => graft.streaming.StreamingSync.statefulUserRollupTws(s, d),
-      Some(userRollupSql))
+      Some(userRollupSql)),
+
+    // ── Entity resolution: blocked fuzzy self-join on part names. Candidate
+    //    pairs come from two equi-join blocking passes (shared 3-char prefix
+    //    OR suffix) — never a cross join — then only candidates pay the
+    //    levenshtein verify. operators/FuzzyJoin.scala ─────────────────────
+    "x_fuzzy_join" -> Q(
+      (s, d) => graft.operators.FuzzyJoin.fuzzyPairs(
+        t(s, d, "part"), "p_name", maxDist = 3)
+        .select(col("left").as("name_a"), col("right").as("name_b"),
+          col("dist").cast("long").as("dist")),
+      Some("""WITH nm AS (SELECT DISTINCT p_name AS n FROM part WHERE p_name IS NOT NULL),
+        |b1 AS (SELECT a.n AS name_a, b.n AS name_b FROM nm a JOIN nm b
+        |  ON substr(a.n, 1, 3) = substr(b.n, 1, 3) AND a.n < b.n),
+        |b2 AS (SELECT a.n AS name_a, b.n AS name_b FROM nm a JOIN nm b
+        |  ON substr(a.n, -3) = substr(b.n, -3) AND a.n < b.n),
+        |cand AS (SELECT DISTINCT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
+        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin)),
+
+    // ── Text normalization: the cleaning pass every corpus gets before
+    //    tokenize/dedup — lowercase, strip non-alphanumerics, collapse
+    //    whitespace. Pure codegen'd string expressions, zero shuffle ───────
+    "x_normalize_text" -> Q(
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+          .as("norm"))
+        .select(col("doc_id"), substring(col("norm"), 1, 60).as("norm_prefix"),
+          length(col("norm")).cast("long").as("n_norm")),
+      Some("""WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, substr(norm, 1, 60) AS norm_prefix,
+        |  CAST(length(norm) AS BIGINT) AS n_norm FROM n""".stripMargin)),
+
+    // ── Inverted index build: token → document frequency + capped posting
+    //    list (first 20 doc_ids). The cap is applied BEFORE the list agg via
+    //    a rank window, so no group ever materializes an unbounded posting
+    //    array — the guard that matters when one token appears in half the
+    //    corpus ─────────────────────────────────────────────────────────────
+    "x_inverted_index" -> Q(
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+          .where(length(col("tok")) > 0)
+        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        val post = tok
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+          .where(col("rn") <= 20)
+          .groupBy("tok")
+          .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+        dfreq.join(post, "tok")
+      },
+      Some("""WITH t2 AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |dfreq AS (SELECT tok, count(*) AS df FROM t2 GROUP BY 1),
+        |topd AS (SELECT tok, doc_id FROM (
+        |  SELECT tok, doc_id, row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        |  FROM t2) WHERE rn <= 20),
+        |post AS (SELECT tok, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+        |  FROM topd GROUP BY 1)
+        |SELECT dfreq.tok, CAST(df AS BIGINT) AS df, postings
+        |FROM dfreq JOIN post USING (tok)""".stripMargin))
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plans/GraftExtensions: injected SQL functions + the VectorLoopRewrite
+  * optimizer rule. The shared TestSpark session is built withExtensions,
+  * so these tests exercise the exact wiring Verify/Bench run under.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1L, 2L, 3L)),
+    (2L, Seq(4L, 5L, 6L)),
+    (3L, Seq(-1L, 0L, 7L))).toDF("id", "v")
+
+  /** Composed dot-product idiom over provably non-null long arrays. */
+  private val composed =
+    "aggregate(zip_with(a.v2, b.v2, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+
+  private def composedDf = {
+    vecs.createOrReplaceTempView("ext_vecs")
+    spark.sql(
+      s"""WITH w AS (SELECT id, transform(v, e -> coalesce(e, 0L)) AS v2 FROM ext_vecs)
+         |SELECT a.id AS ai, b.id AS bi, $composed AS dot
+         |FROM w a JOIN w b ON a.id < b.id""".stripMargin)
+  }
+
+  test("VectorLoopRewrite collapses the composed idiom to dot_product_long") {
+    val optimized = composedDf.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product_long"),
+      s"rewrite did not fire; optimized plan:\n$optimized")
+    assert(!optimized.contains("zip_with"),
+      s"composed form survived the rewrite:\n$optimized")
+  }
+
+  test("rewritten results equal the hand-computed dot products") {
+    val got = composedDf.orderBy("ai", "bi").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 32L), (1L, 3L, 20L), (2L, 3L, 38L)))
+  }
+
+  test("injected SQL function dot_product_long works and matches the rewrite") {
+    vecs.createOrReplaceTempView("ext_vecs")
+    val got = spark.sql(
+      """SELECT a.id AS ai, b.id AS bi, dot_product_long(a.v, b.v) AS dot
+        |FROM ext_vecs a JOIN ext_vecs b ON a.id < b.id
+        |ORDER BY ai, bi""".stripMargin).as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 32L), (1L, 3L, 20L), (2L, 3L, 38L)))
+  }
+
+  test("injected SQL function squared_distance_long works") {
+    val got = spark.sql(
+      "SELECT squared_distance_long(array(1L, 2L), array(4L, 6L)) AS d")
+      .as[Long].head()
+    assert(got == 9L + 16L)
+  }
+
+  test("rewrite does NOT fire on nullable-element arrays (padding semantics kept)") {
+    // v is array<bigint> with containsNull=true straight off the Seq encoder?
+    // Build one explicitly nullable via a CASE to be sure.
+    vecs.createOrReplaceTempView("ext_vecs")
+    val df = spark.sql(
+      s"""WITH w AS (SELECT id, transform(v, e -> CASE WHEN e > 100 THEN NULL ELSE e END) AS v2 FROM ext_vecs)
+         |SELECT a.id AS ai, b.id AS bi, $composed AS dot
+         |FROM w a JOIN w b ON a.id < b.id""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("dot_product_long"),
+      s"rewrite fired on nullable elements:\n$optimized")
+  }
+
+  test("conf flag spark.graft.rewriteVectorLoop=false disables the rewrite") {
+    spark.conf.set("spark.graft.rewriteVectorLoop", "false")
+    try {
+      val optimized = composedDf.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("dot_product_long"),
+        s"rewrite fired with the flag off:\n$optimized")
+    } finally spark.conf.unset("spark.graft.rewriteVectorLoop")
+  }
+}
