@@ -5,20 +5,27 @@ import org.apache.spark.sql.functions._
 import graft.functions.Functions
 import graft.queries.Relational.{Q, revE4, revE4Sql, t, usec}
 
-/** TPC-H-shaped breadth queries beyond the round-2/3 set — each exercises a
-  * distinct plan shape the first wave didn't cover: nation-pair disjunctive
+/** TPC-H-shaped breadth queries beyond the round-2/3 set. With q1/q3/q4/q5/
+  * q17/q18 living in Relational, this module completes ALL 22 TPC-H query
+  * shapes, each exercising a distinct plan pattern: min-cost-supplier
+  * correlated MIN (q2), single filtered agg (q6), nation-pair disjunctive
   * join filters (q7), share-of-total CASE aggregation over a 7-way star
-  * (q8), grouped top-k over a 3-way fact join (q10), join-condition range
-  * arithmetic (q12), single-row ratio aggregates (q14), count-distinct with
-  * an anti-joined exclusion list (q16), OR-of-ANDs pushdown (q19), the
-  * "only late supplier" double-aggregate semi pattern (q21), and a global
-  * scalar threshold + anti join (q22).
+  * (q8), profit rollup over a 5-way star (q9), grouped top-k over a 3-way
+  * fact join (q10), global-fraction HAVING threshold (q11), join-condition
+  * range arithmetic (q12), zero-preserving left-join histogram (q13),
+  * single-row ratio aggregates (q14), revenue-view max-scalar selection
+  * (q15), count-distinct with an anti-joined exclusion list (q16),
+  * OR-of-ANDs pushdown (q19), nested semi-joins with a grouped HAVING
+  * (q20), the "only late supplier" double-aggregate semi pattern (q21),
+  * and a global scalar threshold + anti join (q22).
   *
   * The testdata star lacks `partsupp` and lineitem's commit/receipt dates
-  * (TESTDATA.md), so q12/q16/q21 are adapted to the available columns with
-  * identical plan shapes: lateness is `l_shipdate > o_orderdate + N days`,
-  * supplier-per-part counts come from lineitem facts, and q22's country
-  * code is the customer's nation key.
+  * (TESTDATA.md), so q2/q9/q11/q12/q16/q20/q21 are adapted to the available
+  * columns with identical plan shapes: lateness is `l_shipdate >
+  * o_orderdate + N days`, the part↔supplier relation is the distinct
+  * (l_partkey, l_suppkey) pairs in lineitem, supply cost surrogates come
+  * from s_acctbal / p_retailprice, and q22's country code is the
+  * customer's nation key.
   *
   * Determinism follows SURVEY §7.4: integer-cents money, epoch-µs dates,
   * exact-integer scalar comparisons (q22 compares `bal*cnt > total` instead
@@ -315,5 +322,206 @@ object TpcH {
         "WHERE CAST(round(c_acctbal*100) AS BIGINT) * cnt > total_cents " +
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
-        "GROUP BY c_nationkey ORDER BY c_nationkey")))
+        "GROUP BY c_nationkey ORDER BY c_nationkey")),
+
+    // ── Q2 shape: min-cost supplier per part. partsupp is absent, so the
+    //    part↔supplier relation is the DISTINCT (l_partkey, l_suppkey)
+    //    pairs observed in lineitem and "cost" is the supplier balance in
+    //    cents. The signature move survives: a per-part grouped MIN joined
+    //    back (Spark side) ≡ the correlated scalar subquery (oracle side) —
+    //    all equi-joins, dims filtered before the fact join ────────────────
+    "q2_min_cost_supplier" -> Q(
+      (s, d) => {
+        val ps = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        val pa = t(s, d, "part").where(col("p_size") === 15)
+          .select("p_partkey", "p_type")
+        val eurNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            Functions.cents(col("s_acctbal")).as("bal_cents"))
+        val cand = ps.join(pa, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+        val minCost = cand.groupBy(col("p_partkey").as("mk"))
+          .agg(min(col("bal_cents")).as("min_bal"))
+        cand.join(minCost, col("p_partkey") === col("mk") &&
+            col("bal_cents") === col("min_bal"))
+          .select("p_partkey", "p_type", "s_name", "n_name", "bal_cents")
+          .orderBy(desc("bal_cents"), asc("s_name"), asc("p_partkey"))
+          .limit(100)
+      },
+      Some("WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), " +
+        "sup AS (SELECT s_suppkey, s_name, n_name, " +
+        "  CAST(round(s_acctbal*100) AS BIGINT) AS bal_cents " +
+        "  FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "cand AS (SELECT p_partkey, p_type, s_name, n_name, bal_cents " +
+        "  FROM ps JOIN part ON l_partkey = p_partkey AND p_size = 15 " +
+        "  JOIN sup ON l_suppkey = s_suppkey) " +
+        "SELECT p_partkey, p_type, s_name, n_name, bal_cents FROM cand c " +
+        "WHERE bal_cents = (SELECT min(bal_cents) FROM cand m " +
+        "                   WHERE m.p_partkey = c.p_partkey) " +
+        "ORDER BY bal_cents DESC, s_name, p_partkey LIMIT 100")),
+
+    // ── Q6 shape: the forecasting-revenue single filtered agg — pure scan →
+    //    filter → one-row sum, the canonical pushdown probe. The discount
+    //    band compares integer percent (round(d*100)), not raw floats ──────
+    "q6_forecast_revenue" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          round(col("l_discount") * 100).cast("long").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")).as("revenue_e4")),
+      Some("SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * " +
+        "CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 " +
+        "AND l_quantity < 24")),
+
+    // ── Q9 shape: product profit by supplier nation × order year. Supply
+    //    cost is surrogated from p_retailprice (no partsupp); profit stays
+    //    numerator-exact: revenue_e4 − cost_e4 in BIGINT ───────────────────
+    "q9_product_profit" -> Q(
+      (s, d) => {
+        val pa = t(s, d, "part").where(col("p_name").like("%red%"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("cost_cents"))
+        val li = t(s, d, "lineitem")
+          .join(pa, col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        li.groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount")) -
+            col("cost_cents") * lit(100L) * col("l_quantity").cast("long"))
+            .as("profit_e4"))
+          .orderBy(asc("nation"), desc("o_year"))
+      },
+      Some("SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        s"CAST(sum($revE4Sql - " +
+        "CAST(round(p_retailprice*100) AS BIGINT) * 100 * CAST(l_quantity AS BIGINT)) " +
+        "AS BIGINT) AS profit_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%' " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2 DESC")),
+
+    // ── Q11 shape: important-stock — per-part value vs a global-fraction
+    //    threshold. The total is ONE scalar agg collected to the driver
+    //    (q22's watermark pattern) and the HAVING is exact integer
+    //    cross-multiplication: value·10000 > total ─────────────────────────
+    "q11_important_stock" -> Q(
+      (s, d) => {
+        val natSup = t(s, d, "supplier").where(col("s_nationkey") === 5)
+          .select("s_suppkey")
+        val pa = t(s, d, "part")
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+        val vals = t(s, d, "lineitem")
+          .join(natSup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(pa, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_partkey")
+          .agg(sum(col("l_quantity").cast("long") * col("price_cents"))
+            .as("value_cents"))
+        val total = vals.agg(sum(col("value_cents"))).head().getLong(0)
+        vals.where(col("value_cents") * lit(10000L) > lit(total))
+          .orderBy(desc("value_cents"), asc("p_partkey"))
+      },
+      Some("WITH vals AS (SELECT p_partkey, " +
+        "  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "  FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 5) " +
+        "  GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM vals) " +
+        "SELECT p_partkey, value_cents FROM vals, tot " +
+        "WHERE value_cents * 10000 > total " +
+        "ORDER BY value_cents DESC, p_partkey")),
+
+    // ── Q13 shape: customer order-count distribution — LEFT join so
+    //    zero-order customers survive into the histogram, then a second
+    //    aggregation over the first's result ───────────────────────────────
+    "q13_custdist" -> Q(
+      (s, d) => {
+        val ord = t(s, d, "orders").where(col("o_orderpriority") =!= "URGENT")
+          .select("o_custkey")
+        t(s, d, "customer")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_custkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("SELECT c_count, count(*) AS custdist FROM (" +
+        "  SELECT c_custkey, count(o_custkey) AS c_count " +
+        "  FROM customer LEFT JOIN orders " +
+        "    ON c_custkey = o_custkey AND o_orderpriority <> 'URGENT' " +
+        "  GROUP BY c_custkey) " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC")),
+
+    // ── Q15 shape: top supplier by quarterly revenue — the revenue "view"
+    //    aggregated once, its max taken as one driver scalar (never a 1-row
+    //    nested-loop join), equality filter returns every tied supplier ────
+    "q15_top_supplier" -> Q(
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount")))
+            .as("total_revenue_e4"))
+        val maxRev = rev.agg(max(col("total_revenue_e4"))).head().getLong(0)
+        rev.where(col("total_revenue_e4") === maxRev)
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue_e4")
+          .orderBy("s_suppkey")
+      },
+      Some("WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+        s"  CAST(sum($revE4Sql) AS BIGINT) AS total_revenue_e4 " +
+        "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_revenue_e4 " +
+        "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+        "WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue) " +
+        "ORDER BY s_suppkey")),
+
+    // ── Q20 shape: nested semi-joins — suppliers who moved a significant
+    //    volume of promotable ('%red%') parts in a year. part-filter semi
+    //    into the lineitem agg, HAVING threshold, then semi into supplier —
+    //    no fact row ever widens ───────────────────────────────────────────
+    "q20_promotable_suppliers" -> Q(
+      (s, d) => {
+        val redParts = t(s, d, "part").where(col("p_name").like("%red%"))
+          .select("p_partkey")
+        val bigMovers = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .where(col("qty") > 50)
+          .select("l_suppkey").distinct()
+        t(s, d, "supplier")
+          .join(bigMovers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .where(col("s_nationkey") < 20)
+          .select("s_suppkey", "s_name")
+          .orderBy("s_name")
+      },
+      Some("SELECT s_suppkey, s_name FROM supplier " +
+        "WHERE s_suppkey IN (" +
+        "  SELECT l_suppkey FROM lineitem " +
+        "  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') " +
+        "  AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "  AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 50) " +
+        "AND s_nationkey < 20 ORDER BY s_name")))
 }
