@@ -664,6 +664,105 @@ object Relational {
         |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
         |FROM events""".stripMargin)),
 
+    // ── CDC apply: a keyed change log (insert/update/delete ops) folded to
+    //    final table state — last op per key wins, a trailing delete removes
+    //    the key entirely. The delete-capture semantics the reference
+    //    documents as unsupported (README "deletes are not synced"); one
+    //    rank window on the key partitioning, no self-join ─────────────────
+    "x_cdc_apply" -> Q(
+      (s, d) => {
+        val ops = t(s, d, "events").select(
+          col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D").otherwise("U").as("op"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(desc("ts"), desc("event_id"))
+        ops.withColumn("rn", row_number().over(w))
+          .withColumn("n_ops", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .where(col("rn") === 1 && col("op") =!= "D")
+          .select(col("user_id"), col("op").as("last_op"), col("cents"),
+            usec(col("ts")).as("updated_us"), col("n_ops"))
+      },
+      Some("""WITH ops AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |       ELSE 'U' END AS op
+        |  FROM events),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts DESC, event_id DESC) AS rn,
+        |       count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM ops)
+        |SELECT user_id, op AS last_op, cents, epoch_us(ts) AS updated_us, n_ops
+        |FROM rk WHERE rn = 1 AND op <> 'D'""".stripMargin)),
+
+    // ── W7: rank-distribution and frame-navigation window functions —
+    //    percent_rank/cume_dist (single correctly-rounded IEEE division,
+    //    cross-engine safe) and first/nth/last_value over an explicit
+    //    full-partition frame (the default frame would make last_value
+    //    order-dependent garbage) ──────────────────────────────────────────
+    "w7_distribution" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events").where(col("user_id") < 50)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ev.select(col("user_id"), col("event_id"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("event_id")).over(full).as("first_id"),
+          nth_value(col("event_id"), 2).over(full).as("second_id"),
+          last(col("event_id")).over(full).as("last_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+        |  first_value(event_id) OVER wf AS first_id,
+        |  nth_value(event_id, 2) OVER wf AS second_id,
+        |  last_value(event_id) OVER wf AS last_id
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
+    // ── F12: string-function breadth — pad/translate/repeat/reverse/
+    //    position/split_part, every one a codegen'd built-in with identical
+    //    semantics in DuckDB ───────────────────────────────────────────────
+    "f12_string_funcs" -> Q(
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        concat(repeat(lit("-"), 3), reverse(col("p_brand"))).as("brand_rev"),
+        instr(col("p_name"), "old").cast("long").as("pos_old"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        expr("left(p_type, 4)").as("type4")),
+      Some("""SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_pad,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |  repeat('-', 3) || reverse(p_brand) AS brand_rev,
+        |  CAST(strpos(p_name, 'old') AS BIGINT) AS pos_old,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  left(p_type, 4) AS type4
+        |FROM part""".stripMargin)),
+
+    // ── F13: math-function breadth — abs/sign/greatest/least/integer
+    //    floor-sqrt, all exact or single-rounding operations both engines
+    //    agree on bit-for-bit ──────────────────────────────────────────────
+    "f13_math_funcs" -> Q(
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        abs(expr("CAST(round(value * 100) AS BIGINT)") - 5000L).as("abs_dev"),
+        signum(col("value") - 50).cast("long").as("sgn"),
+        greatest(col("user_id"), col("event_id") % 100).as("gt"),
+        least(col("user_id"), col("event_id") % 100).as("lt"),
+        floor(sqrt(expr("CAST(round(value * 100) AS BIGINT)"))).cast("long")
+          .as("isqrt")),
+      Some("""SELECT event_id,
+        |  abs(CAST(round(value * 100) AS BIGINT) - 5000) AS abs_dev,
+        |  CAST(sign(value - 50) AS BIGINT) AS sgn,
+        |  greatest(user_id, event_id % 100) AS gt,
+        |  least(user_id, event_id % 100) AS lt,
+        |  CAST(floor(sqrt(CAST(round(value * 100) AS BIGINT))) AS BIGINT) AS isqrt
+        |FROM events""".stripMargin)),
+
     // ── SCD2 dimension history: each user's event stream becomes versioned
     //    validity intervals — version = row_number, valid_to = next change's
     //    timestamp, open-ended for the current row. The warehouse-history
