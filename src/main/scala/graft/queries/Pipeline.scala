@@ -247,6 +247,37 @@ object Pipeline {
         |FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
         |WHERE $cosSql >= 0.35""".stripMargin)),
 
+    // ── Semantic dedup end-to-end: embedding near-dup pairs → connected
+    //    components → canonical representative (min id) per cluster, with a
+    //    keep/drop verdict per member — the full "collapse paraphrase
+    //    clusters" composition a curation pipeline runs after LSH pairing.
+    //    Oracle: same pair CTEs + recursive closure ─────────────────────────
+    "x_dedup_semantic" -> Q(
+      (s, d) => {
+        val pairs = Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
+          "embedding", "label", 0.35)
+          .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
+        Dedup.dedupClusters(pairs)
+          .withColumn("keep", col("node") === col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
+        |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
+        |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM br x JOIN br y ON x.label = y.label AND x.tbl = y.tbl
+        |  AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        |prs AS (SELECT c.a_id AS a, c.b_id AS b
+        |  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
+        |  WHERE $cosSql >= 0.35),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+        |SELECT node, min(reach) AS cluster, node = min(reach) AS keep
+        |FROM walk GROUP BY node""".stripMargin)),
+
     // ── Decontamination: eval-split docs sharing discriminative 8-grams
     //    with train-split docs (the pre-training train/test overlap check);
     //    md5-fingerprint equi-join, boilerplate-8-gram cap at docfreq 128 ─
