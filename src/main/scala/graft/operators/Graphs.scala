@@ -10,17 +10,25 @@ import org.apache.spark.sql.functions._
   * weight sampling — the classic PageRank signal. The implementation is
   * pure DataFrame power iteration: each round is one equi-join
   * (rank ⨝ edges on src) plus one aggregation (sum contributions by dst),
-  * both hash-partitioned on the join key — no driver-side graph, no
-  * adjacency matrix. Round count is a parameter; lineage grows linearly
-  * with rounds, so deep runs should checkpoint like
-  * [[Dedup.dedupClusters]] (the handful of rounds used here keeps plans
-  * shallow).
+  * both hash-partitioned on the join key — no driver-side adjacency
+  * matrix. Round count is a parameter; lineage grows linearly with
+  * rounds, so deep runs should checkpoint like [[Dedup.dedupClusters]]
+  * (the handful of rounds used here keeps plans shallow).
+  *
+  * Like [[Dedup.dedupClusters]], a size-gated driver fast path handles
+  * graphs whose aggregated edge list is tiny (the 25-nation trade graph;
+  * a unit-test graph): below `graft.pagerank.driverMaxEdges` (default
+  * 1e6) the same integer recurrence runs as one driver loop — iteration
+  * overhead on local[*] is pure stage scheduling there, measured ~5s for
+  * a 25-node graph. The distributed loop remains the path for real link
+  * graphs (millions of domains), where it is the only option.
   *
   * All arithmetic is scaled-integer (BIGINT) with floor division at the
   * exact same points in every engine, so ranks are cross-engine
   * deterministic — no float summation-order drift. Dangling-node mass
   * (nodes with no out-edges) is dropped rather than redistributed; both
-  * sides of the oracle agree on that definition.
+  * sides of the oracle agree on that definition. Node ids must be
+  * integral (they are cast to BIGINT).
   */
 object Graphs {
 
@@ -32,20 +40,37 @@ object Graphs {
     */
   def pageRankInt(edges: DataFrame, iters: Int = 5,
                   scale: Long = 1000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val spark = edges.sparkSession
+    // persist the aggregated edge table: the size gate, the node count and
+    // every iteration re-read it, and without the persist each action
+    // replays the upstream edge-building join chain (a 4-table star join
+    // in the trade-graph query). Registry-bounded like the LSH band
+    // tables — there is no ReusedExchange across iterations otherwise.
+    val e = CacheRegistry.register(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val nEdges = e.count()
+    require(nEdges > 0, "pageRankInt: empty graph")
+    val driverMax = spark.conf.getOption("graft.pagerank.driverMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    if (nEdges <= driverMax) return driverPageRank(e, iters, scale)
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 
-    // out-degree per source; nodes joined left so danglers carry rank
-    // (their mass just doesn't propagate — see scaladoc)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degree folded onto the edge relation ONCE (window over the
+    // persisted edges), so each iteration is exactly two shuffles:
+    // rank ⨝ ej on src, then the contribution agg on dst. Danglers (no
+    // out-edges) simply have no ej row — their mass doesn't propagate.
+    val ej = CacheRegistry.register(
+      e.withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    val n = nodes.count() // one tiny scalar per call; the graph is the aggregated domain graph, not the corpus
-    require(n > 0, "pageRankInt: empty graph")
-
+    val n = nodes.count()
     val teleport = (15L * scale / 100L) / n
     var rank = nodes.withColumn("rank", lit(scale / n))
 
@@ -54,8 +79,7 @@ object Graphs {
       // float `/` would round-to-nearest before the floor and can disagree
       // with the oracle's `//` by 1 on quotients that land on a ulp edge
       val contrib = rank
-        .join(e, rank("node") === e("src"))
-        .join(outDeg, "src")
+        .join(ej, rank("node") === ej("src"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("incoming"))
       rank = nodes
@@ -64,5 +88,26 @@ object Graphs {
           (lit(teleport) + expr("(85 * coalesce(incoming, 0L)) div 100")).as("rank"))
     }
     rank
+  }
+
+  /** The identical recurrence as one driver loop — bit-for-bit equal to
+    * the distributed path (GraphsSpec proves it), viable because the gate
+    * bounded the edge list. */
+  private def driverPageRank(e: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.as[(Long, Long)].collect()
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val out = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = nodes.length.toLong
+    val teleport = (15L * scale / 100L) / n
+    var rank = nodes.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val incoming = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> (teleport + 85L * incoming.getOrElse(v, 0L) / 100L)).toMap
+    }
+    nodes.map(v => (v, rank(v))).toSeq.toDF("node", "rank")
   }
 }

@@ -43,6 +43,19 @@ class GraphsSpec extends AnyFunSuite {
     assert((3L to 6L).forall(i => got(2L) > got(i)))
   }
 
+  test("distributed path (gate off) is bit-for-bit equal to the driver fast path") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (5L, 4L))
+    val viaDriver = Graphs.pageRankInt(edges(es: _*), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("graft.pagerank.driverMaxEdges", "0")
+    try {
+      val distributed = Graphs.pageRankInt(edges(es: _*), iters = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(distributed == viaDriver)
+      assert(distributed == refRank(es, 4))
+    } finally spark.conf.unset("graft.pagerank.driverMaxEdges")
+  }
+
   test("duplicate edges collapse; dangling nodes keep the teleport floor") {
     val es = Seq((1L, 2L), (1L, 2L), (1L, 2L)) // 2 is dangling
     val got = Graphs.pageRankInt(edges(es: _*), iters = 2)
