@@ -37,7 +37,8 @@ object Bench {
     "x_neardup_embedding", "x_ann_topk", "x_ann_ivf", "x_ann_kmeans",
     "x_asof_join", "x_range_join", "x_decontaminate", "x_pipeline_e2e",
     "x_token_count", "stream_window_agg", "stream_dedup",
-    "x_multimodal_decode")
+    "x_multimodal_decode", "x_pagerank_trade", "x_fuzzy_join",
+    "x_dedup_semantic", "stream_cdc_apply", "x_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = LocalSession.sfDir()

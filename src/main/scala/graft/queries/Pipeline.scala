@@ -1247,6 +1247,13 @@ object Pipeline {
       (s, d) => graft.streaming.StreamingSync.statefulUserRollupTws(s, d),
       Some(userRollupSql)),
 
+    // ── Structured Streaming: the CDC fold as arriving state — one state
+    //    row per key, trailing-delete keys dropped after compaction; the
+    //    streaming twin of x_cdc_apply against the SAME oracle ─────────────
+    "stream_cdc_apply" -> Q(
+      (s, d) => graft.streaming.StreamingSync.cdcApply(s, d),
+      Some(Relational.cdcApplySql)),
+
     // ── Entity resolution: blocked fuzzy self-join on part names. Candidate
     //    pairs come from two equi-join blocking passes (shared 3-char prefix
     //    OR suffix) — never a cross join — then only candidates pay the

@@ -29,6 +29,23 @@ object Relational {
     * DuckDB's naive-timestamp `epoch_us`). */
   private[queries] def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** ONE oracle for the CDC fold, shared by the batch rank-window query
+    * (`x_cdc_apply`) and the streaming stateful fold (`stream_cdc_apply`)
+    * — the lockstep rule: both implementations must stay equal to the same
+    * definition, or their "same semantics" claim silently rots. */
+  private[queries] val cdcApplySql =
+    """WITH ops AS (SELECT user_id, ts, event_id,
+      |  CAST(round(value * 100) AS BIGINT) AS cents,
+      |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+      |       ELSE 'U' END AS op
+      |  FROM events),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |         ORDER BY ts DESC, event_id DESC) AS rn,
+      |       count(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM ops)
+      |SELECT user_id, op AS last_op, cents, epoch_us(ts) AS updated_us, n_ops
+      |FROM rk WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   /** revenue term quantized: round(price*100) * round((1-disc)*100), a long. */
   private[queries] def revE4(price: Column, disc: Column): Column =
     round(price * 100).cast("long") * round((lit(1) - disc) * 100).cast("long")
@@ -684,17 +701,7 @@ object Relational {
           .select(col("user_id"), col("op").as("last_op"), col("cents"),
             usec(col("ts")).as("updated_us"), col("n_ops"))
       },
-      Some("""WITH ops AS (SELECT user_id, ts, event_id,
-        |  CAST(round(value * 100) AS BIGINT) AS cents,
-        |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
-        |       ELSE 'U' END AS op
-        |  FROM events),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |         ORDER BY ts DESC, event_id DESC) AS rn,
-        |       count(*) OVER (PARTITION BY user_id) AS n_ops
-        |  FROM ops)
-        |SELECT user_id, op AS last_op, cents, epoch_us(ts) AS updated_us, n_ops
-        |FROM rk WHERE rn = 1 AND op <> 'D'""".stripMargin)),
+      Some(cdcApplySql)),
 
     // ── W7: rank-distribution and frame-navigation window functions —
     //    percent_rank/cume_dist (single correctly-rounded IEEE division,

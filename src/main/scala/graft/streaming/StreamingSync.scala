@@ -230,6 +230,51 @@ object StreamingSync {
   case class UserState(user_id: Long, n_events: Long, sum_cents: Long,
                        last_us: Long)
 
+  case class CdcState(user_id: Long, last_op: String, cents: Option[Long],
+                      updated_us: Long, n_ops: Long, last_eid: Long)
+
+  /** Streaming CDC apply: fold a keyed insert/update/delete change log to
+    * final table state as events arrive — per-key state is ONE row (the
+    * latest op by (ts, event_id) plus an op counter), so state volume is
+    * bounded by key cardinality however long the stream runs. The
+    * changelog compaction keeps the last emission per key; a key whose
+    * final op is a delete is dropped AFTER compaction (filtering per batch
+    * would resurrect a key that a later batch deleted). Batch-parity
+    * oracle: the `x_cdc_apply` rank-window fold.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val base = freshBase(ss, "cdc")
+    val rows = eventsStream(ss, sfDir, base)
+      .select(col("user_id").cast("long"),
+        col("event_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      .where(col("user_id").isNotNull)
+      .as[(Long, Long, Long, Option[Long], String)]
+    val agg = rows.groupByKey(_._1)
+      .mapGroupsWithState[CdcState, CdcState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Option[Long], String)],
+         state: GroupState[CdcState]) =>
+          val prev = state.getOption.getOrElse(
+            CdcState(uid, "", None, Long.MinValue, 0L, Long.MinValue))
+          val next = it.foldLeft(prev) { case (s, (_, eid, ts, cents, op)) =>
+            val newer = ts > s.updated_us ||
+              (ts == s.updated_us && eid > s.last_eid)
+            if (newer) CdcState(uid, op, cents, ts, s.n_ops + 1, eid)
+            else s.copy(n_ops = s.n_ops + 1)
+          }
+          state.update(next)
+          next
+      }.toDF()
+    runToChangelog(agg, base, "graft_stream_cdc", Seq("user_id"))
+      .where(col("last_op") =!= "D")
+      .select("user_id", "last_op", "cents", "updated_us", "n_ops")
+  }
+
   /** ONE definition of the rollup's event projection and state fold,
     * shared by the mapGroupsWithState and transformWithState
     * implementations — their "semantics identical" claim is enforced by
