@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Functions
 import graft.operators.Sketches
-import graft.queries.Relational.{Q, t}
+import graft.queries.Relational.{Q, t, usec}
 
 /** Data-profiling / approximate-analytics queries: the "know your corpus
   * before you train on it" toolkit — deterministic HLL cardinality,
@@ -14,6 +14,111 @@ import graft.queries.Relational.{Q, t}
   * query hash-matches its DuckDB oracle.
   */
 object Analytics {
+
+  /** Conversion-funnel and cohort-retention — the two canonical
+    * product-analytics workloads a warehouse engine gets pointed at. Both
+    * stay integer-exact (epoch-µs step times, floor-divided week offsets).
+    */
+  private val FunnelWindowUs = 3L * 86400000000L // 3-day conversion window
+
+  private val funnelQ = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      // step 1: first signup per user; steps 2/3 are the first qualifying
+      // event STRICTLY AFTER the previous step and within the conversion
+      // window (without the window every user converts in this corpus —
+      // a vacuous funnel) — each stage is one filtered agg joined on
+      // user_id (the survivor side shrinks every step)
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(usec(col("ts"))).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id").where(usec(col("ts")) > col("t1") &&
+          usec(col("ts")) <= col("t1") + lit(FunnelWindowUs))
+        .groupBy("user_id").agg(min(usec(col("ts"))).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(usec(col("ts")) > col("t2") &&
+          usec(col("ts")) <= col("t2") + lit(FunnelWindowUs))
+        .groupBy("user_id").agg(min(usec(col("ts"))).as("t3"))
+      s1.join(s2.select(col("user_id"), lit(1L).as("reached2")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), lit(1L).as("reached3")), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signup"),
+          sum(coalesce(col("reached2"), lit(0L))).as("n_click_after"),
+          sum(coalesce(col("reached3"), lit(0L))).as("n_purchase_after"))
+    },
+    Some(s"""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      |    AND epoch_us(e.ts) <= s1.t1 + $FunnelWindowUs GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |    AND epoch_us(e.ts) <= s2.t2 + $FunnelWindowUs GROUP BY 1)
+      |SELECT count(*) AS n_signup,
+      |  CAST(sum(CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+      |  CAST(sum(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin))
+
+  private val cohortQ = Q(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), usec(col("ts")).as("us"))
+      val cohort = ev.groupBy("user_id")
+        .agg(expr("min(us) div 604800000000").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (expr("us div 604800000000") - col("cohort_week")).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH c AS (SELECT user_id,
+      |  min(epoch_us(ts)) // 604800000000 AS cohort_week
+      |  FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT e.user_id, c.cohort_week,
+      |  epoch_us(e.ts) // 604800000000 - c.cohort_week AS week_offset
+      |  FROM events e JOIN c ON e.user_id = c.user_id)
+      |SELECT cohort_week, week_offset, count(*) AS n_active
+      |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** PageRank iteration count — shared by the Spark query and the
+    * generated oracle CTE chain (lockstep rule). */
+  private val PrIters = 5
+
+  /** The oracle mirrors Graphs.pageRankInt round for round: same node set,
+    * same teleport scalar, same `//` floor-division points. Generated
+    * programmatically so the iteration count can never drift from the
+    * Spark side. */
+  private def pageRankOracle: String = {
+    val base = """WITH sup AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS n
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |st AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS npairs FROM sup),
+      |e AS (SELECT src, dst FROM sup, st WHERE n * npairs > tot
+      |      AND src IS NOT NULL AND dst IS NOT NULL),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |cnt AS (SELECT count(*) AS n FROM nodes),
+      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |it0 AS (SELECT node, 1000000000 // (SELECT n FROM cnt) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""it$k AS (SELECT nodes.node,
+         |  (150000000 // (SELECT n FROM cnt))
+         |    + (85 * coalesce(s.incoming, 0)) // 100 AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS incoming
+         |    FROM it${k - 1} r JOIN e ON r.node = e.src JOIN od ON e.src = od.src
+         |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM it$PrIters ORDER BY rank DESC, node"
+  }
 
   val all: Map[String, Q] = Map(
 
@@ -399,11 +504,24 @@ object Analytics {
     //    identical BIGINT floor division ────────────────────────────────────
     "x_pagerank_trade" -> Q(
       (s, d) => {
-        val edges = t(s, d, "orders")
+        val support = t(s, d, "orders")
           .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        // keep only ABOVE-MEAN-support edges (integer cross-multiplication
+        // over the tiny aggregated edge table): the raw trade graph is
+        // complete — uniform rank is its exact fixed point, which would
+        // make any iteration count pass vacuously. The thresholded graph
+        // is sparse and asymmetric at every SF, so the ranks genuinely
+        // exercise the recurrence.
+        val w = Window.partitionBy()
+        val edges = support
+          .withColumn("tot", sum(col("n")).over(w))
+          .withColumn("npairs", count(lit(1)).over(w))
+          .where(col("n") * col("npairs") > col("tot"))
+          .select("src", "dst")
         graft.operators.Graphs.pageRankInt(edges, iters = PrIters)
           .orderBy(desc("rank"), asc("node"))
       },
@@ -449,39 +567,15 @@ object Analytics {
         |  max(fence_hi) AS fence_hi,
         |  CAST(sum(CASE WHEN cents < fence_lo OR cents > fence_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM ev JOIN f ON ev.event_type = f.event_type
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-  /** PageRank iteration count — shared by the Spark query and the
-    * generated oracle CTE chain (lockstep rule). */
-  private val PrIters = 5
+    // ── Conversion funnel: signup → first later click → first later
+    //    purchase, one filtered agg per stage, each stage joined on the
+    //    shrinking survivor set ────────────────────────────────────────────
+    "x_funnel_steps" -> funnelQ,
 
-  /** The oracle mirrors Graphs.pageRankInt round for round: same node set,
-    * same teleport scalar, same `//` floor-division points. Generated
-    * programmatically so the iteration count can never drift from the
-    * Spark side. */
-  private def pageRankOracle: String = {
-    val base = """WITH e AS (
-      |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
-      |  FROM orders
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN lineitem ON l_orderkey = o_orderkey
-      |  JOIN supplier ON l_suppkey = s_suppkey
-      |  WHERE c_nationkey IS NOT NULL AND s_nationkey IS NOT NULL),
-      |nodes AS (SELECT DISTINCT src AS node FROM e
-      |          UNION SELECT DISTINCT dst FROM e),
-      |cnt AS (SELECT count(*) AS n FROM nodes),
-      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-      |it0 AS (SELECT node, 1000000000 // (SELECT n FROM cnt) AS rank FROM nodes)""".stripMargin
-    val iters = (1 to PrIters).map { k =>
-      s"""it$k AS (SELECT nodes.node,
-         |  (150000000 // (SELECT n FROM cnt))
-         |    + (85 * coalesce(s.incoming, 0)) // 100 AS rank
-         |  FROM nodes LEFT JOIN (
-         |    SELECT e.dst AS node, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS incoming
-         |    FROM it${k - 1} r JOIN e ON r.node = e.src JOIN od ON e.src = od.src
-         |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
-    }
-    (base +: iters).mkString(",\n") +
-      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM it$PrIters ORDER BY rank DESC, node"
-  }
+    // ── Cohort retention: users bucketed by first-seen week × activity
+    //    week offset — integer epoch-week division, distinct-then-count ────
+    "x_retention_cohort" -> cohortQ)
+
 }

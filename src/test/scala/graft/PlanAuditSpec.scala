@@ -21,9 +21,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf_multiprobe: k tiny centroid rows broadcast
   // against every vector (assign/probe-selection step) — deliberate
-  // broadcast products over a handful of centroids, never corpus×corpus
+  // broadcast products over a handful of centroids, never corpus×corpus.
+  // x_vec_sql_native: 5×20-row SQL-surface demo of the injected function +
+  // rewrite rule; its range-predicate join is the demo's point, not a
+  // corpus-scale shape (the scale paths are the x_ann_* queries)
   private val allowCross = Set("x_ann_topk", "x_ann_kmeans_assign",
-    "x_ann_kmeans", "x_ann_ivf_multiprobe")
+    "x_ann_kmeans", "x_ann_ivf_multiprobe", "x_vec_sql_native")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
