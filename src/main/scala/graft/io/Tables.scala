@@ -140,6 +140,39 @@ object Tables {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(dir)
 
+  /** ORC twin of the parquet sink — the second columnar interchange format
+    * warehouses speak natively (built into Spark; zlib-compressed). Same
+    * observed-count contract as the chunk writers.
+    */
+  def writeOrc(df: DataFrame, dir: String,
+               maxRecordsPerFile: Long = 1000000L): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .option("compression", "zlib")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .orc(dir)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
+  /** Hive-style partitioned parquet sink: one directory per distinct value
+    * of `partitionCols` (`col=value/...`), so a reader filtering on those
+    * columns scans ONLY the matching directories — partition pruning, the
+    * first-order I/O lever at 100 TB (PlanAuditSpec asserts the pruned
+    * scan). Cardinality discipline is the caller's: partition by
+    * low-cardinality routing columns (type, date, lang), never by an id.
+    */
+  def writePartitioned(df: DataFrame, dir: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
   /** JSONL interchange twin of the CSV chunk sink: gzip-compressed
     * newline-delimited JSON with the same rollover, row-cap, and
     * observed-count contract. JSONL survives schema evolution better than

@@ -770,6 +770,50 @@ object Relational {
         |  CAST(floor(sqrt(CAST(round(value * 100) AS BIGINT))) AS BIGINT) AS isqrt
         |FROM events""".stripMargin)),
 
+    // ── S4b: ORC roundtrip — write lineitem as zlib ORC, read it back,
+    //    aggregate; proves the second columnar interchange format end to
+    //    end against the parquet-sourced oracle ────────────────────────────
+    "s4_orc_roundtrip" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
+          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
+        Tables.writeOrc(li, dir)
+        Tables.readOrc(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(Functions.cents(col("l_extendedprice"))).as("sum_cents"))
+      },
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM lineitem GROUP BY 1, 2")),
+
+    // ── S5b: partitioned layout + partition-pruned scan — events written
+    //    hive-partitioned by event_type, then one partition read back. The
+    //    filter prunes at the DIRECTORY level (PlanAuditSpec asserts it);
+    //    at 100 TB this is the difference between scanning 1/5 of the
+    //    corpus and all of it ──────────────────────────────────────────────
+    "s5_partitioned_prune" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_part_" +
+          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
+        Tables.writePartitioned(
+          ev.select(col("event_id"), col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            col("event_type")),
+          dir, Seq("event_type"))
+        s.read.parquet(dir)
+          .where(col("event_type") === "purchase")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1")),
+
     // ── SCD2 dimension history: each user's event stream becomes versioned
     //    validity intervals — version = row_number, valid_to = next change's
     //    timestamp, open-ended for the current row. The warehouse-history

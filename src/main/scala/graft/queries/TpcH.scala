@@ -432,7 +432,10 @@ object TpcH {
           .groupBy("p_partkey")
           .agg(sum(col("l_quantity").cast("long") * col("price_cents"))
             .as("value_cents"))
-        val total = vals.agg(sum(col("value_cents"))).head().getLong(0)
+        // coalesce: an empty survivor set (tiny SF, no nation-5 suppliers)
+        // must yield total=0 and an empty result, not a NULL getLong crash
+        val total = vals.agg(coalesce(sum(col("value_cents")), lit(0L)))
+          .head().getLong(0)
         vals.where(col("value_cents") * lit(10000L) > lit(total))
           .orderBy(desc("value_cents"), asc("p_partkey"))
       },
@@ -479,7 +482,10 @@ object TpcH {
           .groupBy(col("l_suppkey"))
           .agg(sum(revE4(col("l_extendedprice"), col("l_discount")))
             .as("total_revenue_e4"))
-        val maxRev = rev.agg(max(col("total_revenue_e4"))).head().getLong(0)
+        // Long.MinValue sentinel on an empty quarter: matches no supplier
+        // (revenues are positive), mirroring the oracle's NULL-= semantics
+        val maxRev = rev.agg(coalesce(max(col("total_revenue_e4")), lit(Long.MinValue)))
+          .head().getLong(0)
         rev.where(col("total_revenue_e4") === maxRev)
           .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .select("s_suppkey", "s_name", "total_revenue_e4")

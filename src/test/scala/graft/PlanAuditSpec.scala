@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val sideEffecting =
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
-      "stream_range_join", "stream_enrich", "s2_csv_roundtrip")
+      "stream_range_join", "stream_enrich", "s2_csv_roundtrip",
+      "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf_multiprobe: k tiny centroid rows broadcast
   // against every vector (assign/probe-selection step) — deliberate
@@ -39,6 +40,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"queries with non-scalable join shapes: ${offenders.mkString(", ")}")
+  }
+
+  test("partitioned layout scan prunes to the filtered partition directory") {
+    val df = SparkEntry.queries("s5_partitioned_prune")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    // the partition filter must appear as a PartitionFilters entry on the
+    // file scan (directory-level pruning), not only as a data Filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"partition filter did not reach the scan:\n$scan")
   }
 
   test("x_pack_greedy windows over a high-cardinality shard key") {
