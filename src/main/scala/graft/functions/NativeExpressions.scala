@@ -18,8 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `Expression` beats a UDF beats everything else). Semantics: inputs are
   * non-null-element long arrays (quantized vectors); length mismatch
   * truncates to the shorter input.
+  *
+  * `failOnError` mirrors the built-ins' overflow contract: when true
+  * (ANSI sessions — the Spark 4 default) the loop uses
+  * `Math.multiplyExact`/`addExact` and throws ArithmeticException on
+  * overflow, exactly like the ANSI `*`/`+` it replaces; when false it
+  * wraps (legacy semantics). The DataFrame-side wrappers default to
+  * wrapping because the quantized-embedding path cannot overflow
+  * (|x| ≤ 2e6, ≤ 4096 dims → |dot| < 2^63); the SQL-injected functions
+  * and the VectorLoopRewrite rule derive it from the session/expression
+  * they replace.
   */
 abstract class VectorLoopExpression extends BinaryExpression {
+
+  def failOnError: Boolean
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -34,8 +46,12 @@ abstract class VectorLoopExpression extends BinaryExpression {
 
   /** Scala accumulation step for one element pair. */
   protected def step(acc: Long, x: Long, y: Long): Long
+  /** Overflow-checked accumulation step. */
+  protected def stepExact(acc: Long, x: Long, y: Long): Long
   /** Java source for the accumulation step over element vars `x`/`y`. */
   protected def stepCode(acc: String, x: String, y: String): String
+  /** Java source for the overflow-checked step. */
+  protected def stepCodeExact(acc: String, x: String, y: String): String
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -43,7 +59,11 @@ abstract class VectorLoopExpression extends BinaryExpression {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s = step(s, a.getLong(i), b.getLong(i)); i += 1 }
+    if (failOnError) {
+      while (i < n) { s = stepExact(s, a.getLong(i), b.getLong(i)); i += 1 }
+    } else {
+      while (i < n) { s = step(s, a.getLong(i), b.getLong(i)); i += 1 }
+    }
     s
   }
 
@@ -54,13 +74,14 @@ abstract class VectorLoopExpression extends BinaryExpression {
       val s = ctx.freshName("acc")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val body = if (failOnError) stepCodeExact(s, x, y) else stepCode(s, x, y)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $x = $a.getLong($i);
          |  long $y = $b.getLong($i);
-         |  ${stepCode(s, x, y)}
+         |  $body
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -68,33 +89,47 @@ abstract class VectorLoopExpression extends BinaryExpression {
 }
 
 /** Exact integer dot product of two quantized vectors. */
-case class DotProductLong(left: Expression, right: Expression)
+case class DotProductLong(left: Expression, right: Expression,
+                          failOnError: Boolean = false)
   extends VectorLoopExpression {
   override def prettyName: String = "dot_product_long"
   protected def step(acc: Long, x: Long, y: Long): Long = acc + x * y
+  protected def stepExact(acc: Long, x: Long, y: Long): Long =
+    Math.addExact(acc, Math.multiplyExact(x, y))
   protected def stepCode(acc: String, x: String, y: String): String =
     s"$acc += $x * $y;"
+  protected def stepCodeExact(acc: String, x: String, y: String): String =
+    s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($x, $y));"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 /** Exact integer squared Euclidean distance between two quantized vectors. */
-case class SquaredDistanceLong(left: Expression, right: Expression)
+case class SquaredDistanceLong(left: Expression, right: Expression,
+                               failOnError: Boolean = false)
   extends VectorLoopExpression {
   override def prettyName: String = "squared_distance_long"
   protected def step(acc: Long, x: Long, y: Long): Long = {
     val d = x - y; acc + d * d
   }
+  protected def stepExact(acc: Long, x: Long, y: Long): Long = {
+    val d = Math.subtractExact(x, y)
+    Math.addExact(acc, Math.multiplyExact(d, d))
+  }
   protected def stepCode(acc: String, x: String, y: String): String =
     s"long __d = $x - $y; $acc += __d * __d;"
+  protected def stepCodeExact(acc: String, x: String, y: String): String =
+    s"long __d = java.lang.Math.subtractExact($x, $y); " +
+      s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact(__d, __d));"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 object NativeExpressions {
-  /** Column wrapper: exact integer dot product. */
+  /** Column wrapper: exact integer dot product (wrapping arithmetic — the
+    * quantized path cannot overflow, see the class doc). */
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedExpression, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, EvalMode, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedExpression, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -33,21 +33,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def binary(name: String, build: (Expression, Expression) => Expression)
+  private def binary(name: String, clazz: Class[_],
+                     build: (Expression, Expression) => Expression)
   : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[DotProductLong].getName, name),
+      new ExpressionInfo(clazz.getName, name),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"$name expects exactly 2 arguments, got ${children.length}")
         build(children.head, children(1))
       })
 
-  /** `dot_product_long(array<bigint>, array<bigint>) -> bigint` */
-  val dotProductLongFn = binary("dot_product_long", DotProductLong.apply)
+  /** `dot_product_long(array<bigint>, array<bigint>) -> bigint`. Built at
+    * resolution time, so `SQLConf.get.ansiEnabled` reflects the session:
+    * under ANSI the native loop overflow-checks like the built-ins it
+    * replaces. */
+  val dotProductLongFn = binary("dot_product_long", classOf[DotProductLong],
+    (a, b) => DotProductLong(a, b,
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
 
   /** `squared_distance_long(array<bigint>, array<bigint>) -> bigint` */
-  val squaredDistanceLongFn = binary("squared_distance_long", SquaredDistanceLong.apply)
+  val squaredDistanceLongFn = binary("squared_distance_long",
+    classOf[SquaredDistanceLong],
+    (a, b) => SquaredDistanceLong(a, b,
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
 
   /** Conf key gating [[VectorLoopRewrite]] (default on). */
   val RewriteConfKey = "spark.graft.rewriteVectorLoop"
@@ -93,14 +102,20 @@ object VectorLoopRewrite extends Rule[LogicalPlan] {
     if (!conf.getConfString(GraftExtensions.RewriteConfKey, "true").toBoolean) plan
     else plan.transformAllExpressionsWithPruning(_.containsPattern(
       org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
+      // overflow parity: the native loop inherits the matched arithmetic's
+      // eval mode (Spark 4.1 carries it inside NumericEvalContext) — ANSI
+      // `*`/`+` become an overflow-CHECKED loop (Math.multiplyExact /
+      // addExact), legacy stays wrapping. TRY mode (null-on-overflow) has
+      // no loop equivalent, so it is simply not rewritten.
       case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(x, y, _), Seq(xa: NamedLambdaVariable, ya: NamedLambdaVariable), _)),
+            LambdaFunction(Multiply(x, y, c1), Seq(xa: NamedLambdaVariable, ya: NamedLambdaVariable), _)),
           Literal(0L, LongType),
-          LambdaFunction(Add(s, e, _), Seq(sa: NamedLambdaVariable, ea: NamedLambdaVariable), _),
+          LambdaFunction(Add(s, e, c2), Seq(sa: NamedLambdaVariable, ea: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fa: NamedLambdaVariable), _))
-        if nonNullLongArray(a) && nonNullLongArray(b) &&
+        if c1.evalMode == c2.evalMode && c1.evalMode != EvalMode.TRY &&
+          nonNullLongArray(a) && nonNullLongArray(b) &&
           usesBoth(x, y, xa, ya) && usesBoth(s, e, sa, ea) && sameVar(fin, fa) =>
-        DotProductLong(a, b)
+        DotProductLong(a, b, failOnError = c1.evalMode == EvalMode.ANSI)
     }
 }

@@ -1263,11 +1263,19 @@ object Pipeline {
         t(s, d, "part"), "p_name", maxDist = 3)
         .select(col("left").as("name_a"), col("right").as("name_b"),
           col("dist").cast("long").as("dist")),
+      // the p1/p2 CTEs mirror FuzzyJoin's capBuckets guard (blocks larger
+      // than maxBlock=10000 are dropped BEFORE pairing) — the oracle must
+      // model the cap or the two definitions diverge on any mega-block
+      // corpus, exactly like the LSH oracles model DefaultMaxBucket
       Some("""WITH nm AS (SELECT DISTINCT p_name AS n FROM part WHERE p_name IS NOT NULL),
-        |b1 AS (SELECT a.n AS name_a, b.n AS name_b FROM nm a JOIN nm b
-        |  ON substr(a.n, 1, 3) = substr(b.n, 1, 3) AND a.n < b.n),
-        |b2 AS (SELECT a.n AS name_a, b.n AS name_b FROM nm a JOIN nm b
-        |  ON substr(a.n, -3) = substr(b.n, -3) AND a.n < b.n),
+        |p1 AS (SELECT n, k FROM (SELECT n, substr(n, 1, 3) AS k,
+        |  count(*) OVER (PARTITION BY substr(n, 1, 3)) AS c FROM nm) WHERE c <= 10000),
+        |p2 AS (SELECT n, k FROM (SELECT n, substr(n, -3) AS k,
+        |  count(*) OVER (PARTITION BY substr(n, -3)) AS c FROM nm) WHERE c <= 10000),
+        |b1 AS (SELECT a.n AS name_a, b.n AS name_b FROM p1 a JOIN p1 b
+        |  ON a.k = b.k AND a.n < b.n),
+        |b2 AS (SELECT a.n AS name_a, b.n AS name_b FROM p2 a JOIN p2 b
+        |  ON a.k = b.k AND a.n < b.n),
         |cand AS (SELECT DISTINCT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
         |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin)),

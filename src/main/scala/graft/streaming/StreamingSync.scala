@@ -241,6 +241,13 @@ object StreamingSync {
     * final op is a delete is dropped AFTER compaction (filtering per batch
     * would resurrect a key that a later batch deleted). Batch-parity
     * oracle: the `x_cdc_apply` rank-window fold.
+    *
+    * NULL handling matches [[statefulUserRollup]]'s documented contract:
+    * only a NULL KEY drops the row (the batch oracle keeps a NULL-key
+    * partition — the one corner where stream and batch differ, corpus-free
+    * here since events.user_id is never NULL); a NULL ts maps to the
+    * Long.MinValue sentinel so it orders before every real op instead of
+    * crashing the non-nullable decode.
     */
   def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -249,7 +256,7 @@ object StreamingSync {
     val rows = eventsStream(ss, sfDir, base)
       .select(col("user_id").cast("long"),
         col("event_id").cast("long"),
-        unix_micros(col("ts")).as("ts_us"),
+        coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"),
         round(col("value") * 100).cast("long").as("cents"),
         when(col("event_type") === "signup", "I")
           .when(col("event_type") === "error", "D").otherwise("U").as("op"))

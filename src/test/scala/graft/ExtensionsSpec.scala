@@ -71,6 +71,26 @@ class ExtensionsSpec extends AnyFunSuite {
       s"rewrite fired on nullable elements:\n$optimized")
   }
 
+  test("ANSI overflow parity: the rewritten loop throws where the built-ins throw") {
+    // Spark 4 defaults to ANSI mode, where the composed form raises on
+    // overflow — the rewrite must not silently change that to wrapping
+    vecs.createOrReplaceTempView("ext_vecs")
+    val df = spark.sql(
+      s"""WITH w AS (SELECT id,
+         |  transform(v, e -> coalesce(e * 0L + 9223372036854775807L, 0L)) AS v2
+         |  FROM ext_vecs)
+         |SELECT a.id, $composed AS dot
+         |FROM w a JOIN w b ON a.id = 1 AND b.id = 2""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("dot_product_long"),
+      "rewrite did not fire on the overflow probe")
+    val err = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => c.isInstanceOf[ArithmeticException] ||
+      c.getMessage != null && c.getMessage.contains("overflow")),
+      s"expected overflow error, got: $err")
+  }
+
   test("conf flag spark.graft.rewriteVectorLoop=false disables the rewrite") {
     spark.conf.set("spark.graft.rewriteVectorLoop", "false")
     try {

@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val sideEffecting =
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
-      "stream_range_join", "stream_enrich", "s2_csv_roundtrip",
+      "stream_range_join", "stream_enrich", "stream_sessionize",
+      "stream_rollup_tws", "stream_cdc_apply", "s2_csv_roundtrip",
       "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf_multiprobe: k tiny centroid rows broadcast
