@@ -158,6 +158,47 @@ object Analytics {
         |FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
         |ORDER BY agg.l_returnflag""".stripMargin)),
 
+    // ── The same HLL as a NATIVE TypedImperativeAggregate: one 256-byte
+    //    register buffer per (group, partition) instead of an exploded
+    //    (group, j, rho) row per input row — the map side keeps 3 buffers,
+    //    not a rows-sized hash table, and the shuffle carries groups×256
+    //    bytes at any corpus size. Same oracle: the registers are
+    //    bit-identical to the relational form ─────────────────────────────────
+    "x_hll_native" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val est = li.groupBy("l_returnflag")
+          .agg(graft.functions.HllRegisterAgg.hllSketch(col("l_orderkey")).as("h"))
+          .select(col("l_returnflag"), col("h.n_reg").as("n_reg"),
+            col("h.sum_scaled").as("sum_scaled"), col("h.hll_est").as("hll_est"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        est.join(exact, "l_returnflag").orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+        |  FROM lineitem
+        |), reg AS (
+        |  SELECT l_returnflag, h60 % 256 AS j,
+        |         max(CASE WHEN h60 // 256 = 0 THEN 53
+        |             ELSE 53 - length(bin(h60 // 256)) END) AS m_j
+        |  FROM h GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CASE WHEN 20 - m_j > 0 THEN 1 << (20 - m_j) ELSE 1 END) AS BIGINT)
+        |           + (256 - count(*)) * 1048576 AS sum_scaled,
+        |         count(*) AS n_reg
+        |  FROM reg GROUP BY 1
+        |), ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1
+        |)
+        |SELECT agg.l_returnflag, CAST(n_reg AS BIGINT) AS n_reg, sum_scaled,
+        |       CAST((CAST(7213 AS BIGINT) * 256 * 256 * 1048576) // (10000 * sum_scaled) AS BIGINT) AS hll_est,
+        |       CAST(n_exact AS BIGINT) AS n_exact
+        |FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
+        |ORDER BY agg.l_returnflag""".stripMargin)),
+
     // ── Discrete quantiles of order value per priority: the value AT row
     //    ceil(p·n) — no interpolation, so the result is a data value both
     //    engines agree on exactly ─────────────────────────────────────────────

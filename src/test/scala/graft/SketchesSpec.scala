@@ -28,6 +28,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n_reg") <= 256))
   }
 
+  test("native HLL aggregate is bit-identical to the relational form " +
+    "across any partitioning (merge path exercised)") {
+    val df = (1 to 5000).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "v")
+    val relational = Sketches.approxDistinctHll(df, "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_reg"), r.getAs[Long]("sum_scaled"), r.getAs[Long]("hll_est"))).toMap
+    // 7 skewed partitions force non-trivial partial buffers per partition
+    val native = df.repartition(7, col("v") % 2)
+      .groupBy("grp")
+      .agg(graft.functions.HllRegisterAgg.hllSketch(col("v")).as("h"))
+      .select(col("grp"), col("h.n_reg"), col("h.sum_scaled"), col("h.hll_est"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(native == relational)
+  }
+
+  test("native HLL aggregate ignores NULLs and plans as ObjectHashAggregate") {
+    val df = Seq(Some(1L), None, Some(2L), Some(2L), None)
+      .toDF("v").withColumn("grp", lit("g"))
+    val agg = df.groupBy("grp")
+      .agg(graft.functions.HllRegisterAgg.hllSketch(col("v")).as("h"))
+      .select(col("h.n_reg"))
+    // a TypedImperativeAggregate must run in the object hash aggregate,
+    // which supports partial aggregation (map-side combine before shuffle)
+    assert(agg.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.head().getLong(0) == 2, "two distinct non-null values → 2 registers")
+  }
+
   test("HLL is insensitive to duplication — same estimate for 1x and 10x copies") {
     val base = (1 to 2000).map(i => ("g", i.toLong))
     val dup = Seq.fill(10)(base).flatten
