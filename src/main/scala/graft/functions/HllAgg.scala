@@ -120,9 +120,11 @@ case class HllRegisterAgg(
 
 object HllRegisterAgg {
   // MessageDigest is stateful and not thread-safe; one per updater thread,
-  // reset per row — no per-row allocation in the hot loop
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+  // reset per row — no per-row allocation in the hot loop. Shared with the
+  // CMS aggregate (same hash family).
+  private[functions] val threadLocalMd5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
+  private def md5 = threadLocalMd5
 
   /** Column wrapper: HLL register sketch of `value` (any type — cast to its
     * string form first, matching the relational operator's hash input).

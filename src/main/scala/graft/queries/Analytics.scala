@@ -299,6 +299,50 @@ object Analytics {
         |FROM exact JOIN est ON exact.tok = est.tok
         |ORDER BY n_exact DESC, exact.tok""".stripMargin)),
 
+    // ── The same CMS as a NATIVE TypedImperativeAggregate: one flat 4×1024
+    //    counter array per (group, partition) — update is one md5 + four
+    //    increments, merge is elementwise summation, and the shuffle moves
+    //    a fixed 32 KB buffer per partition instead of the relational
+    //    form's 4-rows-per-token explode. The single-row sketch broadcasts
+    //    to the probe side; estimates are element_at lookups. Same oracle
+    //    as x_freq_cms — the counters are bit-identical ─────────────────────
+    "x_freq_cms_native" -> Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+        val sketch = toks.agg(graft.functions.CmsSketchAgg.cmsSketch(col("tok")).as("sk"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), asc("tok")).limit(10)
+        val probes = (0 until Sketches.CmsDepth).map { i =>
+          element_at(col("sk"),
+            (lit(i * Sketches.CmsWidth) +
+              conv(substring(md5(col("tok")), 4 * i + 1, 4), 16, 10)
+                .cast("long") % Sketches.CmsWidth + 1).cast("int"))
+        }
+        exact.crossJoin(broadcast(sketch))
+          .select(col("tok"), col("n_exact"), least(probes: _*).as("n_est"))
+          .orderBy(desc("n_exact"), asc("tok"))
+      },
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+        |), ii AS (SELECT unnest([0,1,2,3]) AS i),
+        |sketch AS (
+        |  SELECT i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket,
+        |         count(*) AS cnt
+        |  FROM tok, ii GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT tok, count(*) AS n_exact FROM tok GROUP BY 1
+        |  ORDER BY n_exact DESC, tok LIMIT 10
+        |), est AS (
+        |  SELECT e.tok, min(cnt) AS n_est
+        |  FROM (SELECT tok, i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket
+        |        FROM exact, ii) e
+        |  JOIN sketch USING (i, bucket) GROUP BY e.tok
+        |)
+        |SELECT exact.tok, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
+        |FROM exact JOIN est ON exact.tok = est.tok
+        |ORDER BY n_exact DESC, exact.tok""".stripMargin)),
+
     // ── Bloom join pruning: filter bits built from the high-value orders'
     //    customer keys, every customer probed through them. Members always
     //    pass; the pass count bounds the false-positive trickle the real
