@@ -23,8 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixed 32 KB buffer per partition instead of 4× the corpus row count.
   *
   * Returns the counters as a flat array<bigint> of length depth×width
-  * (row-major: counter(i, b) at index i·width + b), so estimates are a
-  * broadcast `element_at` probe — see the `x_freq_cms_native` query.
+  * (row-major: counter(i, b) at index i·width + b). Probing: either
+  * `element_at` on the buffer directly, or posexplode the single row back
+  * to the (i, bucket, cnt) relation and equi-join — the `x_freq_cms_native`
+  * query does the latter, because a scalar-vs-relation join constant-folds
+  * to a nested-loop plan while the flattened form stays a broadcast hash
+  * join (the shape the 100 TB plan audit demands).
   */
 case class CmsSketchAgg(
     child: Expression,

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * buffers (the (b)-tier extension point from the build rules: a native
   * `Expression` beats a UDF beats everything else). Semantics: inputs are
   * non-null-element long arrays (quantized vectors); length mismatch
-  * truncates to the shorter input.
+  * truncates to the shorter input by default, or yields NULL when
+  * `nullOnMismatch` is set — the latter reproduces the composed
+  * `aggregate(zip_with(...))` built-in form exactly (zip_with pads the
+  * shorter array with NULLs, which poison the fold), and is what
+  * [[graft.plans.VectorLoopRewrite]] uses so the optimizer rule never
+  * changes results.
   *
   * `failOnError` mirrors the built-ins' overflow contract: when true
   * (ANSI sessions — the Spark 4 default) the loop uses
@@ -32,6 +37,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 abstract class VectorLoopExpression extends BinaryExpression {
 
   def failOnError: Boolean
+  def nullOnMismatch: Boolean
+
+  // the mismatch guard can null out a result even when both inputs are
+  // non-null, so the expression must declare itself nullable in that mode
+  override def nullable: Boolean = nullOnMismatch || super.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -56,6 +66,7 @@ abstract class VectorLoopExpression extends BinaryExpression {
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (nullOnMismatch && a.numElements() != b.numElements()) return null
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0
@@ -75,22 +86,35 @@ abstract class VectorLoopExpression extends BinaryExpression {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val body = if (failOnError) stepCodeExact(s, x, y) else stepCode(s, x, y)
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $x = $a.getLong($i);
-         |  long $y = $b.getLong($i);
-         |  $body
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
+      val loop =
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($i);
+           |  $body
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      // ev.isNull is only assignable when the expression is nullable, which
+      // nullOnMismatch guarantees (see `nullable` above)
+      if (nullOnMismatch) {
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  $loop
+           |}
+         """.stripMargin
+      } else loop
     })
 }
 
 /** Exact integer dot product of two quantized vectors. */
 case class DotProductLong(left: Expression, right: Expression,
-                          failOnError: Boolean = false)
+                          failOnError: Boolean = false,
+                          nullOnMismatch: Boolean = false)
   extends VectorLoopExpression {
   override def prettyName: String = "dot_product_long"
   protected def step(acc: Long, x: Long, y: Long): Long = acc + x * y
@@ -107,7 +131,8 @@ case class DotProductLong(left: Expression, right: Expression,
 
 /** Exact integer squared Euclidean distance between two quantized vectors. */
 case class SquaredDistanceLong(left: Expression, right: Expression,
-                               failOnError: Boolean = false)
+                               failOnError: Boolean = false,
+                               nullOnMismatch: Boolean = false)
   extends VectorLoopExpression {
   override def prettyName: String = "squared_distance_long"
   protected def step(acc: Long, x: Long, y: Long): Long = {

@@ -29,6 +29,22 @@ private[graft] object CacheRegistry {
     df
   }
 
+  /** Eagerly unpersist one registered table (reference identity) and drop
+    * it from the registry. Operators that can bound an intermediate's
+    * lifetime — an iteration frame superseded by the next round, an edge
+    * table a checkpoint made redundant — release in-function instead of
+    * leaning on FIFO eviction, so repeated invocations in one session
+    * don't accumulate MEMORY_AND_DISK entries.
+    */
+  def release(df: DataFrame): Unit = entries.synchronized {
+    val i = entries.indexWhere(_ eq df)
+    if (i >= 0) entries.remove(i)
+    df.unpersist()
+  }
+
+  /** Number of live registered tables (test observability). */
+  private[graft] def entryCount: Int = entries.synchronized(entries.length)
+
   def unpersistAll(): Unit = entries.synchronized {
     entries.foreach(_.unpersist())
     entries.clear()

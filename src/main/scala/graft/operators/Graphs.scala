@@ -56,7 +56,13 @@ object Graphs {
     require(nEdges > 0, "pageRankInt: empty graph")
     val driverMax = spark.conf.getOption("graft.pagerank.driverMaxEdges")
       .map(_.toLong).getOrElse(1000000L)
-    if (nEdges <= driverMax) return driverPageRank(e, iters, scale)
+    if (nEdges <= driverMax) {
+      val out = driverPageRank(e, iters, scale)
+      // the recurrence collected everything it needs — drop the edge cache
+      // now instead of leaving it for registry FIFO eviction
+      CacheRegistry.release(e)
+      return out
+    }
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -87,7 +93,19 @@ object Graphs {
         .select(col("node"),
           (lit(teleport) + expr("(85 * coalesce(incoming, 0L)) div 100")).as("rank"))
     }
-    rank
+    // one row per node — checkpoint the converged ranks eagerly (reliable
+    // when graft.checkpointDir is set, executor-local otherwise, same
+    // convention as Dedup.dedupClusters), which truncates the iterated
+    // lineage and makes the e/ej caches dead — release them in-function so
+    // repeated calls in one session don't accumulate MEMORY_AND_DISK
+    // entries (registry eviction is a leak backstop, not a lifecycle)
+    val reliableDir = spark.conf.getOption("graft.checkpointDir")
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    val out =
+      if (reliableDir.isDefined) rank.checkpoint() else rank.localCheckpoint()
+    CacheRegistry.release(ej)
+    CacheRegistry.release(e)
+    out
   }
 
   /** The identical recurrence as one driver loop — bit-for-bit equal to

@@ -72,13 +72,15 @@ object GraftExtensions {
   * composed form materializes the zipped struct array per row and folds
   * through lambda plumbing; the native expression is one fused loop.
   *
-  * Semantics caveat (documented, not silent): `zip_with` pads the shorter
-  * input with NULLs — on UNEQUAL-length inputs the composed form yields
-  * NULL while the native loop truncates to the shorter vector, matching
-  * the rest of the quantized-vector path (see
-  * [[graft.functions.VectorLoopExpression]]). Vectors in one corpus share
-  * one dimensionality, so the rewrite is on by default; set
-  * `spark.graft.rewriteVectorLoop=false` for strict padding semantics.
+  * The rewrite is exact, including the unequal-length edge: `zip_with`
+  * pads the shorter input with NULLs, which poison the multiply-fold, so
+  * the composed form yields NULL on UNEQUAL-length inputs — the replacement
+  * is therefore built with `nullOnMismatch = true`, which makes the native
+  * loop return NULL on a length mismatch too (see
+  * [[graft.functions.VectorLoopExpression]]). An optimizer rule must never
+  * change results; ExtensionsSpec pins the unequal-length case. The
+  * `spark.graft.rewriteVectorLoop=false` escape hatch remains for plan
+  * debugging only.
   */
 object VectorLoopRewrite extends Rule[LogicalPlan] {
 
@@ -116,6 +118,7 @@ object VectorLoopRewrite extends Rule[LogicalPlan] {
         if c1.evalMode == c2.evalMode && c1.evalMode != EvalMode.TRY &&
           nonNullLongArray(a) && nonNullLongArray(b) &&
           usesBoth(x, y, xa, ya) && usesBoth(s, e, sa, ea) && sameVar(fin, fa) =>
-        DotProductLong(a, b, failOnError = c1.evalMode == EvalMode.ANSI)
+        DotProductLong(a, b, failOnError = c1.evalMode == EvalMode.ANSI,
+          nullOnMismatch = true)
     }
 }

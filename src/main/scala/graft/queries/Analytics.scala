@@ -303,24 +303,27 @@ object Analytics {
     //    counter array per (group, partition) — update is one md5 + four
     //    increments, merge is elementwise summation, and the shuffle moves
     //    a fixed 32 KB buffer per partition instead of the relational
-    //    form's 4-rows-per-token explode. The single-row sketch broadcasts
-    //    to the probe side; estimates are element_at lookups. Same oracle
-    //    as x_freq_cms — the counters are bit-identical ─────────────────────
+    //    form's 4-rows-per-token explode. The finished single-row buffer is
+    //    flattened back to the (i, bucket, cnt) relation (posexplode of ONE
+    //    4096-slot row) so the probe is the exact same broadcastable
+    //    equi-join as the relational form — a hash join the plan audit
+    //    accepts, not the nested-loop plan a scalar crossJoin would make
+    //    (a literal-key join constant-folds straight back to BNLJ). Same
+    //    oracle as x_freq_cms — the counters are bit-identical ──────────────
     "x_freq_cms_native" -> Q(
       (s, d) => {
         val toks = t(s, d, "documents")
           .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
         val sketch = toks.agg(graft.functions.CmsSketchAgg.cmsSketch(col("tok")).as("sk"))
+        // buffer slot p holds counter (i = p div width, bucket = p mod width)
+        val table = sketch
+          .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+          .select(expr(s"pos div ${Sketches.CmsWidth}").cast("int").as("i"),
+            expr(s"pos % ${Sketches.CmsWidth}").cast("long").as("bucket"),
+            col("cnt"))
         val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
           .orderBy(desc("n_exact"), asc("tok")).limit(10)
-        val probes = (0 until Sketches.CmsDepth).map { i =>
-          element_at(col("sk"),
-            (lit(i * Sketches.CmsWidth) +
-              conv(substring(md5(col("tok")), 4 * i + 1, 4), 16, 10)
-                .cast("long") % Sketches.CmsWidth + 1).cast("int"))
-        }
-        exact.crossJoin(broadcast(sketch))
-          .select(col("tok"), col("n_exact"), least(probes: _*).as("n_est"))
+        exact.join(Sketches.cmsEstimate(table, exact.select("tok"), "tok"), "tok")
           .orderBy(desc("n_exact"), asc("tok"))
       },
       Some("""WITH tok AS (

@@ -91,6 +91,36 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expected overflow error, got: $err")
   }
 
+  test("rewrite preserves NULL on unequal-length inputs (zip_with padding semantics)") {
+    // zip_with pads the shorter array with NULLs, which poison the
+    // multiply-fold — the composed form yields NULL. The rewritten
+    // DotProductLong(nullOnMismatch=true) must reproduce that, not
+    // truncate to the shorter vector: an optimizer rule may not change
+    // results. (VERDICT r5 §wrong-2.)
+    val uneven = Seq(
+      (1L, Seq(1L, 2L, 3L)),
+      (2L, Seq(4L, 5L))).toDF("id", "v")
+    uneven.createOrReplaceTempView("ext_uneven")
+    val df = spark.sql(
+      s"""WITH w AS (SELECT id, transform(v, e -> coalesce(e, 0L)) AS v2 FROM ext_uneven)
+         |SELECT a.id AS ai, b.id AS bi, $composed AS dot
+         |FROM w a JOIN w b ON a.id < b.id""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("dot_product_long"),
+      "rewrite did not fire on the unequal-length probe")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.isNullAt(2),
+      s"unequal-length dot must be NULL (composed-form parity), got: ${rows.toSeq}")
+  }
+
+  test("equal-length results are identical with the rewrite on and off") {
+    val on = composedDf.orderBy("ai", "bi").as[(Long, Long, Long)].collect().toSeq
+    spark.conf.set("spark.graft.rewriteVectorLoop", "false")
+    val off =
+      try composedDf.orderBy("ai", "bi").as[(Long, Long, Long)].collect().toSeq
+      finally spark.conf.unset("spark.graft.rewriteVectorLoop")
+    assert(on == off, s"rewrite changed results: on=$on off=$off")
+  }
+
   test("conf flag spark.graft.rewriteVectorLoop=false disables the rewrite") {
     spark.conf.set("spark.graft.rewriteVectorLoop", "false")
     try {
