@@ -186,6 +186,36 @@ object Relational {
         |UNION ALL
         |SELECT event_id, epoch_us(ts), user_id, event_type, value, props FROM dedup""".stripMargin)),
 
+    // ── J1b: MERGE upsert on a COMPOSITE key — the reference rejects
+    //    multi-column primary keys for incremental sync (README.md:255-257);
+    //    the merge identity here is key-arity-agnostic, proven against the
+    //    oracle: anti join + last-writer dedup both partition on
+    //    (user_id, event_type), with event_id as the deterministic
+    //    tie-breaker for equal timestamps ──────────────────────────────────
+    "j1b_merge_composite" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val target = ev.where(col("event_id") % 10 < 8)
+        val changes = ev.where(col("event_id") % 10 >= 5)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") + 1)
+        Merge.merge(target, changes, Seq("user_id", "event_type"), "ts",
+          tieBreakers = Seq("event_id"))
+          .select(col("event_id"), usec(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some("""WITH target AS (SELECT * FROM events WHERE event_id % 10 < 8),
+        |changes AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+        |  event_type, value + 1 AS value, props FROM events WHERE event_id % 10 >= 5),
+        |dedup AS (SELECT event_id, ts, user_id, event_type, value, props FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |     ORDER BY ts DESC, event_id DESC) AS rn FROM changes) WHERE rn = 1)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM target t WHERE NOT EXISTS (SELECT 1 FROM dedup d
+        |  WHERE d.user_id = t.user_id AND d.event_type = t.event_type)
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type, value, props FROM dedup""".stripMargin)),
+
     // ── J2: ClickHouse-style delete+insert (unique change keys) ────────────
     "j2_delete_insert" -> Q(
       (s, d) => {

@@ -42,6 +42,13 @@ object StreamingSync {
     val n = spark.conf.get("graft.stream.statePartitions",
       math.max(4, spark.sessionState.conf.numShufflePartitions / 8).toString)
     val s = spark.newSession()
+    // newSession() does NOT inherit runtime confs set on the caller's
+    // session — forward the graft.stream.* knobs explicitly, or the
+    // documented per-session contract ("set graft.stream.watermark, call
+    // the query") silently reads nothing downstream
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("graft.stream.")) s.conf.set(k, v)
+    }
     s.conf.set("spark.sql.shuffle.partitions", n)
     s
   }
@@ -92,7 +99,12 @@ object StreamingSync {
           d.resolve("events.parquet"), eventsPath)
         d.toString
       }
-    val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
+    // multi-batch drains (eviction tests; backfills that shouldn't land as
+    // one giant micro-batch) cap files per trigger; AvailableNow honors it
+    val reader = spark.readStream.schema(batchSchema)
+    spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .foreach(reader.option("maxFilesPerTrigger", _))
+    val raw = reader.parquet(streamDir)
     val longNames = batchSchema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.LongType => f.name
     }.toSet

@@ -66,6 +66,42 @@ class SimilaritySpec extends AnyFunSuite {
       "identical vectors land in the same trained cell regardless of seed")
   }
 
+  test("IVF / LSH / multi-probe recall@3 vs brute-force ground truth " +
+    "holds the pinned floors at sf0.01") {
+    // The approximate family is correct vs its own definition by oracle;
+    // this pins the accuracy/cost trade against exhaustive search the way
+    // FuzzyJoinSpec pins blocking recall (VERDICT r5 next-7). Ground truth
+    // is the brute-force top-3 per query; recall@3 = |approx ∩ truth| / 3
+    // averaged over the 10 query vectors.
+    val sf = "/root/testdata/sf0.01"
+    val truth = SparkEntry.queries("x_ann_topk")(spark, sf)
+      .where(col("rank") <= 3).select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallAt3(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, sf)
+        .select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
+      per.sum / per.size
+    }
+    val ivf = recallAt3("x_ann_ivf")
+    val mp = recallAt3("x_ann_ivf_multiprobe")
+    val lsh = recallAt3("x_ann_lsh")
+    info(f"recall@3 — ivf=$ivf%.2f multiprobe=$mp%.2f lsh=$lsh%.2f")
+    // Measured at r6 on the sf0.01 corpus: ivf=0.03, multiprobe=0.30,
+    // lsh=0.17. The given `label` column is a CLASS label, not a geometric
+    // quantizer — single-probe recall through it is near zero, which is
+    // itself the documented lesson: probe selection must be
+    // distance-based (multi-probe, 10× recall at 2 probes) or the cells
+    // must be data-derived (sign-LSH, 5×). Floors pin those measured
+    // levels so a regression in the probe/bucket math is visible.
+    assert(mp >= ivf - 1e-9,
+      f"multi-probe ($mp%.2f) must not lose to single-probe IVF ($ivf%.2f)")
+    assert(mp >= 0.25, f"multi-probe recall@3 regressed: $mp%.2f")
+    assert(lsh >= 0.10, f"data-derived LSH-cell recall@3 regressed: $lsh%.2f")
+  }
+
   test("quantization is exact at 1e-6 resolution") {
     val q = Seq((1L, Array(0.123456f, -1.5f)))
       .toDF("id", "v")

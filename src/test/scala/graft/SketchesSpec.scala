@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Sketches
@@ -55,6 +56,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(agg.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
       agg.queryExecution.executedPlan.toString)
     assert(agg.head().getLong(0) == 2, "two distinct non-null values → 2 registers")
+  }
+
+  test("property: native HLL and CMS estimates are invariant under " +
+    "arbitrary partition splits (the merge law, ScalaCheck)") {
+    // merge(a, b) must commute with the single-buffer path for ANY way the
+    // input lands across partitions — the property a 1000-executor cluster
+    // depends on. Generator drives value multiset AND split count; the
+    // repartition(p) shuffle hands the aggregate p partial buffers to merge
+    // vs the repartition(1) single-pass buffer. (VERDICT r5 next-6.)
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 40L)) // dups + collisions
+      parts <- Gen.chooseNum(2, 17)
+    } yield (vals, parts)
+    val prop = Prop.forAll(gen) { case (vals, parts) =>
+      val df = vals.toDF("v")
+      def hll(p: Int): Seq[Any] = df.repartition(p)
+        .agg(graft.functions.HllRegisterAgg.hllSketch(col("v")).as("h"))
+        .select(col("h.n_reg"), col("h.sum_scaled"), col("h.hll_est"))
+        .head().toSeq
+      def cms(p: Int): Seq[Long] = df.repartition(p)
+        .agg(graft.functions.CmsSketchAgg.cmsSketch(col("v")).as("sk"))
+        .head().getSeq[Long](0)
+      hll(1) == hll(parts) && cms(1) == cms(parts)
+    }
+    // each case runs 4 Spark jobs — keep the sample bounded
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
   }
 
   test("HLL is insensitive to duplication — same estimate for 1x and 10x copies") {

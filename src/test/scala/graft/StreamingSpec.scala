@@ -51,6 +51,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 15)
   }
 
+  test("stream-stream range join: graft.stream.watermark drops late rows " +
+    "and evicts join state (negative path)") {
+    import spark.implicits._
+    // Two-batch drain over a synthetic events directory:
+    //   batch 1 — purchase@T0, matching click@T0-60s, and far-future
+    //             rows on BOTH sides at T0+2h that advance each side's
+    //             event-time watermark past T0+1h;
+    //   batch 2 — a LATE click@T0-30s that would match the purchase.
+    // Unbounded (no watermark): both clicks match → 2 pairs. With a
+    // 1-hour watermark the batch-2 click arrives below the watermark and
+    // the purchase's join state is already evicted → still 1 pair. The
+    // happy-path parity test can't see eviction because batch-parity runs
+    // set no watermark; this is the negative proof the state-boundedness
+    // contract (StreamingSync.streamStreamRangeJoin doc) actually engages.
+    val root = TestSpark.tmpDir("evict")
+    val dir = new java.io.File(s"$root/events.parquet")
+    dir.mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String)],
+                  name: String, mtime: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
+    }
+    val now = System.currentTimeMillis()
+    writeFile(Seq(
+      (1L, 10L, ts(0), "purchase"),
+      (1L, 11L, ts(-60), "click"),
+      (2L, 12L, ts(7200), "click"),
+      (3L, 13L, ts(7200), "purchase")), "b1", now - 120000)
+    writeFile(Seq((1L, 14L, ts(-30), "click")), "b2", now)
+
+    def run(watermark: Option[String]): Long = {
+      spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+      watermark.foreach(spark.conf.set("graft.stream.watermark", _))
+      try graft.streaming.StreamingSync
+        .streamStreamRangeJoin(spark, root, beforeUs = 600L * 1000000L)
+        .count()
+      finally {
+        spark.conf.unset("graft.stream.maxFilesPerTrigger")
+        watermark.foreach(_ => spark.conf.unset("graft.stream.watermark"))
+      }
+    }
+    assert(run(None) == 2L,
+      "unbounded state: the late click still matches (batch parity)")
+    assert(run(Some("1 hour")) == 1L,
+      "watermarked: the late click must be dropped / its partner evicted")
+  }
+
   test("mapGroupsWithState user rollup equals batch groupBy at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync.statefulUserRollup(spark, sf)
