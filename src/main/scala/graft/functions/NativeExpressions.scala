@@ -19,10 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * non-null-element long arrays (quantized vectors); length mismatch
   * truncates to the shorter input by default, or yields NULL when
   * `nullOnMismatch` is set — the latter reproduces the composed
-  * `aggregate(zip_with(...))` built-in form exactly (zip_with pads the
-  * shorter array with NULLs, which poison the fold), and is what
+  * `aggregate(zip_with(...))` built-in form (zip_with pads the shorter
+  * array with NULLs, which poison the fold), and is what
   * [[graft.plans.VectorLoopRewrite]] uses so the optimizer rule never
-  * changes results.
+  * changes results. Exactness on mismatched lengths includes the ANSI
+  * corner: the composed form evaluates the checked arithmetic over the
+  * overlapping prefix before the NULL padding nulls the fold, so an
+  * overflow there throws — this loop therefore folds the prefix FIRST and
+  * only then nulls out on mismatch (whether-it-throws is identical; only
+  * the reported op may differ, since the built-in materializes every
+  * product before any add while the loop interleaves them).
   *
   * `failOnError` mirrors the built-ins' overflow contract: when true
   * (ANSI sessions — the Spark 4 default) the loop uses
@@ -66,7 +72,6 @@ abstract class VectorLoopExpression extends BinaryExpression {
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (nullOnMismatch && a.numElements() != b.numElements()) return null
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0
@@ -75,7 +80,11 @@ abstract class VectorLoopExpression extends BinaryExpression {
     } else {
       while (i < n) { s = step(s, a.getLong(i), b.getLong(i)); i += 1 }
     }
-    s
+    // mismatch → NULL only AFTER the overlapping prefix has been folded:
+    // the composed form it reproduces evaluates the (checked, under ANSI)
+    // arithmetic over the prefix before the NULL padding poisons the fold,
+    // so an ANSI overflow there must still throw, not be short-circuited
+    if (nullOnMismatch && a.numElements() != b.numElements()) null else s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -98,13 +107,15 @@ abstract class VectorLoopExpression extends BinaryExpression {
            |${ev.value} = $s;
          """.stripMargin
       // ev.isNull is only assignable when the expression is nullable, which
-      // nullOnMismatch guarantees (see `nullable` above)
+      // nullOnMismatch guarantees (see `nullable` above). The loop runs
+      // BEFORE the mismatch guard for the same reason as in nullSafeEval:
+      // ANSI overflow on the overlapping prefix must throw exactly like
+      // the composed form it reproduces.
       if (nullOnMismatch) {
         s"""
+           |$loop
            |if ($a.numElements() != $b.numElements()) {
            |  ${ev.isNull} = true;
-           |} else {
-           |  $loop
            |}
          """.stripMargin
       } else loop

@@ -37,6 +37,20 @@ object Graphs {
     * `scale`-denominated fixed-point scale (initial mass = scale/n per
     * node; damping 0.85 as the exact integer expression
     * `(15*scale/100)/n + 85*incoming/100`).
+    *
+    * Execution contract: the distributed path checkpoints the converged
+    * ranks EAGERLY (checkpoint truncates the iterated lineage and lets
+    * the edge caches be released in-function), so the power iteration
+    * runs at call time, not at the caller's first action, and the
+    * returned plan is a checkpoint scan rather than the join/agg
+    * pipeline. Checkpoint files follow the [[Dedup.dedupClusters]]
+    * convention: one round of files under `graft.checkpointDir` (reliable
+    * mode) backs the returned DataFrame and is the caller's to remove
+    * after consuming it — there are no superseded intermediate rounds
+    * here, the single final checkpoint is the only on-disk state. With no
+    * `graft.checkpointDir`, `localCheckpoint` blocks are cleaned up by
+    * the executor lifecycle. Note `setCheckpointDir` applies
+    * session-wide.
     */
   def pageRankInt(edges: DataFrame, iters: Int = 5,
                   scale: Long = 1000000000L): DataFrame = {

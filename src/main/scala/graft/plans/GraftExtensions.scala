@@ -76,7 +76,9 @@ object GraftExtensions {
   * pads the shorter input with NULLs, which poison the multiply-fold, so
   * the composed form yields NULL on UNEQUAL-length inputs — the replacement
   * is therefore built with `nullOnMismatch = true`, which makes the native
-  * loop return NULL on a length mismatch too (see
+  * loop return NULL on a length mismatch too, and (the ANSI corner) folds
+  * the overlapping prefix BEFORE nulling out, so a checked-arithmetic
+  * overflow there throws exactly as the composed form would (see
   * [[graft.functions.VectorLoopExpression]]). An optimizer rule must never
   * change results; ExtensionsSpec pins the unequal-length case. The
   * `spark.graft.rewriteVectorLoop=false` escape hatch remains for plan

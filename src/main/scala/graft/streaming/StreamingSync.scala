@@ -364,12 +364,6 @@ object StreamingSync {
     runToChangelog(agg, base, "graft_stream_rollup_tws", Seq("user_id"))
   }
 
-  /** Streaming exact dedup: first-seen row per key, state = one entry per
-    * distinct key sharded across the state store. Append mode emits each
-    * key exactly once however the input is batched; the watermark would
-    * bound state for time-scoped keys (global keys here → NoTimeout
-    * semantics, like a dedup over a bounded backfill).
-    */
   /** Shared append-mode runner: drain `df` to a parquet sink with
     * AvailableNow and return the sink contents (empty-schema result when
     * the source produced no batches). The append-mode twin of
@@ -387,17 +381,50 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    _lastRunProgress = q.recentProgress
     if (!sinkExists(ss, sinkDir)) emptyLike(ss, df.schema)
     else ss.read.parquet(sinkDir)
   }
 
+  @volatile private var _lastRunProgress:
+      Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array.empty
+
+  /** Per-batch progress of the most recent append-sink or file-sync run.
+    * Observability hook for tests and operators: the state-boundedness
+    * contracts below are asserted against `stateOperators.numRowsRemoved`
+    * / `numRowsDroppedByWatermark` from here, since the
+    * DataFrame-returning API does not expose the query.
+    */
+  def lastRunProgress:
+      Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    _lastRunProgress
+
+  /** Streaming exact dedup. Batch-parity runs (no `graft.stream.watermark`)
+    * keep one state entry per distinct key forever — correct for an
+    * AvailableNow backfill over a bounded corpus, a state bomb on an
+    * unbounded stream. A continuous deployment sets the watermark conf and
+    * gets `dropDuplicatesWithinWatermark`: a key's state expires once the
+    * watermark passes its last-seen time plus the delay, so state is one
+    * entry per key ACTIVE within the horizon, not per key ever seen. The
+    * documented trade: a key re-arriving after its state expired re-emits
+    * (at-least-once dedup within the horizon), which is the only
+    * state-bounded contract possible on an unbounded key domain.
+    */
   def streamingDedup(spark: SparkSession, sfDir: String,
                      keyCols: Seq[String]): DataFrame = {
     val ss = streamSession(spark)
     val base = freshBase(ss, "dedup")
-    val distinctRows = eventsStream(ss, sfDir, base)
-      .select(keyCols.map(col): _*)
-      .dropDuplicates(keyCols)
+    val ev = eventsStream(ss, sfDir, base)
+    val distinctRows =
+      if (ss.conf.getOption("graft.stream.watermark").isDefined)
+        // ts rides along only to carry the watermark into the dedup
+        // operator; it is not a dedup key and is dropped from the output
+        withOptionalWatermark(ss, ev, "ts")
+          .select((keyCols.map(col) :+ col("ts")): _*)
+          .dropDuplicatesWithinWatermark(keyCols)
+          .select(keyCols.map(col): _*)
+      else
+        ev.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     runAppendSink(ss, distinctRows, base, "graft_stream_dedup")
   }
 
@@ -412,6 +439,20 @@ object StreamingSync {
     * `graft.stream.watermark` on both sides so join state is evicted once
     * the window can no longer match — the documented state-boundedness
     * contract for production stream-stream joins.
+    *
+    * Watermark timing contract (verified against Spark 4.1's
+    * `StreamingJoinHelper.getStateValueWatermark`, which derives state
+    * watermarks from this condition for every interval-literal encoding —
+    * legacy CalendarInterval and ANSI day-time alike): state EVICTION in
+    * micro-batch N uses the watermark computed from batch N-1's event
+    * times, while LATE-INPUT filtering uses the watermark that was in
+    * effect DURING batch N-1 (one batch older — the split that makes
+    * chained stateful operators consistent). A late row is therefore
+    * dropped only once the watermark advance is at least one batch old;
+    * a row arriving in the very batch where the watermark first jumped
+    * still joins whatever state survives that batch's processing. Sizing
+    * rule at 100 TB: state per side ≈ one window of rows per active key
+    * plus one micro-batch of slack, never the corpus.
     */
   def streamStreamRangeJoin(spark: SparkSession, sfDir: String,
                             beforeUs: Long): DataFrame = {
@@ -474,7 +515,12 @@ object StreamingSync {
   def incrementalFileSync(spark: SparkSession, srcDir: String,
                           sinkDir: String, checkpointDir: String): Long = {
     val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream.schema(schema).parquet(srcDir)
+    // same knob as eventsStream: a large backfill drains in bounded
+    // micro-batches instead of one giant one (AvailableNow honors it)
+    val reader = spark.readStream.schema(schema)
+    spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .foreach(reader.option("maxFilesPerTrigger", _))
+    val q = reader.parquet(srcDir)
       .writeStream
       .format("parquet")
       .option("path", sinkDir)
@@ -483,6 +529,7 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    _lastRunProgress = q.recentProgress
     q.recentProgress.map(_.numInputRows).sum
   }
 }

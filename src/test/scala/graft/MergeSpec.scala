@@ -121,6 +121,60 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("merge is order-invariant iff (lm, tieBreakers) totally orders each " +
+    "key's changes — ScalaCheck property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Property (VERDICT r6 next-7): shuffling the change-set's input order
+    // never changes merge output when the ordering columns form a total
+    // order per key. The generator draws same-key same-ver rows with
+    // DISTINCT payloads, so `ver` alone is ambiguous (row_number ties) but
+    // (ver, payload) is total — exactly the case tieBreakers exist for.
+    val gen = for {
+      nKeys <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(20, for {
+        id <- Gen.chooseNum(0L, nKeys.toLong)
+        ver <- Gen.chooseNum(1, 2) // few versions → frequent equal-lm ties
+      } yield (id, ver))
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (rows.zipWithIndex.map { case ((id, ver), k) =>
+      (id, ver, s"p$k") // payload unique per row → total tie-break order
+    }, seed)
+    val target = mkEvents(Seq((0L, 0, "t0"), (1L, 0, "t1"), (99L, 0, "t99")))
+    val prop = Prop.forAll(gen) { case (changes, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(changes)
+      val a = rows(Merge.merge(target, changes.toDF("id", "ver", "payload"),
+        Seq("id"), "ver", tieBreakers = Seq("payload")))
+      val b = rows(Merge.merge(target, shuffled.toDF("id", "ver", "payload"),
+        Seq("id"), "ver", tieBreakers = Seq("payload")))
+      a == b
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"order-invariance property failed: ${res.status}")
+
+    // ...and the negative: WITHOUT the tie-breaker, an equal-lm conflict is
+    // detectably order-dependent — two input orders of the same change set
+    // that merge to different payloads. Pinned deterministically (not
+    // property-tested: Spark's window sort may coincidentally agree for
+    // some orders; one witnessing pair is the proof the ambiguity exists).
+    // coalesce(1) pins partition-local row order to input order, so the
+    // stable window sort makes the order-dependence deterministic rather
+    // than a shuffle-fetch race
+    val amb = Seq((7L, 5, "first"), (7L, 5, "second"))
+    val fwd = Merge.merge(target,
+      amb.toDF("id", "ver", "payload").coalesce(1), Seq("id"), "ver")
+      .where(col("id") === 7L).select("payload").head().getString(0)
+    val rev = Merge.merge(target,
+      amb.reverse.toDF("id", "ver", "payload").coalesce(1), Seq("id"), "ver")
+      .where(col("id") === 7L).select("payload").head().getString(0)
+    assert(Set(fwd, rev).subsetOf(Set("first", "second")))
+    assert(fwd != rev,
+      "equal-lm without tieBreakers must be order-dependent (the ambiguity " +
+        "tieBreakers exist to remove); if this ever flips to stable, the " +
+        "dedup implementation changed and the tieBreakers contract should " +
+        "be re-examined")
+  }
+
   test("graft.sync.strictSinglePk restores the reference-parity rejection") {
     val engine = new SyncEngine(spark)
     val df = Seq((1L, "a", 1, "x")).toDF("id", "sub", "ver", "payload")

@@ -21,14 +21,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_rollup_tws", "stream_cdc_apply", "s2_csv_roundtrip",
       "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
-  // x_ann_kmeans / x_ann_ivf_multiprobe: k tiny centroid rows broadcast
-  // against every vector (assign/probe-selection step) — deliberate
-  // broadcast products over a handful of centroids, never corpus×corpus.
+  // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
+  // broadcast against every vector (assign/probe-selection step) —
+  // deliberate broadcast products over a handful of centroids, never
+  // corpus×corpus (the probe→corpus scoring join itself is an equi-join).
   // x_vec_sql_native: 5×20-row SQL-surface demo of the injected function +
   // rewrite rule; its range-predicate join is the demo's point, not a
   // corpus-scale shape (the scale paths are the x_ann_* queries)
   private val allowCross = Set("x_ann_topk", "x_ann_kmeans_assign",
-    "x_ann_kmeans", "x_ann_ivf_multiprobe", "x_vec_sql_native")
+    "x_ann_kmeans", "x_ann_ivf", "x_ann_ivf_multiprobe", "x_vec_sql_native")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

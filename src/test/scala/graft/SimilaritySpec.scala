@@ -89,15 +89,20 @@ class SimilaritySpec extends AnyFunSuite {
     val mp = recallAt3("x_ann_ivf_multiprobe")
     val lsh = recallAt3("x_ann_lsh")
     info(f"recall@3 — ivf=$ivf%.2f multiprobe=$mp%.2f lsh=$lsh%.2f")
-    // Measured at r6 on the sf0.01 corpus: ivf=0.03, multiprobe=0.30,
-    // lsh=0.17. The given `label` column is a CLASS label, not a geometric
-    // quantizer — single-probe recall through it is near zero, which is
-    // itself the documented lesson: probe selection must be
-    // distance-based (multi-probe, 10× recall at 2 probes) or the cells
-    // must be data-derived (sign-LSH, 5×). Floors pin those measured
-    // levels so a regression in the probe/bucket math is visible.
-    assert(mp >= ivf - 1e-9,
-      f"multi-probe ($mp%.2f) must not lose to single-probe IVF ($ivf%.2f)")
+    // r7: x_ann_ivf is now the DEFAULT path — data-derived 16-cell
+    // sign-LSH quantizer + 4-probe — measured 0.67 at sf0.01. Context for
+    // the floors: this corpus's embeddings are ISOTROPIC (mean pairwise
+    // cosine ≈ 0.000, intra-label cosine 0.0016 ≈ inter-label 0.0003, and
+    // only 3% of true top-3 neighbors share the query's label), so
+    // recall@3 is structurally proportional to the corpus fraction probed
+    // for ANY quantizer — 0.67 while probing 4/16 cells is the measured
+    // recall-per-candidate optimum across the label/LSH/k-means × probes
+    // grid. The two low-recall variants stay deliberately: multiprobe
+    // (class-label cells, 2 probes, 0.30) shows distance-based probing
+    // rescuing a geometry-free partition, and lsh (single probe, 0.17)
+    // shows why one probe is never enough. Floors pin measured levels so
+    // a regression in the probe/bucket math is visible.
+    assert(ivf >= 0.60, f"default ANN path recall@3 must stay >= 0.6: $ivf%.2f")
     assert(mp >= 0.25, f"multi-probe recall@3 regressed: $mp%.2f")
     assert(lsh >= 0.10, f"data-derived LSH-cell recall@3 regressed: $lsh%.2f")
   }

@@ -43,28 +43,45 @@ class StreamingSpec extends AnyFunSuite {
     // no new files → nothing moves (the zero-delta short-circuit)
     assert(graft.streaming.StreamingSync
       .incrementalFileSync(spark, src, sink, ckpt) == 0)
-    // two new source files → only the delta appends
+    // two new source files → only the delta appends; with the batching
+    // knob set, the backfill drains in bounded micro-batches (one file
+    // per trigger) instead of one giant batch
     (11 to 15).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-      .write.mode("append").parquet(src)
-    assert(graft.streaming.StreamingSync
-      .incrementalFileSync(spark, src, sink, ckpt) == 5)
-    assert(spark.read.parquet(sink).count() == 15)
+      .coalesce(1).write.mode("append").parquet(src)
+    (16 to 18).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try assert(graft.streaming.StreamingSync
+      .incrementalFileSync(spark, src, sink, ckpt) == 8)
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    assert(graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0) >= 2,
+      "maxFilesPerTrigger=1 must split the two new files into >=2 batches")
+    assert(spark.read.parquet(sink).count() == 18)
   }
 
   test("stream-stream range join: graft.stream.watermark drops late rows " +
     "and evicts join state (negative path)") {
     import spark.implicits._
-    // Two-batch drain over a synthetic events directory:
-    //   batch 1 — purchase@T0, matching click@T0-60s, and far-future
+    // Three-batch drain over a synthetic events directory:
+    //   batch 0 — purchase@T0, matching click@T0-60s, and far-future
     //             rows on BOTH sides at T0+2h that advance each side's
     //             event-time watermark past T0+1h;
+    //   batch 1 — a neutral far-future click (the watermark, first
+    //             computed AFTER batch 0, is now in effect AND one batch
+    //             old — eviction runs here with wm=T0+1h);
     //   batch 2 — a LATE click@T0-30s that would match the purchase.
     // Unbounded (no watermark): both clicks match → 2 pairs. With a
-    // 1-hour watermark the batch-2 click arrives below the watermark and
-    // the purchase's join state is already evicted → still 1 pair. The
-    // happy-path parity test can't see eviction because batch-parity runs
-    // set no watermark; this is the negative proof the state-boundedness
-    // contract (StreamingSync.streamStreamRangeJoin doc) actually engages.
+    // 1-hour watermark the batch-2 click is below the late-input
+    // watermark (= the watermark in effect during batch 1) AND the
+    // purchase's join state was evicted at the end of batch 1 → 1 pair.
+    // Three batches, not two, because late-input filtering uses the
+    // PREVIOUS batch's watermark while eviction uses the current one
+    // (see streamStreamRangeJoin doc): a late row landing in the very
+    // batch where the watermark first jumps still joins — that is the
+    // documented contract, not a bug. The happy-path parity test can't
+    // see eviction because batch-parity runs set no watermark; this is
+    // the negative proof the state-boundedness contract engages.
     val root = TestSpark.tmpDir("evict")
     val dir = new java.io.File(s"$root/events.parquet")
     dir.mkdirs()
@@ -79,6 +96,9 @@ class StreamingSpec extends AnyFunSuite {
         .filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(dir, s"$name.parquet")
       java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // 120s+ gaps between files tolerate filesystems that clamp mtime
+      // granularity; a filesystem that IGNORES the update fails the assert
+      // rather than silently collapsing the batches
       assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
     }
     val now = System.currentTimeMillis()
@@ -86,8 +106,9 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 10L, ts(0), "purchase"),
       (1L, 11L, ts(-60), "click"),
       (2L, 12L, ts(7200), "click"),
-      (3L, 13L, ts(7200), "purchase")), "b1", now - 120000)
-    writeFile(Seq((1L, 14L, ts(-30), "click")), "b2", now)
+      (3L, 13L, ts(7200), "purchase")), "b1", now - 240000)
+    writeFile(Seq((2L, 15L, ts(7260), "click")), "b2", now - 120000)
+    writeFile(Seq((1L, 14L, ts(-30), "click")), "b3", now)
 
     def run(watermark: Option[String]): Long = {
       spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
@@ -104,6 +125,73 @@ class StreamingSpec extends AnyFunSuite {
       "unbounded state: the late click still matches (batch parity)")
     assert(run(Some("1 hour")) == 1L,
       "watermarked: the late click must be dropped / its partner evicted")
+    // the eviction metric proves the state watermark predicates engaged:
+    // join state (the T0-window purchase + click) was physically removed,
+    // not merely unmatched
+    val removed = graft.streaming.StreamingSync.lastRunProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed > 0,
+      s"state watermark must physically evict join state (removed=$removed)")
+  }
+
+  test("streaming dedup: graft.stream.watermark bounds state — expired " +
+    "keys re-emit, live keys still dedup (negative path)") {
+    import spark.implicits._
+    // Three-batch drain, same timing discipline as the join eviction test:
+    //   batch 0 — key 1 @T0 and key 99 @T0+3h (advances the watermark,
+    //             delay 1h, to T0+2h — past key 1's T0+1h state expiry);
+    //   batch 1 — neutral key 98 @T0+3h+60s (the T0+2h watermark is now
+    //             in effect: key 1's dedup state is evicted here);
+    //   batch 2 — key 1 re-arrives @T0+3h, after its state horizon.
+    // Unbounded (plain dropDuplicates): key 1 emits once → 3 rows. With
+    // the watermark (dropDuplicatesWithinWatermark): the re-arrival finds
+    // no state and re-emits → 4 rows, and the progress metrics must show
+    // state physically removed — the state-boundedness contract for a
+    // continuous deployment (streamingDedup doc).
+    val root = TestSpark.tmpDir("dedupevict")
+    val dir = new java.io.File(s"$root/events.parquet")
+    dir.mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String)],
+                  name: String, mtime: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // 120s+ gaps between files tolerate filesystems that clamp mtime
+      // granularity; a filesystem that IGNORES the update fails the assert
+      // rather than silently collapsing the batches
+      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
+    }
+    val now = System.currentTimeMillis()
+    writeFile(Seq(
+      (1L, 10L, ts(0), "click"),
+      (99L, 11L, ts(10800), "click")), "b1", now - 240000)
+    writeFile(Seq((98L, 12L, ts(10860), "click")), "b2", now - 120000)
+    writeFile(Seq((1L, 13L, ts(10800), "click")), "b3", now)
+
+    def run(watermark: Option[String]): Long = {
+      spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+      watermark.foreach(spark.conf.set("graft.stream.watermark", _))
+      try graft.streaming.StreamingSync
+        .streamingDedup(spark, root, Seq("user_id")).count()
+      finally {
+        spark.conf.unset("graft.stream.maxFilesPerTrigger")
+        watermark.foreach(_ => spark.conf.unset("graft.stream.watermark"))
+      }
+    }
+    assert(run(None) == 3L,
+      "unbounded state: the re-arriving key still dedups (batch parity)")
+    assert(run(Some("1 hour")) == 4L,
+      "watermarked: the key past its horizon must re-emit")
+    val removed = graft.streaming.StreamingSync.lastRunProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed > 0,
+      s"watermark must physically evict dedup state (removed=$removed)")
   }
 
   test("mapGroupsWithState user rollup equals batch groupBy at sf0.001") {

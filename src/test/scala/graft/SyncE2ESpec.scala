@@ -161,6 +161,49 @@ class SyncE2ESpec extends AnyFunSuite {
       .count() == 1, "new row findable by predicate")
   }
 
+  test("t12 composite-key sync through the CLI path: two-column PK upsert " +
+    "keeps parity across an incremental run") {
+    // The reference REJECTS composite keys (README.md:255-257 documents
+    // single-column PKs only); "a,b" in primary_key is this engine's
+    // documented upgrade (Warehouse.pks). MergeSpec proves the merge
+    // identity; this drives it through the same config→strategy→sync spine
+    // as t6/t7.
+    def lines(rows: Seq[(Long, Int, Double, String)]): DataFrame =
+      rows.toDF("order_id", "line_no", "amount", "updated_raw")
+        .select(col("order_id"), col("line_no"), col("amount"),
+          col("updated_raw").cast("timestamp").as("updated_at"))
+    val base = for (o <- 1L to 10L; l <- 1 to 3) yield
+      (o, l, o * 10.0 + l, s"2022-11-0${1 + (o + l) % 9} 08:00:00")
+    writeSource("order_lines", lines(base))
+    val w = new Warehouse(spark, cfg().copy(tables =
+      scala.collection.immutable.ListMap(
+        "order_lines" -> TableOpts(primaryKey = Some("order_id,line_no"),
+          lastModified = Some("updated_at")))))
+    w.sync("order_lines")
+    assert(w.warehouseTable("order_lines").get.count() == 30)
+    // incremental: update one line of order 4, add a 4th line to order 7,
+    // add a whole new order 11 — same shape as the reference's t7 scenario
+    // but resolvable only on the FULL composite key (order 4 keeps lines
+    // 1 and 3 untouched)
+    val changed = base.map {
+      case (4L, 2, _, _) => (4L, 2, 9999.9, "2022-12-25 10:00:00")
+      case other => other
+    } ++ Seq((7L, 4, 77.7, "2022-12-26 09:00:00"),
+      (11L, 1, 111.1, "2022-12-26 09:00:00"))
+    writeSource("order_lines", lines(changed))
+    w.sync("order_lines")
+    val sink = w.warehouseTable("order_lines").get
+    assert(sink.count() == 32, "30 + new line + new order")
+    val keys = sink.select("order_id", "line_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(keys.length == keys.distinct.length, "one row per composite key")
+    assert(sink.where(col("order_id") === 4L && col("line_no") === 2 &&
+      col("amount") === 9999.9).count() == 1, "the updated line won")
+    assert(sink.where(col("order_id") === 4L).count() == 3,
+      "order 4's other lines survive — resolution is on the full key")
+    assert(sink.where(col("order_id") === 11L).count() == 1)
+  }
+
   test("t8 max_records caps the extract path") {
     setupSources()
     val (_, records) = wh(maxRecords = Some(7L)).extract("users10")
