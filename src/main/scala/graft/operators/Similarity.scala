@@ -207,7 +207,10 @@ object Similarity {
           .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
           .select(col("id"), col("vq"), col("ccell").as("cell"), col("dist_q"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      assigned.count()
+      // materialize the cache without an aggregation pass (VERDICT r6
+      // minor-3: count() paid a full agg job per round purely for cache
+      // lifetime management)
+      assigned.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
       if (prevRound != null) CacheRegistry.release(prevRound)
       prevRound = assigned
     }

@@ -112,6 +112,38 @@ class ExtensionsSpec extends AnyFunSuite {
       s"unequal-length dot must be NULL (composed-form parity), got: ${rows.toSeq}")
   }
 
+  test("unequal-length inputs still throw on ANSI overflow in the " +
+    "overlapping prefix (composed-form parity, the ADVICE r6 corner)") {
+    // The composed form materializes zip_with's checked multiplies over
+    // the overlapping prefix BEFORE the NULL padding poisons the fold, so
+    // an overflow there throws even though the final result would be
+    // NULL. The native loop must not short-circuit past it: it folds the
+    // prefix first and nulls out after (VectorLoopExpression doc).
+    import org.apache.spark.sql.graft.ColumnBridge
+    val uneven = Seq(
+      (1L, Seq(Long.MaxValue, 2L)),
+      (2L, Seq(3L, 4L, 5L))).toDF("id", "v")
+    def dotAnsi(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.DotProductLong(
+        ColumnBridge.expression(a), ColumnBridge.expression(b),
+        failOnError = true, nullOnMismatch = true))
+    val joined = uneven.as("a").join(uneven.as("b"),
+      col("a.id") < col("b.id"))
+    val ex = intercept[Exception] {
+      joined.select(dotAnsi(col("a.v"), col("b.v"))).collect()
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: rootCauses(e.getCause))
+    assert(rootCauses(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"prefix overflow must throw ArithmeticException, got: $ex")
+    // ...and with a non-overflowing prefix the same shape is NULL
+    val ok = Seq((1L, Seq(1L, 2L)), (2L, Seq(3L, 4L, 5L))).toDF("id", "v")
+    val rows = ok.as("a").join(ok.as("b"), col("a.id") < col("b.id"))
+      .select(dotAnsi(col("a.v"), col("b.v"))).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0),
+      "mismatch without prefix overflow is NULL")
+  }
+
   test("equal-length results are identical with the rewrite on and off") {
     val on = composedDf.orderBy("ai", "bi").as[(Long, Long, Long)].collect().toSeq
     spark.conf.set("spark.graft.rewriteVectorLoop", "false")
