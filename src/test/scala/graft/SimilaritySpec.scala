@@ -86,9 +86,11 @@ class SimilaritySpec extends AnyFunSuite {
       per.sum / per.size
     }
     val ivf = recallAt3("x_ann_ivf")
+    val trained = recallAt3("x_ann_ivf_trained")
     val mp = recallAt3("x_ann_ivf_multiprobe")
     val lsh = recallAt3("x_ann_lsh")
-    info(f"recall@3 — ivf=$ivf%.2f multiprobe=$mp%.2f lsh=$lsh%.2f")
+    info(f"recall@3 — ivf=$ivf%.2f trained=$trained%.2f " +
+      f"multiprobe=$mp%.2f lsh=$lsh%.2f")
     // r7: x_ann_ivf is now the DEFAULT path — data-derived 16-cell
     // sign-LSH quantizer + 4-probe — measured 0.67 at sf0.01. Context for
     // the floors: this corpus's embeddings are ISOTROPIC (mean pairwise
@@ -103,6 +105,8 @@ class SimilaritySpec extends AnyFunSuite {
     // shows why one probe is never enough. Floors pin measured levels so
     // a regression in the probe/bucket math is visible.
     assert(ivf >= 0.60, f"default ANN path recall@3 must stay >= 0.6: $ivf%.2f")
+    assert(trained >= 0.55,
+      f"trained-quantizer multi-probe recall@3 regressed: $trained%.2f")
     assert(mp >= 0.25, f"multi-probe recall@3 regressed: $mp%.2f")
     assert(lsh >= 0.10, f"data-derived LSH-cell recall@3 regressed: $lsh%.2f")
   }
