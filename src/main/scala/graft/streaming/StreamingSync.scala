@@ -185,12 +185,22 @@ object StreamingSync {
   /** Session-window aggregation: Spark's merging `session_window` groups
     * events per user into gap-separated sessions (start = first event,
     * end = last event + gap) with counts and exact cents — the streaming
-    * twin of the batch gaps-and-islands query (`w3_sessionize`). Session
-    * aggregations only support complete output mode without a watermark,
-    * so the changelog keeps the final batch's full re-emission (state
-    * grows with session count — a continuous deployment sets
-    * `graft.stream.watermark` to evict closed sessions and switch the
-    * cost model; batch-parity backfills drain in one AvailableNow pass).
+    * twin of the batch gaps-and-islands query (`w3_sessionize`).
+    *
+    * Two cost models, switched by `graft.stream.watermark` like the dedup
+    * and join operators: batch-parity runs (no watermark) use complete
+    * output mode — session aggregations without a watermark support
+    * nothing else — and keep the final batch's full re-emission (state
+    * grows with session count, fine for a bounded backfill). A continuous
+    * deployment sets the watermark and gets APPEND mode: a session is
+    * emitted exactly once, when the watermark passes its end and it can
+    * no longer merge, and its state is evicted — state holds only OPEN
+    * sessions. The trade (StreamingSpec pins it): sessions still open
+    * when an AvailableNow drain ends are not emitted — correct for a
+    * continuous stream (they'd emit on closing), incomplete for a
+    * batch-parity read, which is why parity mode is the no-watermark
+    * default. Same eviction-timing contract as [[streamStreamRangeJoin]]:
+    * the watermark advance must be one batch old before it finalizes.
     */
   def sessionizedCounts(spark: SparkSession, sfDir: String,
                         gapMinutes: Int = 30): DataFrame = {
@@ -205,7 +215,9 @@ object StreamingSync {
         unix_micros(col("session_window.start")).as("sess_start_us"),
         unix_micros(col("session_window.end")).as("sess_end_us"),
         col("n_events"), col("cents"))
-    runToChangelog(agg, base, "graft_stream_sessionize",
+    if (ss.conf.getOption("graft.stream.watermark").isDefined)
+      runAppendSink(ss, agg, base, "graft_stream_sessionize")
+    else runToChangelog(agg, base, "graft_stream_sessionize",
       Seq("user_id", "sess_start_us"), outputMode = "complete")
   }
 

@@ -194,6 +194,73 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark must physically evict dedup state (removed=$removed)")
   }
 
+  test("sessionize: graft.stream.watermark switches to append mode — " +
+    "closed sessions emit once and evict, open sessions stay in state " +
+    "(negative path)") {
+    import spark.implicits._
+    // Three-batch drain, same timing discipline as the other eviction
+    // tests:
+    //   batch 0 — user 1 events @T0 and @T0+10m (one merged session,
+    //             end T0+40m with the 30m gap) and user 99 @T0+3h
+    //             (advances the 1h watermark to T0+2h);
+    //   batch 1 — user 98 @T0+3h+2m (the T0+2h watermark is now in
+    //             effect AND one batch old: user 1's session end is
+    //             behind it → finalized, emitted, state evicted);
+    //   batch 2 — user 97 @T0+3h+4m (keeps the far sessions open).
+    // Without a watermark (complete mode): all four users' sessions
+    // appear. With it (append mode): ONLY user 1's closed session is
+    // emitted — the far-future sessions are still open when the
+    // AvailableNow drain ends, the documented trade of the continuous
+    // cost model (sessionizedCounts doc) — and the eviction metric shows
+    // session state physically removed.
+    val root = TestSpark.tmpDir("sessevict")
+    val dir = new java.io.File(s"$root/events.parquet")
+    dir.mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)],
+                  name: String, mtime: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
+    }
+    val now = System.currentTimeMillis()
+    writeFile(Seq(
+      (1L, 10L, ts(0), "click", 1.0),
+      (1L, 11L, ts(600), "click", 2.0),
+      (99L, 12L, ts(10800), "click", 3.0)), "b1", now - 240000)
+    writeFile(Seq((98L, 13L, ts(10920), "click", 4.0)), "b2", now - 120000)
+    writeFile(Seq((97L, 14L, ts(11040), "click", 5.0)), "b3", now)
+
+    def run(watermark: Option[String]) = {
+      spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+      watermark.foreach(spark.conf.set("graft.stream.watermark", _))
+      try graft.streaming.StreamingSync
+        .sessionizedCounts(spark, root, gapMinutes = 30).collect()
+      finally {
+        spark.conf.unset("graft.stream.maxFilesPerTrigger")
+        watermark.foreach(_ => spark.conf.unset("graft.stream.watermark"))
+      }
+    }
+    assert(run(None).map(_.getLong(0)).toSet == Set(1L, 99L, 98L, 97L),
+      "batch parity (complete mode): every user's session appears")
+    val wm = run(Some("1 hour"))
+    assert(wm.map(_.getLong(0)).toSet == Set(1L),
+      "append mode: only the closed session emits; open sessions stay " +
+        s"in state (got ${wm.map(_.getLong(0)).mkString(",")})")
+    val sess = wm.head
+    assert(sess.getLong(3) == 2L, "both events merged into one session")
+    val removed = graft.streaming.StreamingSync.lastRunProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed > 0,
+      s"closing a session must evict its state (removed=$removed)")
+  }
+
   test("mapGroupsWithState user rollup equals batch groupBy at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync.statefulUserRollup(spark, sf)
