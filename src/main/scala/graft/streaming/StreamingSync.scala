@@ -148,6 +148,7 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    _lastRunProgress = q.recentProgress
     if (!sinkExists(spark, sinkDir)) emptyLike(spark, agg.schema)
     else if (outputMode == "complete") {
       // complete re-emits the WHOLE state per batch, so only the final

@@ -194,6 +194,64 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark must physically evict dedup state (removed=$removed)")
   }
 
+  test("windowed agg: graft.stream.watermark evicts closed windows and " +
+    "drops late rows in update mode (negative path)") {
+    import spark.implicits._
+    // Three-batch drain: b1 puts two rows in window W0 = [T0, T0+5m) and
+    // a far-future row that advances the 1h watermark to T0+2h; b2 is a
+    // neutral far-future row (the advance becomes one batch old and W0's
+    // state is evicted); b3 is a LATE row in W0. Without a watermark the
+    // late row updates W0 to n=3; with it the row is dropped by the
+    // late-input filter (numRowsDroppedByWatermark) and W0 — already
+    // emitted and evicted — stays n=2.
+    val root = TestSpark.tmpDir("winevict")
+    val dir = new java.io.File(s"$root/events.parquet")
+    dir.mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)],
+                  name: String, mtime: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
+    }
+    val now = System.currentTimeMillis()
+    writeFile(Seq(
+      (1L, 10L, ts(0), "click", 1.0),
+      (2L, 11L, ts(60), "click", 2.0),
+      (99L, 12L, ts(10800), "click", 3.0)), "b1", now - 240000)
+    writeFile(Seq((98L, 13L, ts(10860), "click", 4.0)), "b2", now - 120000)
+    writeFile(Seq((3L, 14L, ts(120), "click", 5.0)), "b3", now)
+
+    def run(watermark: Option[String]): Map[Long, Long] = {
+      spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+      watermark.foreach(spark.conf.set("graft.stream.watermark", _))
+      try graft.streaming.StreamingSync
+        .windowedEventCounts(spark, root, windowMinutes = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      finally {
+        spark.conf.unset("graft.stream.maxFilesPerTrigger")
+        watermark.foreach(_ => spark.conf.unset("graft.stream.watermark"))
+      }
+    }
+    val w0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime * 1000
+    assert(run(None)(w0) == 3L,
+      "unbounded: the late row still lands in its window (batch parity)")
+    assert(run(Some("1 hour"))(w0) == 2L,
+      "watermarked: the late row must not reopen the closed window")
+    val prog = graft.streaming.StreamingSync.lastRunProgress
+      .flatMap(_.stateOperators)
+    assert(prog.map(_.numRowsRemoved).sum > 0,
+      "closed windows must be physically evicted")
+    assert(prog.map(_.numRowsDroppedByWatermark).sum > 0,
+      "the late row must be counted as dropped by the watermark")
+  }
+
   test("sessionize: graft.stream.watermark switches to append mode — " +
     "closed sessions emit once and evict, open sessions stay in state " +
     "(negative path)") {
