@@ -170,6 +170,118 @@ object Pipeline {
     s"""WITH ${kmeansCtesSql(iters)}
        |SELECT id, cell, dist_q FROM a$iters""".stripMargin
 
+  /** BPE training loop: 3 adaptive merge rounds (see the `x_bpe_merges`
+    * entry for the algorithm contract). Size-gated like
+    * [[graft.operators.Graphs.pageRankInt]]: when the documents table is
+    * below `graft.bpe.driverMaxBytes` of PARQUET (default 64 MB ≈ a few
+    * hundred MB of text — filesystem METADATA, so the gate costs no data
+    * pass) the tokenized corpus is collected once and the identical
+    * count→top-pair→rewrite recurrence runs as one driver loop — at this
+    * corpus size each distributed round is pure stage-scheduling overhead
+    * (measured 7.4s → 3s at sf0.1's 270k tokens, the remainder being the
+    * tokenize+collect pass any path pays). The distributed loop above the
+    * gate is byte-identical in outcome (TextAnalysisSpec proves equality
+    * on a forced-distributed run) and is the only option for a real
+    * tokenizer-training corpus. Tie-breaks compare UTF-8 bytes (what
+    * Spark's string ordering and DuckDB's collation both use), not
+    * Java's UTF-16 `compareTo`, which diverges above the BMP.
+    */
+  private[graft] def bpeMergeRounds(s: SparkSession, d: String): DataFrame = {
+    val tokenized = t(s, d, "documents")
+      .select(concat(lit(" "),
+        concat_ws(" ", TextAnalysis.tokens(col("text"))), lit(" ")).as("s"))
+    val driverMaxBytes = s.conf.getOption("graft.bpe.driverMaxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val tableBytes = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(path).getLength
+    val merges =
+      if (tableBytes <= driverMaxBytes) driverBpeRounds(s, tokenized, rounds = 3)
+      else distributedBpeRounds(tokenized, rounds = 3)
+    s.createDataFrame(merges).toDF("round", "pair", "n")
+  }
+
+  /** UTF-8 byte-order comparison — Spark's BinaryType/StringType sort
+    * order and DuckDB's default collation, NOT Java's UTF-16 compareTo. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver recurrence: same count → (n DESC, pair ASC) top-pair →
+    * non-overlapping left-to-right replace as the distributed loop (and
+    * the DuckDB oracle — Java `String.replace` scans identically). */
+  private def driverBpeRounds(s: SparkSession, tokenized: DataFrame,
+                              rounds: Int): Seq[(Long, String, Long)] = {
+    import s.implicits._
+    var cur = tokenized.as[String].collect()
+    (1L to rounds.toLong).map { r =>
+      val counts = new java.util.HashMap[String, Long]()
+      cur.foreach { doc =>
+        val l = doc.trim.split(" ")
+        var i = 0
+        while (i < l.length - 1) {
+          counts.merge(l(i) + " " + l(i + 1), 1L, _ + _)
+          i += 1
+        }
+      }
+      var bestPair: String = null
+      var bestN = 0L
+      counts.forEach { (p, n) =>
+        if (n > bestN || (n == bestN && (bestPair == null || utf8Lt(p, bestPair)))) {
+          bestPair = p; bestN = n
+        }
+      }
+      cur = cur.map(_.replace(" " + bestPair + " ",
+        " " + bestPair.replace(' ', '¦') + " "))
+      (r, bestPair, bestN)
+    }
+  }
+
+  /** The distributed recurrence for corpora above the gate: pairs counted
+    * as (t1, t2) structs (two references into the split array, no
+    * per-occurrence concat), display string built per DISTINCT pair after
+    * aggregation where the tie-break needs it; each round's rewritten
+    * corpus is persisted and superseded rounds released. */
+  private def distributedBpeRounds(tokenized: DataFrame,
+                                   rounds: Int): Seq[(Long, String, Long)] = {
+    var cur = tokenized
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val roundCaches = scala.collection.mutable.Buffer(cur)
+    val merges = (1L to rounds.toLong).map { r =>
+      val top = cur
+        .select(split(trim(col("s")), " ").as("l"))
+        .select(explode(when(size(col("l")) >= 2,
+          transform(sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("t1"),
+              element_at(col("l"), i + 1).as("t2"))))
+          .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat_ws(" ", col("t1"), col("t2")).as("pair"), col("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1).head()
+      val (pair, n) = (top.getString(0), top.getLong(1))
+      cur = cur.select(org.apache.spark.sql.functions.replace(col("s"),
+        lit(" " + pair + " "),
+        lit(" " + pair.replace(' ', '¦') + " ")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      roundCaches += cur
+      (r, pair, n)
+    }
+    // every action already ran (one driver scalar per round) — the round
+    // corpora are dead weight by the time the result returns
+    roundCaches.foreach(_.unpersist())
+    merges
+  }
+
   // simhash oracle fragments (mirror Dedup.simhash32)
   private val simSumsSql = (0 until 32).map(i =>
     s"CAST(sum(ascii(substr(h,${i + 1},1)) % 2) AS BIGINT) AS s$i").mkString(", ")
@@ -788,34 +900,7 @@ object Pipeline {
     //    3-round loop. The iterative-training norm: cache the working set,
     //    release it when the loop ends ──────────────────────────────────────
     "x_bpe_merges" -> Q(
-      (s, d) => {
-        var cur = t(s, d, "documents")
-          .select(concat(lit(" "),
-            concat_ws(" ", TextAnalysis.tokens(col("text"))), lit(" ")).as("s"))
-        val roundCaches = scala.collection.mutable.Buffer.empty[DataFrame]
-        val merges = (1 to 3).map { r =>
-          val top = cur
-            .select(split(trim(col("s")), " ").as("l"))
-            .select(explode(when(size(col("l")) >= 2,
-              transform(sequence(lit(1), size(col("l")) - 1),
-                i => concat_ws(" ", element_at(col("l"), i),
-                  element_at(col("l"), i + 1))))
-              .otherwise(array().cast("array<string>"))).as("pair"))
-            .groupBy("pair").agg(count(lit(1)).as("n"))
-            .orderBy(desc("n"), asc("pair")).limit(1).head()
-          val (pair, n) = (top.getString(0), top.getLong(1))
-          cur = cur.select(org.apache.spark.sql.functions.replace(col("s"),
-            lit(" " + pair + " "),
-            lit(" " + pair.replace(' ', '¦') + " ")).as("s"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          roundCaches += cur
-          (r.toLong, pair, n)
-        }
-        // every action already ran (one driver scalar per round) — the
-        // round corpora are dead weight by the time the result returns
-        roundCaches.foreach(_.unpersist())
-        s.createDataFrame(merges).toDF("round", "pair", "n")
-      },
+      (s, d) => bpeMergeRounds(s, d),
       Some("""WITH tk0 AS (
         |  SELECT ' ' || array_to_string(string_split_regex(lower(text), '\s+'), ' ') || ' ' AS s
         |  FROM documents

@@ -54,6 +54,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("BPE merge rounds: driver fast path equals the forced-distributed " +
+    "loop (the pageRankInt equality pattern)") {
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, String, Long)] =
+      graft.queries.Pipeline.bpeMergeRounds(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val driver = run() // default gate (64 MB of parquet) → driver loop
+    spark.conf.set("graft.bpe.driverMaxBytes", "0")
+    val distributed = try run() finally
+      spark.conf.unset("graft.bpe.driverMaxBytes")
+    assert(driver == distributed,
+      s"driver/distributed BPE recurrences diverged:\n$driver\n$distributed")
+    assert(driver.map(_._1) == Seq(1L, 2L, 3L), "three rounds, in order")
+    assert(driver.forall(_._3 > 0), "every merge has a positive count")
+  }
+
   test("multimodal metadata + stub decode are deterministic functions of bytes") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "different")).toDF("doc_id", "text")
     val meta = Multimodal.withPayloadMeta(df, "text").collect()
