@@ -202,8 +202,10 @@ object Pipeline {
   }
 
   /** UTF-8 byte-order comparison — Spark's BinaryType/StringType sort
-    * order and DuckDB's default collation, NOT Java's UTF-16 compareTo. */
-  private def utf8Lt(a: String, b: String): Boolean = {
+    * order and DuckDB's default collation, NOT Java's UTF-16 compareTo.
+    * TextAnalysisSpec pins the equivalence to UTF8String's comparator by
+    * property. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -240,6 +242,8 @@ object Pipeline {
           bestPair = p; bestN = n
         }
       }
+      require(bestPair != null,
+        s"bpe round $r: corpus has no adjacent token pairs left to merge")
       cur = cur.map(_.replace(" " + bestPair + " ",
         " " + bestPair.replace(' ', '¦') + " "))
       (r, bestPair, bestN)

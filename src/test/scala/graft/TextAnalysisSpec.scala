@@ -70,6 +70,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(driver.forall(_._3 > 0), "every merge has a positive count")
   }
 
+  test("utf8Lt matches Spark's UTF8String ordering — ScalaCheck property " +
+    "incl. above-BMP code points where UTF-16 compareTo diverges") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.unsafe.types.UTF8String
+    // generator biased toward the divergence zone: mix ASCII, U+E000..FFFF
+    // (sorts HIGH in UTF-16 code units, low-ish in code points), and
+    // supplementary planes (surrogate pairs in UTF-16, 4-byte in UTF-8)
+    val codePoint = Gen.frequency(
+      5 -> Gen.chooseNum(0x20, 0x7e),
+      2 -> Gen.chooseNum(0xe000, 0xfffd),
+      2 -> Gen.chooseNum(0x10000, 0x10ffff),
+      1 -> Gen.chooseNum(0x80, 0xd7ff))
+    val str = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, codePoint).map(cps =>
+        new String(cps.toArray, 0, cps.length)))
+    val prop = Prop.forAll(str, str) { (a, b) =>
+      graft.queries.Pipeline.utf8Lt(a, b) ==
+        (UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"utf8Lt diverged from UTF8String order: ${res.status}")
+    // the motivating witness: U+FFFD sorts after U+10000 in UTF-16 code
+    // units but before it in UTF-8 bytes / code points
+    assert(graft.queries.Pipeline.utf8Lt("�", new String(Array(0x10000), 0, 1)))
+    assert("�".compareTo(new String(Array(0x10000), 0, 1)) > 0,
+      "Java compareTo must disagree here or the UTF-8 comparator is unmotivated")
+  }
+
   test("multimodal metadata + stub decode are deterministic functions of bytes") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "different")).toDF("doc_id", "text")
     val meta = Multimodal.withPayloadMeta(df, "text").collect()
