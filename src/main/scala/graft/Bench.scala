@@ -34,7 +34,8 @@ object Bench {
     "w3_sessionize", "u4_intersect_all", "catalog_counts",
     "f1_best_effort_ts", "x_dedup_exact", "x_dedup_minhash_lsh",
     "x_dedup_jaccard", "x_dedup_simhash_pairs", "x_dedup_clusters",
-    "x_neardup_embedding", "x_ann_topk", "x_ann_ivf", "x_ann_kmeans",
+    "x_neardup_embedding", "x_ann_topk", "x_ann_ivf", "x_ann_ivf_trained",
+    "x_ann_kmeans",
     "x_asof_join", "x_range_join", "x_decontaminate", "x_pipeline_e2e",
     "x_token_count", "stream_window_agg", "stream_dedup",
     "x_multimodal_decode", "x_pagerank_trade", "x_fuzzy_join",

@@ -201,6 +201,34 @@ object Pipeline {
     s.createDataFrame(merges).toDF("round", "pair", "n")
   }
 
+  /** ONE oracle CTE chain for BPE training (tk0 tokenize; per round i:
+    * p_i = top pair by (n DESC, pair ASC), tk_i = corpus after merging
+    * it) — shared by the `x_bpe_merges` and `x_bpe_encode` oracles so the
+    * training math can never silently diverge between them. doc_id rides
+    * through the tk relations for the encode oracle; the p relations
+    * ignore it. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val tk0 =
+      """tk0 AS (
+        |  SELECT doc_id, ' ' || array_to_string(string_split_regex(lower(text), '\s+'), ' ') || ' ' AS s
+        |  FROM documents
+        |)""".stripMargin
+    val perRound = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, count(*) AS n FROM (
+         |    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair
+         |    FROM (SELECT string_split(trim(s, ' '), ' ') AS l FROM tk${i - 1})
+         |  ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+         |),
+         |tk$i AS (
+         |  SELECT doc_id, replace(s, ' ' || (SELECT pair FROM p$i) || ' ',
+         |                 ' ' || replace((SELECT pair FROM p$i), ' ', '¦') || ' ') AS s
+         |  FROM tk${i - 1}
+         |)""".stripMargin
+    }
+    (tk0 +: perRound).mkString(",\n")
+  }
+
   /** UTF-8 byte-order comparison — Spark's BinaryType/StringType sort
     * order and DuckDB's default collation, NOT Java's UTF-16 compareTo.
     * TextAnalysisSpec pins the equivalence to UTF8String's comparator by
@@ -889,58 +917,52 @@ object Pipeline {
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
 
     // ── BPE training loop: 3 adaptive merge rounds. Each round counts
-    //    adjacent pairs (distributed agg), collects the top pair (one tiny
-    //    driver scalar, like a watermark), and rewrites the corpus by
-    //    string-replace over the space-joined token sequence. Replace is
-    //    non-overlapping left-to-right in Spark and DuckDB alike, so both
-    //    engines merge the identical occurrences — the one (documented)
-    //    deviation from canonical array-fold BPE is immediately-adjacent
-    //    repeats of the winning pair, where scan order differs from fold
-    //    order. The rewrite is a narrow per-row map; nothing driver-side
-    //    ever holds more than one (pair, count) row per round. Each round's
-    //    rewritten corpus is persisted (and dropped before returning):
-    //    without it round r re-derives tokenize + r−1 accumulated replaces
-    //    from the parquet scan — measured 9.7s → 4.8s at sf0.1 for the
-    //    3-round loop. The iterative-training norm: cache the working set,
-    //    release it when the loop ends ──────────────────────────────────────
+    //    adjacent pairs, picks the top pair by (n DESC, pair ASC), and
+    //    rewrites the corpus by string-replace over the space-joined token
+    //    sequence. Replace is non-overlapping left-to-right in Java, Spark
+    //    and DuckDB alike, so all engines merge the identical
+    //    occurrences — the one (documented) deviation from canonical
+    //    array-fold BPE is immediately-adjacent repeats of the winning
+    //    pair, where scan order differs from fold order. Size-gated
+    //    driver/distributed split + caching discipline live in
+    //    bpeMergeRounds above ─────────────────────────────────────────────
     "x_bpe_merges" -> Q(
       (s, d) => bpeMergeRounds(s, d),
-      Some("""WITH tk0 AS (
-        |  SELECT ' ' || array_to_string(string_split_regex(lower(text), '\s+'), ' ') || ' ' AS s
-        |  FROM documents
-        |),
-        |p1 AS (
-        |  SELECT pair, count(*) AS n FROM (
-        |    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair
-        |    FROM (SELECT string_split(trim(s, ' '), ' ') AS l FROM tk0)
-        |  ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
-        |),
-        |tk1 AS (
-        |  SELECT replace(s, ' ' || (SELECT pair FROM p1) || ' ',
-        |                 ' ' || replace((SELECT pair FROM p1), ' ', '¦') || ' ') AS s
-        |  FROM tk0
-        |),
-        |p2 AS (
-        |  SELECT pair, count(*) AS n FROM (
-        |    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair
-        |    FROM (SELECT string_split(trim(s, ' '), ' ') AS l FROM tk1)
-        |  ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
-        |),
-        |tk2 AS (
-        |  SELECT replace(s, ' ' || (SELECT pair FROM p2) || ' ',
-        |                 ' ' || replace((SELECT pair FROM p2), ' ', '¦') || ' ') AS s
-        |  FROM tk1
-        |),
-        |p3 AS (
-        |  SELECT pair, count(*) AS n FROM (
-        |    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN generate_series(1, greatest(len(l)-1, 0))]) AS pair
-        |    FROM (SELECT string_split(trim(s, ' '), ' ') AS l FROM tk2)
-        |  ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
-        |)
+      Some(s"""WITH ${bpeOracleCtes(3)}
         |SELECT CAST(1 AS BIGINT) AS round, pair, n FROM p1
         |UNION ALL SELECT 2, pair, n FROM p2
         |UNION ALL SELECT 3, pair, n FROM p3
         |ORDER BY round""".stripMargin)),
+
+    // ── Tokenizer APPLY: encode the corpus with the merges the training
+    //    loop just learned — train → encode, the full tokenizer arc. The
+    //    3 learned pairs are a driver-side scalar list (like a broadcast
+    //    vocabulary); applying them is a narrow per-row map, scale-free.
+    //    A production pipeline persists the merges table and runs only
+    //    the encode side incrementally. Output per doc: token count after
+    //    merging and how many tokens are merged compounds ────────────────
+    "x_bpe_encode" -> Q(
+      (s, d) => {
+        val merges = bpeMergeRounds(s, d).orderBy("round").collect()
+          .map(_.getString(1))
+        val tokenized = t(s, d, "documents").select(col("doc_id"),
+          concat(lit(" "),
+            concat_ws(" ", TextAnalysis.tokens(col("text"))), lit(" ")).as("s"))
+        val encoded = merges.foldLeft(tokenized)((df, pair) =>
+          df.withColumn("s", org.apache.spark.sql.functions.replace(col("s"),
+            lit(" " + pair + " "),
+            lit(" " + pair.replace(' ', '¦') + " "))))
+        encoded.select(col("doc_id"),
+          size(split(trim(col("s")), " ")).cast("long").as("n_tokens"),
+          size(filter(split(trim(col("s")), " "),
+            tk => tk.contains("¦"))).cast("long").as("n_merged"))
+      },
+      Some(s"""WITH ${bpeOracleCtes(3)}
+        |SELECT doc_id,
+        |  CAST(len(string_split(trim(s, ' '), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(trim(s, ' '), ' '),
+        |    t -> contains(t, '¦'))) AS BIGINT) AS n_merged
+        |FROM tk3""".stripMargin)),
 
     // ── Vocabulary: top-20 tokens by document frequency (exact, with a
     //    deterministic tie-break) ──────────────────────────────────────────
