@@ -42,4 +42,20 @@ object Functions {
     * — unlike double sums (SURVEY §7.4 determinism note).
     */
   def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  /** F7 `now()` — the reference's sole use is stamping mutated rows before
+    * an incremental sync (`UPDATE ... SET order_updated = now()`,
+    * tests/test_postgres.py:173-175): set `lmCol` to the QUERY-CONSTANT
+    * `current_timestamp()` (the same per-statement-constant contract as
+    * Postgres `now()`) on rows matching `condition`, leaving the rest
+    * untouched. Non-deterministic by nature, so it is verified by
+    * SyncE2ESpec's incremental-sync shape (stamped rows move, stamp is
+    * one instant, stamp ≥ the pre-mutation clock), not the DuckDB hash
+    * gate.
+    */
+  def touchNow(df: org.apache.spark.sql.DataFrame, lmCol: String,
+               condition: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn(lmCol, when(condition,
+      current_timestamp().cast(df.schema(lmCol).dataType))
+      .otherwise(col(lmCol)))
 }

@@ -204,6 +204,37 @@ class SyncE2ESpec extends AnyFunSuite {
     assert(sink.where(col("order_id") === 11L).count() == 1)
   }
 
+  test("t13 F7 now(): touchNow stamps mutated rows query-constant and " +
+    "drives the last-modified incremental sync") {
+    // the reference's t7 scenario driven by now() itself (test_postgres.py
+    // :173-175 uses `SET order_updated = now()`) instead of hand-picked
+    // timestamps — proves the F7 surface end-to-end where a DuckDB hash
+    // oracle cannot (non-deterministic)
+    setupSources()
+    val w = wh()
+    w.sync("my_orders")
+    val before = new Timestamp(System.currentTimeMillis() - 1000)
+    val mutated = graft.functions.Functions.touchNow(
+      w.sourceTable("my_orders").withColumn("order_amount",
+        when(col("id").isin(18L, 19L), lit(8888.8))
+          .otherwise(col("order_amount"))),
+      "order_updated", col("id").isin(18L, 19L))
+      // materialize + cut lineage BEFORE overwriting the parquet the plan
+      // reads from (and pin the now() evaluation to one instant)
+      .localCheckpoint(true)
+    writeSource("my_orders", mutated)
+    w.sync("my_orders")
+    val sink = w.warehouseTable("my_orders").get
+    assert(sink.where(col("order_amount") === 8888.8).count() == 2,
+      "the now()-stamped updates moved through the incremental sync")
+    val stamps = sink.where(col("id").isin(18L, 19L))
+      .select("order_updated").collect().map(_.getTimestamp(0))
+    assert(stamps.forall(t => !t.before(before)),
+      "stamp is the mutation-time clock")
+    assert(stamps.distinct.length == 1,
+      "current_timestamp is query-constant, like SQL now()")
+  }
+
   test("t8 max_records caps the extract path") {
     setupSources()
     val (_, records) = wh(maxRecords = Some(7L)).extract("users10")
