@@ -413,6 +413,45 @@ object Pipeline {
     //    keep/drop verdict per member — the full "collapse paraphrase
     //    clusters" composition a curation pipeline runs after LSH pairing.
     //    Oracle: same pair CTEs + recursive closure ─────────────────────────
+    // ── Dedup: cluster resolution keeping the BEST member, not the lowest
+    //    id — the curation-realistic policy (a near-dup cluster's longest
+    //    member usually retains the most content). Minhash-LSH pairs →
+    //    connected components → per-cluster argmax by (n_tokens DESC,
+    //    doc_id ASC); singleton docs are their own cluster via the left
+    //    join's coalesce. One window over cluster-sized partitions — no
+    //    new shuffle shape beyond the proven components build ────────────
+    "x_dedup_keep_best" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = Dedup.dedupClusters(
+          Dedup.minhashCandidates(docs, "doc_id", "text"))
+        val q = docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val membered = q.join(clusters, q("doc_id") === clusters("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            col("n_tokens"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(desc("n_tokens"), asc("doc_id"))
+        membered.withColumn("__rk", row_number().over(w))
+          .select(col("doc_id"), col("cluster"), col("n_tokens"),
+            (col("__rk") === 1).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+        |cl AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY node),
+        |q AS (SELECT doc_id, CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT q.doc_id, coalesce(cl.cluster, q.doc_id) AS cluster, q.n_tokens
+        |  FROM q LEFT JOIN cl ON cl.node = q.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+        |  ORDER BY n_tokens DESC, doc_id) AS rk FROM m)
+        |SELECT doc_id, cluster, n_tokens, rk = 1 AS keep FROM r""".stripMargin)),
+
     "x_dedup_semantic" -> Q(
       (s, d) => {
         val pairs = Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
