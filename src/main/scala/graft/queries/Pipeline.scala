@@ -135,6 +135,42 @@ object Pipeline {
   private val bucket8Sql = (0 until 4).map(j =>
     s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+  /** The default ANN path (x_ann_ivf): data-derived 16-cell sign-LSH
+    * quantizer + 4-probe multi-probe — shared with x_ann_recall so the
+    * measured index and the monitored index can never diverge. */
+  private def annIvfDefault(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val withCell = e.select(col("vec_id"), col("embedding"),
+      Similarity.signLshBucket(
+        Similarity.quantize(col("embedding")), 0 until 4, 8).as("cell"))
+    Similarity.ivfMultiProbeTopK(withCell.where(col("vec_id") < 10),
+      withCell, "vec_id", "embedding", "cell", 3, 4)
+  }
+
+  /** Oracle CTE chain for the default ANN path, from an existing `v`
+    * (vec_id, vq) relation to `ranked` (qid, nid, dot_q, rank) — shared
+    * by the x_ann_ivf and x_ann_recall oracles. */
+  private val ivfLshMultiprobeCtesSql =
+    s"""p AS (SELECT vec_id, vq, $planeSums8Sql FROM v),
+       |bk AS (SELECT vec_id, vq, $bucket8Sql AS cell FROM p),
+       |e AS (SELECT cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM bk),
+       |c1 AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
+       |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+       |  FROM e GROUP BY 1, 2),
+       |cent AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM c1 GROUP BY cell),
+       |q AS (SELECT vec_id AS qid, vq AS qv FROM bk WHERE vec_id < 10),
+       |pr AS (SELECT qid, qv, ccell,
+       |  CAST(list_sum(list_transform(list_zip(qv, cvq), x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS cdist
+       |  FROM q, cent),
+       |prr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS rn FROM pr),
+       |probes AS (SELECT qid, qv, ccell FROM prr WHERE rn <= 4),
+       |scored AS (SELECT p.qid, b.vec_id AS nid,
+       |  CAST(list_sum(list_transform(list_zip(p.qv, b.vq), x -> x[1]*x[2])) AS BIGINT) AS dot_q
+       |  FROM probes p JOIN bk b ON b.cell = p.ccell AND p.qid <> b.vec_id),
+       |ranked AS (SELECT qid, nid, dot_q,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)"""
+       .stripMargin
+
   /** Oracle for `Similarity.kmeansIterations(iters)`: a0 is the sign-LSH
     * seeding; each round re-derives floor-mean centroids from the previous
     * assignment and reassigns by exact integer squared distance — the same
@@ -629,34 +665,46 @@ object Pipeline {
     //    variant (x_ann_ivf_multiprobe's lesson) stays as documentation
     //    of why probe selection must be distance-based. ──────────────────
     "x_ann_ivf" -> Q(
+      (s, d) => annIvfDefault(s, d),
+      Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |$ivfLshMultiprobeCtesSql
+        |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
+    // ── Similarity: recall@3 of the default ANN path vs exhaustive truth,
+    //    AS A QUERY — index-quality monitoring is data, not a test-only
+    //    artifact ("measure, don't guess" as a product surface). Both
+    //    sides are deterministic integer math, so per-query recall is
+    //    oracle-checkable; at scale the brute-force side runs on a query
+    //    SAMPLE (here the same 10-query probe set) — the standard recall
+    //    estimator an index deployment monitors ──────────────────────────
+    "x_ann_recall" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val withCell = e.select(col("vec_id"), col("embedding"),
-          Similarity.signLshBucket(
-            Similarity.quantize(col("embedding")), 0 until 4, 8).as("cell"))
-        Similarity.ivfMultiProbeTopK(withCell.where(col("vec_id") < 10),
-          withCell, "vec_id", "embedding", "cell", 3, 4)
+        val truth = Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+          "vec_id", "embedding", 3).select(col("qid"), col("nid"))
+        val approx = annIvfDefault(s, d).select(col("qid"), col("nid"))
+        val hits = truth.join(approx, Seq("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        truth.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 3.0)
+              .as("recall_at_3"))
       },
       Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
-        |p AS (SELECT vec_id, vq, $planeSums8Sql FROM v),
-        |bk AS (SELECT vec_id, vq, $bucket8Sql AS cell FROM p),
-        |e AS (SELECT cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM bk),
-        |c1 AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
-        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
-        |  FROM e GROUP BY 1, 2),
-        |cent AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM c1 GROUP BY cell),
-        |q AS (SELECT vec_id AS qid, vq AS qv FROM bk WHERE vec_id < 10),
-        |pr AS (SELECT qid, qv, ccell,
-        |  CAST(list_sum(list_transform(list_zip(qv, cvq), x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS cdist
-        |  FROM q, cent),
-        |prr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS rn FROM pr),
-        |probes AS (SELECT qid, qv, ccell FROM prr WHERE rn <= 4),
-        |scored AS (SELECT p.qid, b.vec_id AS nid,
-        |  CAST(list_sum(list_transform(list_zip(p.qv, b.vq), x -> x[1]*x[2])) AS BIGINT) AS dot_q
-        |  FROM probes p JOIN bk b ON b.cell = p.ccell AND p.qid <> b.vec_id),
-        |ranked AS (SELECT qid, nid, dot_q,
-        |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
-        |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
+        |bs AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $dotSql AS dot_q
+        |  FROM v a JOIN v b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |brk AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM bs),
+        |truth AS (SELECT qid, nid FROM brk WHERE rank <= 3),
+        |$ivfLshMultiprobeCtesSql,
+        |approx AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+        |hits AS (SELECT t.qid, count(*) AS n_hit FROM truth t
+        |  JOIN approx x ON x.qid = t.qid AND x.nid = t.nid GROUP BY t.qid),
+        |qs AS (SELECT DISTINCT qid FROM truth)
+        |SELECT qs.qid, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / 3 AS recall_at_3
+        |FROM qs LEFT JOIN hits ON hits.qid = qs.qid""".stripMargin)),
 
     // ── Similarity: ANN over DATA-DERIVED LSH cells (no given label —
     //    the coarse quantizer is the sign-LSH bucket itself) ────────────────

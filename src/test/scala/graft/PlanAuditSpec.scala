@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // corpus-scale shape (the scale paths are the x_ann_* queries)
   private val allowCross = Set("x_ann_topk", "x_ann_kmeans_assign",
     "x_ann_kmeans", "x_ann_ivf", "x_ann_ivf_multiprobe", "x_ann_ivf_trained",
-    "x_vec_sql_native")
+    "x_ann_recall", "x_vec_sql_native")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
