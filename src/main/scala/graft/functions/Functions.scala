@@ -54,8 +54,20 @@ object Functions {
     * gate.
     */
   def touchNow(df: org.apache.spark.sql.DataFrame, lmCol: String,
-               condition: Column): org.apache.spark.sql.DataFrame =
-    df.withColumn(lmCol, when(condition,
-      current_timestamp().cast(df.schema(lmCol).dataType))
-      .otherwise(col(lmCol)))
+               condition: Column): org.apache.spark.sql.DataFrame = {
+    val dt = df.schema(lmCol).dataType
+    // guard: cast(timestamp AS bigint) yields epoch SECONDS — on a
+    // numeric last-modified column holding us/ns (this repo's ns-as-long
+    // parquet convention) the stamp would sort ~1e6-1e9 BELOW the sync
+    // watermark and the mutation would silently never sync. Restore the
+    // typed column first (Tables.table does) or stamp it explicitly.
+    require(dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+      dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] ||
+      dt.isInstanceOf[org.apache.spark.sql.types.DateType],
+      s"touchNow: '$lmCol' is ${dt.simpleString}, not a timestamp/date — " +
+        "a numeric epoch column has ambiguous units (s/ms/us/ns); stamp " +
+        "it explicitly in its own unit instead")
+    df.withColumn(lmCol,
+      when(condition, current_timestamp().cast(dt)).otherwise(col(lmCol)))
+  }
 }

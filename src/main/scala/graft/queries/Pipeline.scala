@@ -147,29 +147,38 @@ object Pipeline {
       withCell, "vec_id", "embedding", "cell", 3, 4)
   }
 
-  /** Oracle CTE chain for the default ANN path, from an existing `v`
-    * (vec_id, vq) relation to `ranked` (qid, nid, dot_q, rank) — shared
-    * by the x_ann_ivf and x_ann_recall oracles. */
-  private val ivfLshMultiprobeCtesSql =
+  /** LSH-cell CTEs for the default quantizer, from an existing `v`
+    * (vec_id, vq) relation to `bk` (vec_id, vq, cell). */
+  private val lshCellCtesSql =
     s"""p AS (SELECT vec_id, vq, $planeSums8Sql FROM v),
-       |bk AS (SELECT vec_id, vq, $bucket8Sql AS cell FROM p),
-       |e AS (SELECT cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM bk),
-       |c1 AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
+       |bk AS (SELECT vec_id, vq, $bucket8Sql AS cell FROM p)""".stripMargin
+
+  /** Parameterized multi-probe CTE chain: from any `src` relation with
+    * ($idCol, vq, cell) columns to `ranked` (qid, nid, dot_q, rank) —
+    * ONE definition of the centroid-build / probe-selection / scoring
+    * math shared by the x_ann_ivf, x_ann_recall, and x_ann_ivf_trained
+    * oracles, so a probe-count or tie-break change can never silently
+    * diverge between them. */
+  private def ivfMultiprobeCtes(src: String, idCol: String): String =
+    // mp_-prefixed CTE names: the chain composes after arbitrary upstream
+    // chains (the k-means trainer already owns e1/c1/cent1-style names)
+    s"""mp_e AS (SELECT cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM $src),
+       |mp_c AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
-       |  FROM e GROUP BY 1, 2),
-       |cent AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM c1 GROUP BY cell),
-       |q AS (SELECT vec_id AS qid, vq AS qv FROM bk WHERE vec_id < 10),
-       |pr AS (SELECT qid, qv, ccell,
+       |  FROM mp_e GROUP BY 1, 2),
+       |mp_cent AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM mp_c GROUP BY cell),
+       |mp_q AS (SELECT $idCol AS qid, vq AS qv FROM $src WHERE $idCol < 10),
+       |mp_pr AS (SELECT qid, qv, ccell,
        |  CAST(list_sum(list_transform(list_zip(qv, cvq), x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS cdist
-       |  FROM q, cent),
-       |prr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS rn FROM pr),
-       |probes AS (SELECT qid, qv, ccell FROM prr WHERE rn <= 4),
-       |scored AS (SELECT p.qid, b.vec_id AS nid,
+       |  FROM mp_q, mp_cent),
+       |mp_prr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS rn FROM mp_pr),
+       |mp_probes AS (SELECT qid, qv, ccell FROM mp_prr WHERE rn <= 4),
+       |mp_scored AS (SELECT p.qid, b.$idCol AS nid,
        |  CAST(list_sum(list_transform(list_zip(p.qv, b.vq), x -> x[1]*x[2])) AS BIGINT) AS dot_q
-       |  FROM probes p JOIN bk b ON b.cell = p.ccell AND p.qid <> b.vec_id),
+       |  FROM mp_probes p JOIN $src b ON b.cell = p.ccell AND p.qid <> b.$idCol),
        |ranked AS (SELECT qid, nid, dot_q,
-       |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)"""
-       .stripMargin
+       |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM mp_scored)"""
+      .stripMargin
 
   /** Oracle for `Similarity.kmeansIterations(iters)`: a0 is the sign-LSH
     * seeding; each round re-derives floor-mean centroids from the previous
@@ -292,7 +301,11 @@ object Pipeline {
     (1L to rounds.toLong).map { r =>
       val counts = new java.util.HashMap[String, Long]()
       cur.foreach { doc =>
-        val l = doc.trim.split(" ")
+        // split+drop-empties, NOT Java trim: String.trim strips every char
+        // <= U+0020 (a control char leading an edge token, say) while the
+        // distributed path and the oracle trim SPACES only — the corpus is
+        // single-space-joined so empty splits occur only at the padding
+        val l = doc.split(" ").filter(_.nonEmpty)
         var i = 0
         while (i < l.length - 1) {
           counts.merge(l(i) + " " + l(i + 1), 1L, _ + _)
@@ -667,7 +680,8 @@ object Pipeline {
     "x_ann_ivf" -> Q(
       (s, d) => annIvfDefault(s, d),
       Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
-        |$ivfLshMultiprobeCtesSql
+        |$lshCellCtesSql,
+        |${ivfMultiprobeCtes("bk", "vec_id")}
         |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
     // ── Similarity: recall@3 of the default ANN path vs exhaustive truth,
@@ -680,8 +694,13 @@ object Pipeline {
     "x_ann_recall" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val truth = Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
-          "vec_id", "embedding", 3).select(col("qid"), col("nid"))
+        // persisted: the brute-force subtree (the expensive side) feeds
+        // BOTH the hits join and the qid list — repo convention for
+        // shared frames (see rarityScores)
+        val truth = graft.operators.CacheRegistry.register(
+          Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+            "vec_id", "embedding", 3).select(col("qid"), col("nid"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val approx = annIvfDefault(s, d).select(col("qid"), col("nid"))
         val hits = truth.join(approx, Seq("qid", "nid"))
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
@@ -697,7 +716,8 @@ object Pipeline {
         |brk AS (SELECT qid, nid,
         |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM bs),
         |truth AS (SELECT qid, nid FROM brk WHERE rank <= 3),
-        |$ivfLshMultiprobeCtesSql,
+        |$lshCellCtesSql,
+        |${ivfMultiprobeCtes("bk", "vec_id")},
         |approx AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
         |hits AS (SELECT t.qid, count(*) AS n_hit FROM truth t
         |  JOIN approx x ON x.qid = t.qid AND x.nid = t.nid GROUP BY t.qid),
@@ -828,22 +848,7 @@ object Pipeline {
       },
       Some(s"""WITH ${kmeansCtesSql(2)},
         |asn AS (SELECT id, vq, cell FROM a2),
-        |te AS (SELECT cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM asn),
-        |tc AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
-        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
-        |  FROM te GROUP BY 1, 2),
-        |tcent AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM tc GROUP BY cell),
-        |q AS (SELECT id AS qid, vq AS qv FROM asn WHERE id < 10),
-        |pr AS (SELECT qid, qv, ccell,
-        |  CAST(list_sum(list_transform(list_zip(qv, cvq), x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS cdist
-        |  FROM q, tcent),
-        |prr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS rn FROM pr),
-        |probes AS (SELECT qid, qv, ccell FROM prr WHERE rn <= 4),
-        |scored AS (SELECT p.qid, b.id AS nid,
-        |  CAST(list_sum(list_transform(list_zip(p.qv, b.vq), x -> x[1]*x[2])) AS BIGINT) AS dot_q
-        |  FROM probes p JOIN asn b ON b.cell = p.ccell AND p.qid <> b.id),
-        |ranked AS (SELECT qid, nid, dot_q,
-        |  row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
+        |${ivfMultiprobeCtes("asn", "id")}
         |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
     // ── Text: language-ID heuristic ────────────────────────────────────────

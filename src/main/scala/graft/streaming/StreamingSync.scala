@@ -148,7 +148,7 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    _lastRunProgress = q.recentProgress
+    _lastRunProgress.set(q.recentProgress)
     if (!sinkExists(spark, sinkDir)) emptyLike(spark, agg.schema)
     else if (outputMode == "complete") {
       // complete re-emits the WHOLE state per batch, so only the final
@@ -394,23 +394,37 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    _lastRunProgress = q.recentProgress
+    _lastRunProgress.set(q.recentProgress)
+    // a started query that emitted ZERO rows (normal under the watermarked
+    // session path: every session still open at end of drain) leaves a
+    // _spark_metadata dir but no data files — read.parquet then fails
+    // schema inference, so that case degrades to the empty frame too
     if (!sinkExists(ss, sinkDir)) emptyLike(ss, df.schema)
-    else ss.read.parquet(sinkDir)
+    else try ss.read.parquet(sinkDir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("infer schema") =>
+        emptyLike(ss, df.schema)
+    }
   }
 
-  @volatile private var _lastRunProgress:
-      Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array.empty
+  private val _lastRunProgress =
+    new ThreadLocal[Array[org.apache.spark.sql.streaming.StreamingQueryProgress]] {
+      override def initialValue() = Array.empty
+    }
 
-  /** Per-batch progress of the most recent append-sink or file-sync run.
-    * Observability hook for tests and operators: the state-boundedness
-    * contracts below are asserted against `stateOperators.numRowsRemoved`
-    * / `numRowsDroppedByWatermark` from here, since the
-    * DataFrame-returning API does not expose the query.
+  /** Per-batch progress of the most recent append-sink, changelog, or
+    * file-sync run ON THIS THREAD (the runners block on awaitTermination,
+    * so the thread that called the operator reads its own run — a
+    * thread-local, not a global, so concurrent callers in one JVM cannot
+    * clobber each other). Observability hook for tests and operators: the
+    * state-boundedness contracts below are asserted against
+    * `stateOperators.numRowsRemoved` / `numRowsDroppedByWatermark` from
+    * here, since the DataFrame-returning API does not expose the query.
     */
   def lastRunProgress:
       Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
-    _lastRunProgress
+    _lastRunProgress.get()
 
   /** Streaming exact dedup. Batch-parity runs (no `graft.stream.watermark`)
     * keep one state entry per distinct key forever — correct for an
@@ -542,7 +556,7 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    _lastRunProgress = q.recentProgress
+    _lastRunProgress.set(q.recentProgress)
     q.recentProgress.map(_.numInputRows).sum
   }
 }

@@ -14,6 +14,23 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("touchNow rejects numeric last-modified columns (ambiguous epoch " +
+    "units would silently break the sync watermark)") {
+    import org.apache.spark.sql.functions.col
+    val numericLm = Seq((1L, 946731600000000000L)).toDF("id", "lm")
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.Functions.touchNow(numericLm, "lm", col("id") === 1L)
+    }
+    assert(ex.getMessage.contains("ambiguous"), ex.getMessage)
+    // ...and a typed timestamp column is accepted
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ok = graft.functions.Functions.touchNow(
+      Seq((1L, ts), (2L, ts)).toDF("id", "lm"), "lm", col("id") === 1L)
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(ok(2L) == ts, "unmatched rows keep their stamp")
+    assert(ok(1L).after(ts), "matched rows get the current clock")
+  }
+
   test("bestEffortTimestamp parses the fixture formats, null on garbage") {
     val inputs = Seq(
       "2022-10-17 12:34:56",        // ISO datetime

@@ -12,6 +12,25 @@ import graft.io.Tables
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Stage one DataFrame as a single parquet file named `name` inside the
+    * streaming source dir with a pinned mtime — the file-source batch
+    * order. 120s+ gaps between files tolerate filesystems that clamp
+    * mtime granularity; a filesystem that IGNORES the update fails the
+    * assert rather than silently collapsing the batches. ONE definition —
+    * the multi-batch eviction tests all stage through here.
+    */
+  private def stageBatchFile(root: String, dir: java.io.File,
+                             rows: org.apache.spark.sql.DataFrame,
+                             name: String, mtime: Long): Unit = {
+    val stage = s"$root/stage_$name"
+    rows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(dir, s"$name.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
+  }
+
   test("windowed stream agg equals batch groupBy at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync
@@ -88,19 +107,9 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
     def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
     def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String)],
-                  name: String, mtime: Long): Unit = {
-      val stage = s"$root/stage_$name"
-      rows.toDF("user_id", "event_id", "ts", "event_type")
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      // 120s+ gaps between files tolerate filesystems that clamp mtime
-      // granularity; a filesystem that IGNORES the update fails the assert
-      // rather than silently collapsing the batches
-      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
-    }
+                  name: String, mtime: Long): Unit =
+      stageBatchFile(root, dir,
+        rows.toDF("user_id", "event_id", "ts", "event_type"), name, mtime)
     val now = System.currentTimeMillis()
     writeFile(Seq(
       (1L, 10L, ts(0), "purchase"),
@@ -154,19 +163,9 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
     def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
     def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String)],
-                  name: String, mtime: Long): Unit = {
-      val stage = s"$root/stage_$name"
-      rows.toDF("user_id", "event_id", "ts", "event_type")
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      // 120s+ gaps between files tolerate filesystems that clamp mtime
-      // granularity; a filesystem that IGNORES the update fails the assert
-      // rather than silently collapsing the batches
-      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
-    }
+                  name: String, mtime: Long): Unit =
+      stageBatchFile(root, dir,
+        rows.toDF("user_id", "event_id", "ts", "event_type"), name, mtime)
     val now = System.currentTimeMillis()
     writeFile(Seq(
       (1L, 10L, ts(0), "click"),
@@ -210,16 +209,10 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
     def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
     def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)],
-                  name: String, mtime: Long): Unit = {
-      val stage = s"$root/stage_$name"
-      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
-    }
+                  name: String, mtime: Long): Unit =
+      stageBatchFile(root, dir,
+        rows.toDF("user_id", "event_id", "ts", "event_type", "value"),
+        name, mtime)
     val now = System.currentTimeMillis()
     writeFile(Seq(
       (1L, 10L, ts(0), "click", 1.0),
@@ -277,16 +270,10 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = java.sql.Timestamp.valueOf("2000-01-01 12:00:00").getTime
     def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
     def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)],
-                  name: String, mtime: Long): Unit = {
-      val stage = s"$root/stage_$name"
-      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
-    }
+                  name: String, mtime: Long): Unit =
+      stageBatchFile(root, dir,
+        rows.toDF("user_id", "event_id", "ts", "event_type", "value"),
+        name, mtime)
     val now = System.currentTimeMillis()
     writeFile(Seq(
       (1L, 10L, ts(0), "click", 1.0),
@@ -317,6 +304,11 @@ class StreamingSpec extends AnyFunSuite {
       .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
     assert(removed > 0,
       s"closing a session must evict its state (removed=$removed)")
+    // horizon longer than the corpus span → EVERY session still open at
+    // end of drain → the append sink commits zero rows; must return the
+    // empty frame, not crash on schema inference over a data-less sink
+    assert(run(Some("1000 hours")).isEmpty,
+      "all-open sessions drain to an empty result, cleanly")
   }
 
   test("mapGroupsWithState user rollup equals batch groupBy at sf0.001") {
