@@ -938,6 +938,33 @@ object Pipeline {
     // ── Stratified sampling: deterministic per-language sample of up to 25
     //    docs, ranked by id-hash (stable under re-runs and reshuffling —
     //    the curation "inspect N docs per stratum" op) ─────────────────────
+    // ── Curation: per-source cap — keep at most 20 docs per source,
+    //    ranked by length then id (the "domain capping" op that stops one
+    //    crawl domain from dominating the mixture; the deterministic twin
+    //    of x_sample_stratified's hash sample). One window over
+    //    source-sized partitions; a pathologically hot source at 100 TB
+    //    first reduces per input partition (rank only the local top-N)
+    //    before the global window — Spark's TopK pushdown does this for
+    //    ORDER BY+LIMIT, and the per-group equivalent is a partial
+    //    aggregation of each partition's top 20 ─────────────────────────
+    "x_cap_per_source" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(desc("n_tokens"), asc("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("src_rank", row_number().over(w).cast("long"))
+          .where(col("src_rank") <= 20)
+      },
+      Some("""SELECT doc_id, source, n_tokens, CAST(rn AS BIGINT) AS src_rank
+        |FROM (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY len(string_split_regex(lower(text),'\s+')) DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin)),
+
     "x_sample_stratified" -> Q(
       (s, d) => {
         val h = conv(substring(md5(col("doc_id").cast("string")), 5, 8), 16, 10)
