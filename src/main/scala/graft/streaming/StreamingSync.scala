@@ -153,10 +153,13 @@ object StreamingSync {
     else if (outputMode == "complete") {
       // complete re-emits the WHOLE state per batch, so only the final
       // batch is current — per-key last-writer would resurrect keys that a
-      // later batch dropped (e.g. a session merged into an earlier start)
+      // later batch dropped (e.g. a session merged into an earlier start).
+      // An empty source still commits a zero-row batch: max(batch_id) is
+      // then NULL, which must degrade to the empty frame, not a NULL-read
       val log = spark.read.parquet(sinkDir)
-      val last = log.agg(max(col("batch_id"))).head().getLong(0)
-      log.where(col("batch_id") === last).drop("batch_id")
+      val last = log.agg(max(col("batch_id"))).head()
+      if (last.isNullAt(0)) emptyLike(spark, agg.schema)
+      else log.where(col("batch_id") === last.getLong(0)).drop("batch_id")
     } else {
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col("batch_id").desc)

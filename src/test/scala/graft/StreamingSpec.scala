@@ -31,6 +31,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(dst.setLastModified(mtime), "mtime ordering is the batch order")
   }
 
+  test("empty events source: every runner returns an empty frame cleanly") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("emptyev")
+    Seq.empty[(Long, Long, java.sql.Timestamp, String, Double)]
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$sf/events.parquet")
+    // update-changelog, complete-changelog, and append-sink paths all hit
+    // their no-data branch — empty result, correct schema, no throw
+    assert(graft.streaming.StreamingSync
+      .windowedEventCounts(spark, sf).isEmpty)
+    assert(graft.streaming.StreamingSync
+      .sessionizedCounts(spark, sf).isEmpty)
+    val dedup = graft.streaming.StreamingSync
+      .streamingDedup(spark, sf, Seq("user_id"))
+    assert(dedup.isEmpty && dedup.columns.toSeq == Seq("user_id"))
+  }
+
   test("windowed stream agg equals batch groupBy at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync
