@@ -39,7 +39,11 @@ class EmptyProbeSpec extends AnyFunSuite {
       "x_split_assign", "x_mix_weighted", "x_redact_pii",
       "x_sample_stratified", "x_cap_per_source", "x_fingerprint",
       "x_normalize_text", "x_oov_rate", "x_rarity_score", "x_pipeline_e2e",
-      "x_multimodal_meta", "x_inverted_index")
+      "x_multimodal_meta", "x_inverted_index",
+      // events-based operators
+      "x_incr_agg", "x_funnel_steps", "x_retention_cohort", "x_cdc_apply",
+      "x_scd2_history", "x_negative_sample",
+      "x_asof_join", "x_asof_forward", "x_range_join")
 
     val broken = emptyOk.flatMap { n =>
       try { SparkEntry.queries(n)(spark, sf).count(); None }
