@@ -7,6 +7,17 @@ package graft
   * stderr. A short warmup pass absorbs JVM/JIT/codegen startup so the
   * first timed query isn't charged several seconds of session warmup.
   *
+  * Repetition: each query's `count()` is timed REPS times (default 3,
+  * `SPARK_GRAFT_BENCH_REPS` overrides) and the suite reports the per-query
+  * MEDIAN (plus the min). bench.var.json documents why a single run is not
+  * a measurement on this host: four runs of near-identical trees spanned
+  * 112.5s–794.2s (1×–7×) under host contention, with single-query spikes
+  * up to ~20× landing on *different* queries each run. A median-of-3
+  * suppresses one contended rep per query, so the headline `value`
+  * (= sum of per-query medians) is comparable round-over-round; `total_min`
+  * (= sum of per-query minima) is the contention floor. `total_wall` keeps
+  * the raw all-reps wall-clock for context.
+  *
   * Output durability: log level is ERROR (not WARN) to keep executor
   * chatter off stderr, the JSON line is ALSO written to `bench.json`
   * (override with SPARK_GRAFT_BENCH_OUT), and the line is printed as the
@@ -18,9 +29,10 @@ package graft
   * output (measured from BENCH_r03's `tail` field), under which a
   * 90+-query map can never fit — r02/r03 both came back `parsed: null`
   * with the line's head sheared off. So stdout carries `value` = the
-  * full-suite total plus a ~30-query HEADLINE subset (one flagship per
-  * operator family, 3-decimal timings, ≪2000 bytes), while the COMPLETE
-  * per-query map goes to `bench.json`, which is committed with the round.
+  * full-suite median total plus a ~30-query HEADLINE subset (one flagship
+  * per operator family, 3-decimal median timings, ≪2000 bytes), while the
+  * COMPLETE per-query median AND min maps go to `bench.json`, which is
+  * committed with the round.
   */
 object Bench {
 
@@ -41,8 +53,22 @@ object Bench {
     "x_multimodal_decode", "x_pagerank_trade", "x_fuzzy_join",
     "x_dedup_semantic", "stream_cdc_apply", "x_bpe_merges")
 
+  /** Lower median: exact middle for odd n (the common n=3 case), the lower
+    * of the two middles for even n — never interpolates a time that was
+    * not observed. */
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty timing list")
+    xs.sorted.apply((xs.size - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = LocalSession.sfDir()
+
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map { s =>
+      require(s.matches("\\d+") && s.toInt >= 1,
+        s"SPARK_GRAFT_BENCH_REPS must be a positive integer, got '$s'")
+      s.toInt
+    }.getOrElse(3)
 
     // dev profiling filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those.
     // Unknown names fail fast (a typo must not masquerade as a 0s suite),
@@ -60,7 +86,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "bench.dev.json" else "bench.json")
 
-    // static contract check BEFORE the ~70s suite run, so a renamed query
+    // static contract check BEFORE the suite run, so a renamed query
     // can't waste a full benchmark before the mismatch surfaces
     val missingHeadline = headline.filterNot(SparkEntry.queries.contains)
     if (missingHeadline.nonEmpty)
@@ -81,31 +107,51 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
 
+    val wallT0 = System.nanoTime()
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
-        case e: Exception =>
-          failures += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // per query: up to `reps` timed runs; a failing rep records its elapsed
+    // time and stops further reps (a deterministic failure must not be
+    // retried twice more at full cost).
+    val results: Seq[(String, Seq[Double])] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        var r = 0
+        while (r < reps && !failed) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch {
+            case e: Exception =>
+              failed = true
+              failures += name
+              System.err.println(s"[bench] $name FAILED (rep ${r + 1}): ${e.getMessage}")
+          }
+          times += (System.nanoTime() - t0) / 1e9
+          r += 1
+        }
+        name -> times.toSeq
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+
     // Locale.ROOT: a comma-decimal locale would emit unparseable JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+
+    val medians = results.map { case (n, ts) => n -> median(ts) }
+    val mins    = results.map { case (n, ts) => n -> ts.min }
+    val totalMedian = medians.map(_._2).sum
+    val totalMin    = mins.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val byName = results.toMap
-    val headlineQs = toJson(headline.filter(byName.contains).map(n => n -> byName(n)))
-    def lineOf(qs: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"$outFile"}"""
-    val stdoutLine = lineOf(headlineQs)
-    val fullLine = lineOf(toJson(results))
+    val medByName = medians.toMap
+    val headlineQs = toJson(headline.filter(medByName.contains).map(n => n -> medByName(n)))
+
+    def lineOf(qs: String, extra: String) =
+      s"""{"metric":"total","value":${fmt(totalMedian)},"unit":"sec","agg":"median_of_$reps","total_min":${fmt(totalMin)},"total_wall":${fmt(wallSec)},"queries":$qs,$extra"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"$outFile"}"""
+    val stdoutLine = lineOf(headlineQs, "")
+    val fullLine = lineOf(toJson(medians), s""""queries_min":${toJson(mins)},""")
 
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the benchmark harness itself — cheap, no Spark
+  * session. bench.var.json shows single-query spikes up to ~20× under host
+  * contention, so the per-query statistic Bench emits must be the median
+  * (one contended rep per query cannot move it) and the headline names
+  * must stay resolvable (a renamed query would abort the driver's run).
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("median is the exact middle observation, never an interpolation") {
+    assert(Bench.median(Seq(1.0)) == 1.0)
+    assert(Bench.median(Seq(5.0, 1.0, 2.0)) == 2.0)
+    // a single 20x contention spike cannot move the median-of-3
+    assert(Bench.median(Seq(0.5, 10.0, 0.6)) == 0.6)
+    // even n: lower median (an observed time, not an average)
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 4.0)) == 2.0)
+    intercept[IllegalArgumentException](Bench.median(Seq.empty))
+  }
+
+  test("every headline name resolves in SparkEntry.queries") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names not in queries: $missing")
+  }
+}
