@@ -14,3 +14,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to `private[sql] Dataset.ofRows` — lets the plan audit re-wrap a
+  * logical subtree (e.g. the build side of a whitelisted non-equi join) as
+  * a DataFrame and count it, asserting the broadcast relation really is
+  * the ≤16-row centroid / demo set rather than exempting a whole query.
+  */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -18,8 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sideEffecting =
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
       "stream_range_join", "stream_enrich", "stream_sessionize",
-      "stream_rollup_tws", "stream_cdc_apply", "s2_csv_roundtrip",
-      "s4_orc_roundtrip", "s5_partitioned_prune")
+      "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
+      "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
   // broadcast against every vector (assign/probe-selection step) —
@@ -27,14 +27,25 @@ class PlanAuditSpec extends AnyFunSuite {
   // corpus×corpus (the probe→corpus scoring join itself is an equi-join).
   // x_vec_sql_native: 5×20-row SQL-surface demo of the injected function +
   // rewrite rule; its range-predicate join is the demo's point, not a
-  // corpus-scale shape (the scale paths are the x_ann_* queries)
-  private val allowCross = Set("x_ann_topk", "x_ann_kmeans_assign",
-    "x_ann_kmeans", "x_ann_ivf", "x_ann_ivf_multiprobe", "x_ann_ivf_trained",
-    "x_ann_recall", "x_vec_sql_native")
+  // corpus-scale shape (the scale paths are the x_ann_* queries).
+  // The VALUE is the maximum rows the non-equi join's smaller side may
+  // hold — the "bounded relation" claim each whitelist entry rests on,
+  // asserted by the bounded-build-side test below (so a future genuine
+  // cross join inside these queries fails the audit instead of hiding
+  // behind the name).
+  private val allowCross: Map[String, Long] = Map(
+    "x_ann_topk" -> 16L,          // 10 probe vectors
+    "x_ann_kmeans_assign" -> 16L, // 16 centroids
+    "x_ann_kmeans" -> 16L,
+    "x_ann_ivf" -> 16L,
+    "x_ann_ivf_multiprobe" -> 16L,
+    "x_ann_ivf_trained" -> 16L,
+    "x_ann_recall" -> 16L,        // 16 centroids; truth side probes = 10
+    "x_vec_sql_native" -> 100L)   // 5×20-row demo relations
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if sideEffecting(name) || allowCross(name) => None
+      case (name, _) if sideEffecting(name) || allowCross.contains(name) => None
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct") ||
@@ -43,6 +54,84 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"queries with non-scalable join shapes: ${offenders.mkString(", ")}")
+  }
+
+  test("whitelisted cross joins broadcast only a bounded relation") {
+    // Each allowCross entry claims its non-equi join is a handful of
+    // centroid/demo/probe rows against the corpus. Assert it: every
+    // logical Join with no equi predicate linking the two sides must have
+    // a smaller side within the declared row bound. A future genuine
+    // corpus×corpus cross join in these queries now fails the audit.
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.graft.PlanBridge
+
+    def hasEquiKey(j: Join): Boolean = j.condition.exists { c =>
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      conjuncts(c).exists {
+        case EqualTo(l, r) =>
+          (l.references.subsetOf(j.left.outputSet) &&
+            r.references.subsetOf(j.right.outputSet)) ||
+          (r.references.subsetOf(j.left.outputSet) &&
+            l.references.subsetOf(j.right.outputSet))
+        case _ => false
+      }
+    }
+
+    allowCross.toSeq.sortBy(_._1).foreach { case (name, bound) =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      // optimized plan first (CTEs inlined — a subtree cut from the
+      // analyzed plan of a WITH-query holds orphaned CTERelationRefs and
+      // cannot be re-counted); fall back to the analyzed plan when cache
+      // substitution folded the join into an InMemoryRelation leaf
+      // (x_ann_kmeans persists each Lloyd round)
+      def crossesIn(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collect { case j: Join if !hasEquiKey(j) => j }
+      val optCrosses = crossesIn(qe.optimizedPlan)
+      val crosses =
+        if (optCrosses.nonEmpty) optCrosses else crossesIn(qe.analyzed)
+      assert(crosses.nonEmpty,
+        s"$name is whitelisted but plans no non-equi join — remove it " +
+          "from allowCross (stale exemptions hide future regressions)")
+      crosses.foreach { j =>
+        val smaller = math.min(
+          PlanBridge.ofRows(spark, j.left).count(),
+          PlanBridge.ofRows(spark, j.right).count())
+        assert(smaller <= bound,
+          s"$name: non-equi join's smaller side has $smaller rows — " +
+            s"exceeds the declared bounded-relation cap of $bound")
+      }
+    }
+  }
+
+  test("rank-limit shapes keep Spark's partial WindowGroupLimit pushdown") {
+    // These queries filter row_number() ≤ k directly above the window and
+    // rely on Spark 4's WindowGroupLimit partial mode for skew safety at
+    // 100 TB: each input partition reduces to its local top-k BEFORE the
+    // shuffle, so a pathologically hot key (one crawl domain, one user)
+    // ships k rows per partition instead of its full volume. A Spark
+    // upgrade or query edit that silently loses the pushdown (e.g. a
+    // projection wedged between filter and window) fails here.
+    val rankLimited = Seq(
+      "j1_merge_upsert", "j1b_merge_composite", "sync_upsert_e2e",
+      "w1_rownum_dedup", "x_ann_ivf", "x_ann_ivf_multiprobe",
+      "x_ann_ivf_trained", "x_ann_kmeans", "x_ann_kmeans_assign",
+      "x_ann_lsh", "x_ann_recall", "x_ann_topk", "x_asof_forward",
+      "x_asof_join", "x_cap_per_source", "x_inverted_index",
+      "x_pipeline_e2e", "x_sample_stratified", "x_tfidf_top_terms")
+    val missing = rankLimited.filterNot { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      "WindowGroupLimit[^\\n]*Partial".r.findFirstIn(plan).isDefined
+    }
+    assert(missing.isEmpty,
+      s"queries that lost the partial WindowGroupLimit pushdown: " +
+        missing.mkString(", "))
   }
 
   test("partitioned layout scan prunes to the filtered partition directory") {
