@@ -830,12 +830,14 @@ object Relational {
         val ev = t(s, d, "events")
         val dir = s"${sys.props("java.io.tmpdir")}/graft_part_" +
           s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
-        Tables.writePartitioned(
-          ev.select(col("event_id"), col("user_id"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-            col("event_type")),
-          dir, Seq("event_type"))
-        s.read.parquet(dir)
+        val data = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+        Tables.writePartitioned(data, dir, Seq("event_type"))
+        // explicit schema: an empty source writes a layout with no data
+        // files, where schema inference would fail — and skipping inference
+        // also saves a footer-listing pass on a large layout
+        s.read.schema(data.schema).parquet(dir)
           .where(col("event_type") === "purchase")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -882,8 +884,14 @@ object Relational {
       (s, d) => {
         val engine = new SyncEngine(s)
         val src = t(s, d, "events")
-        val maxId = Watermark.maxOf(src, "event_id").get.asInstanceOf[Long]
-        val sink = src.where(col("event_id") <= maxId - 100) // pre-existing warehouse state
+        // pre-existing warehouse state; an EMPTY source has no watermark to
+        // carve a stale sink from — the fixture degrades to an empty sink
+        // (the engine itself already handles None watermarks)
+        val sink = Watermark.maxOf(src, "event_id") match {
+          case Some(maxId) =>
+            src.where(col("event_id") <= maxId.asInstanceOf[Long] - 100)
+          case None => src.limit(0)
+        }
         val result = engine.sync(src, Some(sink), SyncStrategy.AppendOnly("event_id"))
         result.table.select(col("event_id"), usec(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))
@@ -896,11 +904,17 @@ object Relational {
       (s, d) => {
         val engine = new SyncEngine(s)
         val src = t(s, d, "events")
-        val maxTs = Watermark.maxOf(src, "ts").get.asInstanceOf[java.sql.Timestamp]
-        val boundary = java.sql.Timestamp.from(
-          maxTs.toInstant.minus(java.time.Duration.ofDays(1)))
-        val sink = src.where(col("ts") < lit(boundary))
-          .withColumn("value", col("value") - 5) // stale values to be overwritten
+        // stale-sink fixture; empty source → empty sink, same degradation
+        // as sync_append_e2e
+        val sink = Watermark.maxOf(src, "ts") match {
+          case Some(maxTs) =>
+            val boundary = java.sql.Timestamp.from(
+              maxTs.asInstanceOf[java.sql.Timestamp].toInstant
+                .minus(java.time.Duration.ofDays(1)))
+            src.where(col("ts") < lit(boundary))
+              .withColumn("value", col("value") - 5) // stale values to be overwritten
+          case None => src.limit(0)
+        }
         val result = engine.sync(src, Some(sink), SyncStrategy.Upsert("event_id", "ts"))
         result.table.select(col("event_id"), usec(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))

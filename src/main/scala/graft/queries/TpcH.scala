@@ -303,7 +303,11 @@ object TpcH {
         val stats = cu.where(col("c_acctbal") > 0)
           .agg(sum(col("bal_cents")).as("total"), count(lit(1)).as("cnt"))
           .head()
-        val (total, cnt) = (stats.getLong(0), stats.getLong(1))
+        // empty customer table: sum is NULL — degrade to (0, 0) so the
+        // threshold predicate selects nothing, matching the oracle's
+        // NULL-comparison result
+        val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        val cnt = stats.getLong(1)
         val recent = t(s, d, "orders")
           .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
           .select("o_custkey")
