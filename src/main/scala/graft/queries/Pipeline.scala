@@ -135,6 +135,25 @@ object Pipeline {
   private val bucket8Sql = (0 until 4).map(j =>
     s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+  /** Query-sample bound shared by the default ANN path and its recall
+    * monitor: `graft.ann.recallQueries` (default 10) — the knob a
+    * production deployment turns to scale the brute-force truth side's
+    * cost (the expensive half of recall monitoring grows linearly with
+    * it). The DuckDB oracles pin the DEFAULT; a non-default value is a
+    * deployment knob, not an oracle-checked shape. Truth and approx sides
+    * read the same bound, so the recall join can never compare different
+    * query samples. */
+  private[graft] def recallQueryBound(s: SparkSession): Long =
+    s.conf.getOption("graft.ann.recallQueries").map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.ann.recallQueries must be a positive integer, got '$v'")
+      }
+      require(n >= 1,
+        s"graft.ann.recallQueries must be a positive integer, got '$v'")
+      n
+    }.getOrElse(10L)
+
   /** The default ANN path (x_ann_ivf): data-derived 16-cell sign-LSH
     * quantizer + 4-probe multi-probe — shared with x_ann_recall so the
     * measured index and the monitored index can never diverge. */
@@ -143,7 +162,8 @@ object Pipeline {
     val withCell = e.select(col("vec_id"), col("embedding"),
       Similarity.signLshBucket(
         Similarity.quantize(col("embedding")), 0 until 4, 8).as("cell"))
-    Similarity.ivfMultiProbeTopK(withCell.where(col("vec_id") < 10),
+    Similarity.ivfMultiProbeTopK(
+      withCell.where(col("vec_id") < recallQueryBound(s)),
       withCell, "vec_id", "embedding", "cell", 3, 4)
   }
 
@@ -236,7 +256,12 @@ object Pipeline {
       .select(concat(lit(" "),
         concat_ws(" ", TextAnalysis.tokens(col("text"))), lit(" ")).as("s"))
     val driverMaxBytes = s.conf.getOption("graft.bpe.driverMaxBytes")
-      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+      .map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.bpe.driverMaxBytes must be a byte count in decimal, got '$v'")
+        }
+      }.getOrElse(64L * 1024 * 1024)
     val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val tableBytes = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(path).getLength
@@ -348,7 +373,11 @@ object Pipeline {
         .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
         .agg(count(lit(1)).as("n"))
         .select(concat_ws(" ", col("t1"), col("t2")).as("pair"), col("n"))
-        .orderBy(desc("n"), asc("pair")).limit(1).head()
+        .orderBy(desc("n"), asc("pair")).limit(1).collect().headOption
+        // same documented failure as the driver path's require — a
+        // pair-less corpus must not surface as a bare NoSuchElementException
+        .getOrElse(throw new IllegalArgumentException(
+          s"bpe round $r: corpus has no adjacent token pairs left to merge"))
       val (pair, n) = (top.getString(0), top.getLong(1))
       cur = cur.select(org.apache.spark.sql.functions.replace(col("s"),
         lit(" " + pair + " "),
@@ -689,8 +718,9 @@ object Pipeline {
     //    artifact ("measure, don't guess" as a product surface). Both
     //    sides are deterministic integer math, so per-query recall is
     //    oracle-checkable; at scale the brute-force side runs on a query
-    //    SAMPLE (here the same 10-query probe set) — the standard recall
-    //    estimator an index deployment monitors ──────────────────────────
+    //    SAMPLE (`graft.ann.recallQueries`, default 10 — the deployment's
+    //    cost knob) — the standard recall estimator an index deployment
+    //    monitors ─────────────────────────────────────────────────────────
     "x_ann_recall" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -698,7 +728,8 @@ object Pipeline {
         // BOTH the hits join and the qid list — repo convention for
         // shared frames (see rarityScores)
         val truth = graft.operators.CacheRegistry.register(
-          Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+          Similarity.bruteForceTopK(
+            e.where(col("vec_id") < recallQueryBound(s)), e,
             "vec_id", "embedding", 3).select(col("qid"), col("nid"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val approx = annIvfDefault(s, d).select(col("qid"), col("nid"))
@@ -726,8 +757,13 @@ object Pipeline {
         |  CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / 3 AS recall_at_3
         |FROM qs LEFT JOIN hits ON hits.qid = qs.qid""".stripMargin)),
 
-    // ── Similarity: ANN over DATA-DERIVED LSH cells (no given label —
-    //    the coarse quantizer is the sign-LSH bucket itself) ────────────────
+    // ── Similarity: INSTRUCTIONAL BASELINE — do not pick this by name for
+    //    production lookups; the default ANN path is `x_ann_ivf` (recall@3
+    //    0.67 vs 0.17 here at sf0.01). ANN over DATA-DERIVED LSH cells
+    //    with a SINGLE probe (the coarse quantizer is the sign-LSH bucket
+    //    itself). Kept as the documented lesson that one probe is never
+    //    enough at a cell boundary — the default path is this same
+    //    quantizer family plus 4-probe selection. ─────────────────────────
     "x_ann_lsh" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -792,9 +828,14 @@ object Pipeline {
         |  ORDER BY dist_q, ccell) AS rn FROM sc)
         |SELECT id, seed_cell, ccell AS new_cell, dist_q FROM r WHERE rn = 1""".stripMargin)),
 
-    // ── Similarity: multi-probe IVF top-3 — each query probes its 2
-    //    nearest cells by centroid distance (recall the single-cell probe
-    //    loses at the boundary), then an equi-join on the probed cell ─────
+    // ── Similarity: INSTRUCTIONAL BASELINE — do not pick this by name for
+    //    production lookups; the default ANN path is `x_ann_ivf` (recall@3
+    //    0.67 vs 0.30 here at sf0.01). Multi-probe IVF top-3 over
+    //    CLASS-LABEL cells: each query probes its 2 nearest cells by
+    //    centroid distance. Kept as the documented lesson that
+    //    distance-based probing rescues even a geometry-free partition —
+    //    and that the partition itself must be data-derived (x_ann_ivf)
+    //    or trained (x_ann_ivf_trained) to go further. ────────────────────
     "x_ann_ivf_multiprobe" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -1528,6 +1569,31 @@ object Pipeline {
     //    gap, session end = last event + gap ───────────────────────────────
     "stream_sessionize" -> Q(
       (s, d) => graft.streaming.StreamingSync.sessionizedCounts(s, d, 30),
+      Some("""WITH g AS (
+        |  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, cents,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+        |       epoch_us(max(ts)) + 1800000000 AS sess_end_us,
+        |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, sid""".stripMargin)),
+
+    // ── Structured Streaming: the WATERMARKED append-mode sessionization,
+    //    oracle-checked as data — a far-future sentinel batch pushes the
+    //    final watermark past every real session's end, so the append sink
+    //    holds exactly the sessions the watermark closed (= all of them),
+    //    each emitted once. Same oracle as stream_sessionize ─────────────────
+    "stream_sessionize_wm" -> Q(
+      (s, d) => graft.streaming.StreamingSync.sessionizedCountsClosed(s, d, 30),
       Some("""WITH g AS (
         |  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS cents,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -50,6 +50,13 @@ object StreamingSync {
       if (k.startsWith("graft.stream.")) s.conf.set(k, v)
     }
     s.conf.set("spark.sql.shuffle.partitions", n)
+    // recentProgress is a ring buffer (default 100 entries): a backfill
+    // draining in more micro-batches than that would silently drop its
+    // early batches from the lastRunProgress observability hook. 10k
+    // progress objects ≈ a few tens of MB — bounded, and far past any
+    // AvailableNow drain the operators run. (Row COUNTS never depend on
+    // this buffer — incrementalFileSync accumulates them via a listener.)
+    s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     s
   }
 
@@ -223,6 +230,67 @@ object StreamingSync {
       runAppendSink(ss, agg, base, "graft_stream_sessionize")
     else runToChangelog(agg, base, "graft_stream_sessionize",
       Seq("user_id", "sess_start_us"), outputMode = "complete")
+  }
+
+  /** The watermarked APPEND-mode sessionization made oracle-checkable —
+    * the production mode's exactly-once contract as DATA, not just state
+    * metrics (StreamingSpec pins `numRowsRemoved > 0` separately; this is
+    * the CORRECTNESS-gate twin).
+    *
+    * Staging: the real events are batch 1; a single far-future SENTINEL
+    * event (user_id = -1, ts = 2035-01-01) is batch 2, drained one file
+    * per trigger. After the sentinel batch the watermark stands past every
+    * real session's end, so the drain's trailing batches emit and evict
+    * ALL real sessions exactly once — the append-mode sink then equals
+    * the batch gaps-and-islands sessionization of the real events ("the
+    * sessions the final watermark closed" = all of them, by
+    * construction). The sentinel's own session is still open at drain end
+    * and never emits; it is filtered defensively anyway.
+    */
+  def sessionizedCountsClosed(spark: SparkSession, sfDir: String,
+                              gapMinutes: Int = 30): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "sesswm")
+    val ev = graft.io.Tables.table(ss, sfDir, "events")
+    val srcDir = new java.io.File(s"$base/src")
+    java.nio.file.Files.createDirectories(srcDir.toPath)
+    // mtime order IS the batch order for the file source (same staging
+    // discipline as StreamingSpec.stageBatchFile)
+    def stage(rows: DataFrame, name: String, mtime: Long): Unit = {
+      val stagePath = s"$base/stage_$name"
+      rows.coalesce(1).write.mode("overwrite").parquet(stagePath)
+      val part = new java.io.File(stagePath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+    }
+    val sentinel = ss.range(1).select(ev.schema.fields.map { f =>
+      (f.name, f.dataType) match {
+        case ("ts", dt) =>
+          to_timestamp(lit("2035-01-01 00:00:00")).cast(dt).as("ts")
+        case ("user_id", dt) => lit(-1L).cast(dt).as("user_id")
+        case ("event_id", dt) => lit(-1L).cast(dt).as("event_id")
+        case (n, dt) => lit(null).cast(dt).as(n)
+      }
+    }.toSeq: _*)
+    val now = System.currentTimeMillis()
+    stage(ev, "b1", now - 120000)
+    stage(sentinel, "b2", now)
+
+    val agg = ss.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withWatermark("ts", "1 minute")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"), col("cents"))
+    runAppendSink(ss, agg, base, "graft_stream_sessionize_wm")
+      .where(col("user_id") =!= -1L)
   }
 
   /** Running per-user state carried by the engine's own state store
@@ -405,8 +473,12 @@ object StreamingSync {
     if (!sinkExists(ss, sinkDir)) emptyLike(ss, df.schema)
     else try ss.read.parquet(sinkDir)
     catch {
+      // stable error class first (survives message rewording across Spark
+      // upgrades); English-text check kept only as a fallback for builds
+      // that throw this case without a condition set
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("infer schema") =>
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+            (e.getCondition == null && e.getMessage.contains("infer schema")) =>
         emptyLike(ss, df.schema)
     }
   }
@@ -550,16 +622,48 @@ object StreamingSync {
     val reader = spark.readStream.schema(schema)
     spark.conf.getOption("graft.stream.maxFilesPerTrigger")
       .foreach(reader.option("maxFilesPerTrigger", _))
-    val q = reader.parquet(srcDir)
-      .writeStream
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    _lastRunProgress.set(q.recentProgress)
-    q.recentProgress.map(_.numInputRows).sum
+
+    // The returned synced-row count is accumulated per batch by a
+    // listener, NOT summed off q.recentProgress — that is a ring buffer
+    // (spark.sql.streaming.numRecentProgressUpdates, default 100) and a
+    // backfill draining in more micro-batches than the cap would silently
+    // undercount. The listener buffers (runId, rows) for every event it
+    // sees and sums this query's runId after its terminated event, so no
+    // attach-before-start race and no cross-query bleed; the listener bus
+    // is FIFO, so observing the terminated event guarantees every earlier
+    // progress event for this run was already delivered.
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(java.util.UUID, Long)]
+    val terminated = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Boolean]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        seen.add((e.progress.runId, e.progress.numInputRows))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        terminated.put(e.runId, true)
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = reader.parquet(srcDir)
+        .writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      _lastRunProgress.set(q.recentProgress)
+      // bounded wait for the async bus to deliver this run's terminated
+      // event (and with it, FIFO, all of its progress events)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!terminated.containsKey(q.runId) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      require(terminated.containsKey(q.runId),
+        s"streaming listener bus did not deliver termination of run ${q.runId} " +
+          "within 30s — synced-row count would be unreliable")
+      import scala.jdk.CollectionConverters._
+      seen.asScala.collect { case (id, n) if id == q.runId => n }.sum
+    } finally spark.streams.removeListener(listener)
   }
 }

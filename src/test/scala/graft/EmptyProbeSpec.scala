@@ -59,5 +59,29 @@ class EmptyProbeSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("no adjacent token pairs"),
         s"$n must fail with the documented message, got: ${ex.getMessage}")
     }
+
+    // ...and the DISTRIBUTED BPE path (size gate forced off) must fail with
+    // the SAME documented exception, not a bare NoSuchElementException from
+    // an empty top-pair aggregation
+    spark.conf.set("graft.bpe.driverMaxBytes", "0")
+    try requiresNonEmpty.foreach { n =>
+      val ex = intercept[IllegalArgumentException] {
+        SparkEntry.queries(n)(spark, sf).count()
+      }
+      assert(ex.getMessage.contains("no adjacent token pairs"),
+        s"$n (distributed path) must fail with the documented message, " +
+          s"got: ${ex.getMessage}")
+    } finally spark.conf.unset("graft.bpe.driverMaxBytes")
+
+    // a malformed size-gate conf names the key instead of a raw
+    // NumberFormatException at query-build time
+    spark.conf.set("graft.bpe.driverMaxBytes", "64MB")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        SparkEntry.queries("x_bpe_merges")(spark, sf).count()
+      }
+      assert(ex.getMessage.contains("graft.bpe.driverMaxBytes"),
+        s"error must name the conf key, got: ${ex.getMessage}")
+    } finally spark.conf.unset("graft.bpe.driverMaxBytes")
   }
 }

@@ -111,6 +111,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh >= 0.10, f"data-derived LSH-cell recall@3 regressed: $lsh%.2f")
   }
 
+  test("trained quantizer pays off on clustered geometry: recall@3 >= 0.9 " +
+    "probing 2/16 cells") {
+    // The sf-corpus floors above are bounded by ISOTROPIC geometry (recall
+    // ∝ probe fraction for any quantizer there). This plants structure —
+    // 8 well-separated axis clusters of 30 vectors each, noise ±0.05 —
+    // and asserts the same train-then-multi-probe machinery that yields
+    // 0.55 on noise reaches near-perfect recall probing only 2 of 16
+    // cells when geometry allows: the index pays for itself exactly when
+    // structure exists, which is the claim a user buys an IVF index for.
+    val rnd = new scala.util.Random(42)
+    val kClusters = 8; val perCluster = 30; val dim = 16
+    val rows = for (c <- 0 until kClusters; j <- 0 until perCluster) yield {
+      val id = (c * perCluster + j).toLong
+      val v = Array.tabulate(dim)(i =>
+        (if (i == c) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (id, v, c.toLong)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val isQuery = col("vec_id") % perCluster === 0 // one query per cluster
+
+    val cells = Similarity.kmeansIterations(df, "vec_id", "embedding",
+      iters = 2).select(col("id").as("vec_id"), col("cell"))
+    val indexed = df.join(cells, "vec_id")
+    assert(indexed.select("cell").distinct().count() <= 16,
+      "4-bit seeded quantizer must train at most 16 cells")
+
+    val truth = Similarity.bruteForceTopK(
+      df.where(isQuery), df, "vec_id", "embedding", k = 3)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = Similarity.ivfMultiProbeTopK(
+      indexed.where(isQuery), indexed, "vec_id", "embedding", "cell",
+      k = 3, nprobe = 2)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
+    val recall = per.sum / per.size
+    info(f"planted-cluster recall@3 = $recall%.2f over ${truth.size} queries")
+    assert(recall >= 0.9,
+      f"trained quantizer must reach recall@3 >= 0.9 on clustered " +
+        f"geometry probing 2/16 cells, got $recall%.2f")
+  }
+
   test("quantization is exact at 1e-6 resolution") {
     val q = Seq((1L, Array(0.123456f, -1.5f)))
       .toDF("id", "v")

@@ -43,6 +43,10 @@ class StreamingSpec extends AnyFunSuite {
       .windowedEventCounts(spark, sf).isEmpty)
     assert(graft.streaming.StreamingSync
       .sessionizedCounts(spark, sf).isEmpty)
+    // the watermarked-run twin: only its sentinel batch has rows, whose
+    // session stays open — zero-row append sink degrades to the empty frame
+    assert(graft.streaming.StreamingSync
+      .sessionizedCountsClosed(spark, sf).isEmpty)
     val dedup = graft.streaming.StreamingSync
       .streamingDedup(spark, sf, Seq("user_id"))
     assert(dedup.isEmpty && dedup.columns.toSeq == Seq("user_id"))
