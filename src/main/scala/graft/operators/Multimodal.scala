@@ -100,8 +100,12 @@ object Multimodal {
   def decodePayload(spark: SparkSession, df: DataFrame, idCol: String,
                     payloadCol: String): DataFrame = {
     import spark.implicits._
+    // NULL payloads drop like every SQL-side operator (same contract as
+    // frameFeatures — an unguarded bytes.length would NPE the task where
+    // an oracle's WHERE just omits the row)
     val src = df.select(col(idCol).cast("long").as("doc_id"),
       col(payloadCol).cast("binary").as("payload"))
+      .where(col("payload").isNotNull)
     src.as[(Long, Array[Byte])].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no disk-backed temp cache
       val md = java.security.MessageDigest.getInstance("MD5")
