@@ -254,16 +254,26 @@ object StreamingSync {
     val ev = graft.io.Tables.table(ss, sfDir, "events")
     val srcDir = new java.io.File(s"$base/src")
     java.nio.file.Files.createDirectories(srcDir.toPath)
-    // mtime order IS the batch order for the file source (same staging
-    // discipline as StreamingSpec.stageBatchFile)
+    // The real events keep their natural write parallelism (no
+    // coalesce(1) choke point) and the drain takes EVERYTHING — sentinel
+    // included — in one data batch: late filtering uses the PREVIOUS
+    // batch's watermark, unset in batch 1, so nothing drops regardless of
+    // file order; the batch itself advances the watermark past every real
+    // session's end and the trailing no-data batch emits + evicts them
+    // all. One data batch + one flush batch, minimal micro-batch count.
+    // (mtimes are still staggered so a future per-file trigger cap cannot
+    // put the sentinel FIRST, where its watermark would late-drop every
+    // real event.)
     def stage(rows: DataFrame, name: String, mtime: Long): Unit = {
       val stagePath = s"$base/stage_$name"
-      rows.coalesce(1).write.mode("overwrite").parquet(stagePath)
-      val part = new java.io.File(stagePath).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(srcDir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+      rows.write.mode("overwrite").parquet(stagePath)
+      new java.io.File(stagePath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (part, i) =>
+            val dst = new java.io.File(srcDir, s"${name}_$i.parquet")
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+        }
     }
     val sentinel = ss.range(1).select(ev.schema.fields.map { f =>
       (f.name, f.dataType) match {
@@ -278,8 +288,7 @@ object StreamingSync {
     stage(ev, "b1", now - 120000)
     stage(sentinel, "b2", now)
 
-    val agg = ss.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val agg = ss.readStream.schema(ev.schema).parquet(srcDir.toString)
       .withWatermark("ts", "1 minute")
       .where(col("user_id").isNotNull && col("ts").isNotNull)
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))

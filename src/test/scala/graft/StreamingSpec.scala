@@ -52,6 +52,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(dedup.isEmpty && dedup.columns.toSeq == Seq("user_id"))
   }
 
+  test("session_window merges at the EXACT gap boundary (oracle contract)") {
+    import spark.implicits._
+    // Both session oracles (stream_sessionize, stream_sessionize_wm) break
+    // sessions on diff > gap — i.e. an event landing exactly gap after the
+    // previous one MERGES. Spark's session_window agrees today (merge on
+    // touch, not just overlap); a Spark upgrade that flips to an
+    // exclusive end would silently diverge from the oracles at exact-gap
+    // boundaries — this pins it.
+    val atGap = Seq(
+      (1L, java.sql.Timestamp.valueOf("2000-01-01 12:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2000-01-01 12:30:00")))
+      .toDF("user_id", "ts")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(atGap.length == 1 && atGap.head.getLong(2) == 2L,
+      "events exactly gap apart must merge into one session")
+    val pastGap = Seq(
+      (1L, java.sql.Timestamp.valueOf("2000-01-01 12:00:00")),
+      (1L, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2000-01-01 12:30:00").getTime + 1)))
+      .toDF("user_id", "ts")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(pastGap.length == 2,
+      "events strictly past the gap must split into two sessions")
+  }
+
+  test("session_window equals gaps-and-islands on randomized event sets " +
+    "(generative law)") {
+    import spark.implicits._
+    // The oracle chain rests on two equivalences: stream ≡ batch
+    // session_window (corpus tests) and session_window ≡ the SQL
+    // gaps-and-islands idiom (this law). Randomized inputs are biased to
+    // 15-minute multiples so exact-gap boundaries (the merge-on-touch
+    // corner pinned above) occur constantly, not never.
+    val gapUs = 30L * 60 * 1000000
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime
+      val rows = for {
+        u <- 1L to (1 + rnd.nextInt(3)).toLong
+        _ <- 0 until rnd.nextInt(20)
+      } yield (u, new java.sql.Timestamp(
+        t0 + rnd.nextInt(40) * 15L * 60 * 1000)) // 15-min grid, 10h span
+      if (rows.nonEmpty) {
+        val ev = rows.toDF("user_id", "ts")
+        val viaWindow = ev
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("s"),
+            unix_micros(col("session_window.end")).as("e"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        val viaIslands = ev
+          .withColumn("brk", when(col("ts").isNull.or(
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              <= gapUs), lit(0)).otherwise(lit(1)))
+          .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull, lit(1))
+            .otherwise(col("brk")))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(unix_micros(min(col("ts"))).as("s"),
+            (unix_micros(max(col("ts"))) + gapUs).as("e"),
+            count(lit(1)).as("n"))
+          .select("user_id", "s", "e", "n")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(viaWindow == viaIslands,
+          s"seed $seed: session_window ${viaWindow.size} sessions != " +
+            s"islands ${viaIslands.size}:\n  only-window: " +
+            s"${(viaWindow -- viaIslands).take(3)}\n  only-islands: " +
+            s"${(viaIslands -- viaWindow).take(3)}")
+      }
+    }
+  }
+
   test("windowed stream agg equals batch groupBy at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync
