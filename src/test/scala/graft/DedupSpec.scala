@@ -31,6 +31,48 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == 4, "4 distinct fingerprints")
   }
 
+  test("minhash signature match rate estimates true shingle Jaccard " +
+    "(accuracy law)") {
+    // The LSH machinery is only as good as the estimator under it:
+    // E[matching components / k] = J(shingles_a, shingles_b). Build 20
+    // doc pairs with CONTROLLED overlap (shared prefix of a generated
+    // vocabulary), compute the exact 3-gram Jaccard in plain Scala (the
+    // same sliding window as shinglesFromTokens), and check the 16-hash
+    // estimate per pair (binomial, sd ≈ 0.125) and its mean bias.
+    val rnd = new scala.util.Random(7)
+    def word(i: Int) = s"w${i}x${rnd.nextInt(10)}"
+    val pairs = (0 until 20).map { p =>
+      val vocab = Vector.tabulate(40)(i => word(p * 100 + i))
+      val shared = 5 + rnd.nextInt(30) // tokens 0..shared-1 shared
+      val a = vocab.take(35)
+      val b = vocab.take(shared) ++ Vector.tabulate(35 - shared)(i =>
+        word(p * 100 + 50 + i))
+      (p, a.mkString(" "), b.mkString(" "))
+    }
+    def shingleSet(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docsAB = pairs.flatMap { case (p, a, b) =>
+      Seq((p * 2L, a), (p * 2L + 1, b)) }.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docsAB, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (0 until 16).map(i => r.getInt(i + 1))).toMap
+    val errs = pairs.map { case (p, a, b) =>
+      val sa = shingleSet(a); val sb = shingleSet(b)
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      val est = sig(p * 2L).lazyZip(sig(p * 2L + 1))
+        .count { case (x, y) => x == y } / 16.0
+      assert(math.abs(est - j) <= 0.35,
+        f"pair $p: estimate $est%.2f far from true J $j%.2f")
+      est - j
+    }
+    val bias = errs.sum / errs.size
+    assert(math.abs(bias) <= 0.08,
+      f"minhash estimator is biased: mean(est - J) = $bias%.3f over 20 pairs")
+  }
+
   test("minhash candidates find the planted near-dup pair without cross join") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

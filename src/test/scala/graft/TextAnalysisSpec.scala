@@ -12,6 +12,23 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("repetition ratio: repeated trigrams counted beyond first occurrence") {
+    val sf = TestSpark.tmpDir("repratio")
+    Seq(
+      (1L, "a b a b a b a b", "en", "s", 15L), // trigrams: "a b a"×3, "b a b"×3
+      (2L, "t1 t2 t3 t4 t5", "en", "s", 14L),  // all distinct
+      (3L, "x y", "en", "s", 3L))               // <3 tokens → no trigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val out = SparkEntry.queries("x_repetition_ratio")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 4L, 4.0 / 6)),
+      s"looping doc: 6 trigrams, 4 repeats, got ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.0)), s"distinct doc, got ${out(2L)}")
+    assert(!out.contains(3L), "sub-trigram docs drop like the oracle")
+  }
+
   test("token counts: whitespace vs BPE-ish subword") {
     val out = Seq((1L, "Hello world, it's 42 degrees!"))
       .toDF("doc_id", "text")
