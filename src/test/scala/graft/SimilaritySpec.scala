@@ -155,6 +155,25 @@ class SimilaritySpec extends AnyFunSuite {
         f"geometry probing 2/16 cells, got $recall%.2f")
   }
 
+  test("graft.ann.recallQueries scales the recall monitor's truth side") {
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("graft.ann.recallQueries", "3")
+    try {
+      val qids = SparkEntry.queries("x_ann_recall")(spark, sf)
+        .select("qid").distinct().collect().map(_.getLong(0)).toSet
+      assert(qids == Set(0L, 1L, 2L),
+        s"truth side must sample exactly vec_id < 3, got $qids")
+    } finally spark.conf.unset("graft.ann.recallQueries")
+    spark.conf.set("graft.ann.recallQueries", "not-a-number")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        SparkEntry.queries("x_ann_recall")(spark, sf).count()
+      }
+      assert(ex.getMessage.contains("graft.ann.recallQueries"),
+        s"error must name the conf key, got: ${ex.getMessage}")
+    } finally spark.conf.unset("graft.ann.recallQueries")
+  }
+
   test("quantization is exact at 1e-6 resolution") {
     val q = Seq((1L, Array(0.123456f, -1.5f)))
       .toDF("id", "v")
