@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Compare two bench JSON artifacts per query and flag real regressions.
+
+Usage: python3 tools/bench_compare.py OLD.json NEW.json [ratio]
+
+Reads the per-query map from each file -- `queries` holds medians in the
+median-of-N format (r8+); older single-shot artifacts hold one sample,
+which this treats as a (noisy) median. Queries are compared as
+new_median / old_median and reported when the ratio exceeds the threshold
+(default 2.0) in either direction.
+
+bench.var.json documents that single-shot totals on this host span 1x-7x
+under contention with ~20x single-query spikes, so for pre-r8 artifacts a
+flagged ratio is a *lead*, not a verdict: re-run the flagged query with
+SPARK_GRAFT_BENCH_ONLY and compare medians before concluding anything.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    # driver-side BENCH_r{N}.json wraps the bench line under "parsed"
+    # (and only carries the ~30-query headline subset that fits its tail
+    # window); builder-side bench.json is the full flat line
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        return d["parsed"]
+    return d
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(oq) & set(nq))
+    flagged = []
+    for q in shared:
+        if oq[q] <= 0 or nq[q] <= 0:
+            continue
+        r = nq[q] / oq[q]
+        if r >= ratio or r <= 1 / ratio:
+            flagged.append((r, q, oq[q], nq[q]))
+    flagged.sort(reverse=True)
+    print(f"old: {sys.argv[1]}  total={old.get('value')}  "
+          f"agg={old.get('agg', 'single-shot')}  n={len(oq)}")
+    print(f"new: {sys.argv[2]}  total={new.get('value')}  "
+          f"agg={new.get('agg', 'single-shot')}  n={len(nq)}")
+    print(f"shared queries: {len(shared)}  threshold: {ratio}x\n")
+    for r, q, a, b in flagged:
+        direction = "SLOWER" if r > 1 else "faster"
+        print(f"  {q:36s} {a:8.3f}s -> {b:8.3f}s  ({r:5.2f}x {direction})")
+    if not flagged:
+        print("  no per-query change beyond threshold")
+    only_new = sorted(set(nq) - set(oq))
+    if only_new:
+        print(f"\nnew-only queries: {', '.join(only_new)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
