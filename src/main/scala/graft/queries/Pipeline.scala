@@ -940,41 +940,39 @@ object Pipeline {
     // ── Text quality: repeated-3-gram ratio — the duplicate-n-gram filter
     //    large-corpus curation uses to drop boilerplate/looping text (a doc
     //    whose trigrams mostly repeat is template or degenerate output).
-    //    Shape at scale: explode to (doc, gram) — a 3× narrow map — then
-    //    one shuffle keyed by (doc_id, gram) (high-cardinality key, no hot
-    //    spot), then a per-doc re-agg. Docs under 3 tokens have no
-    //    trigrams and drop, same as the oracle's empty generate_series ───
+    //    Since Σ_gram (count − 1) = total − distinct, the whole signal is
+    //    one per-row expression (size + array_distinct over the trigram
+    //    array): NO explode, NO shuffle — a narrow codegen map over the
+    //    corpus, the plan you want at 100 TB (the explode→groupBy×2
+    //    formulation pays two shuffles for the same numbers). Docs under
+    //    3 tokens have no trigrams and drop on both sides ────────────────
     "x_repetition_ratio" -> Q(
       (s, d) => {
         val l = TextAnalysis.tokens(col("text"))
+        val grams = transform(sequence(lit(1), size(col("l")) - 2),
+          i => concat_ws(" ", element_at(col("l"), i),
+            element_at(col("l"), i + 1), element_at(col("l"), i + 2)))
         t(s, d, "documents")
           .select(col("doc_id"), l.as("l"))
           .where(size(col("l")) >= 3)
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("l")) - 2),
-              i => concat_ws(" ", element_at(col("l"), i),
-                element_at(col("l"), i + 1),
-                element_at(col("l"), i + 2)))).as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id").agg(
-            sum(col("n")).as("n_grams"),
-            sum(col("n") - 1).as("n_repeated"))
-          .select(col("doc_id"),
-            col("n_grams").cast("long").as("n_grams"),
-            col("n_repeated").cast("long").as("n_repeated"),
+            (size(col("l")) - 2).cast("long").as("n_grams"),
+            (size(col("l")) - 2 - size(array_distinct(grams)))
+              .cast("long").as("n_repeated"))
+          .select(col("doc_id"), col("n_grams"), col("n_repeated"),
             (col("n_repeated").cast("double") / col("n_grams"))
               .as("rep_ratio"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
         |  FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2),
-        |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
-        |  FROM t WHERE len(l) >= 3),
-        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
-        |  CAST(sum(n - 1) AS BIGINT) AS n_repeated,
-        |  CAST(sum(n - 1) AS DOUBLE) / sum(n) AS rep_ratio
-        |FROM c GROUP BY doc_id""".stripMargin)),
+        |g AS (SELECT doc_id, len(l) - 2 AS n_grams,
+        |  len(l) - 2 - len(list_distinct(list_transform(generate_series(1, len(l) - 2),
+        |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS n_repeated
+        |  FROM t WHERE len(l) >= 3)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_repeated AS BIGINT) AS n_repeated,
+        |  CAST(n_repeated AS DOUBLE) / n_grams AS rep_ratio
+        |FROM g""".stripMargin)),
 
     // ── Skew-safe exact distinct: two-phase salted aggregation. Phase 1
     //    groups by (lang, salt(token)) so a hot language key spreads over 8
