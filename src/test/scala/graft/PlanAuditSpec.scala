@@ -134,6 +134,33 @@ class PlanAuditSpec extends AnyFunSuite {
         missing.mkString(", "))
   }
 
+  test("per-row operators stay shuffle-free: zero Exchange in the plan") {
+    // These queries are pure scan → narrow map (+ optional filter/union):
+    // per-row text features, multimodal decode, chunking, split
+    // assignment, scalar functions, watermark-filtered scans. At 100 TB a
+    // single accidental Exchange in one of these turns a streaming-friendly
+    // map into a corpus-wide shuffle — the regression this pins out.
+    // (Deliberately absent: size-gated operators like x_bpe_merges /
+    // x_dedup_clusters, whose sf0.001 plans are driver fast paths, and
+    // aggregations/joins whose shuffles are the algorithm.)
+    val narrowByDesign = Seq(
+      "s1_scan_project", "p2_projection", "p3_watermark_pk",
+      "p4_watermark_lm", "p7_like", "u1_union_all",
+      "f1_best_effort_ts", "f8_json_extract", "f9_null_safe_eq",
+      "f10_from_json", "f11_datetime", "f12_string_funcs", "f13_math_funcs",
+      "x_lang_id", "x_quality", "x_quality_flags", "x_token_count",
+      "x_repetition", "x_repetition_ratio", "x_fingerprint",
+      "x_normalize_text", "x_redact_pii", "x_chunk_docs", "x_split_assign",
+      "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
+      "x_multimodal_frames")
+    val shuffling = narrowByDesign.filter { name =>
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString.contains("Exchange")
+    }
+    assert(shuffling.isEmpty,
+      s"per-row operators gained a shuffle: ${shuffling.mkString(", ")}")
+  }
+
   test("partitioned layout scan prunes to the filtered partition directory") {
     val df = SparkEntry.queries("s5_partitioned_prune")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString
