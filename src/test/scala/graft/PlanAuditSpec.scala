@@ -161,6 +161,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-row operators gained a shuffle: ${shuffling.mkString(", ")}")
   }
 
+  test("flagship aggregations stay within their shuffle budget") {
+    // Ceilings = the current known-good plans (probed at sf0.001): one
+    // hash-partition exchange for the single-groupBy/window family; +1
+    // range exchange where the query ends in ORDER BY; a few more for the
+    // genuinely multi-stage pipelines. A regression that doubles a
+    // shuffle (lost partial aggregation, a join that stopped
+    // broadcasting and re-partitioned both sides, a projection that
+    // broke window/groupBy key reuse) fails here before it costs hours
+    // at 100 TB.
+    val budget = Map(
+      "x_dedup_exact" -> 1, "w1_rownum_dedup" -> 1, "x_cap_per_source" -> 1,
+      "x_sample_stratified" -> 1, "x_top_tokens" -> 1,
+      "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
+      "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
+      "x_decontaminate" -> 4)
+    val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val n = "Exchange".r.findAllIn(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString).size
+      if (n > cap) Some(s"$name: $n exchanges > budget $cap") else None
+    }
+    assert(over.isEmpty, s"shuffle-budget regressions:\n  ${over.mkString("\n  ")}")
+  }
+
   test("partitioned layout scan prunes to the filtered partition directory") {
     val df = SparkEntry.queries("s5_partitioned_prune")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString
