@@ -67,6 +67,41 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Character-n-gram markers per language — the classic profile-overlap
+    * language-ID heuristic, working at the SUBSTRING level so it needs no
+    * tokenizer (robust to scripts without whitespace, unlike the
+    * word-marker [[langId]]). Grams are space-padded where they mark word
+    * boundaries. */
+  val NGRAM_MARKERS: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", "ing "),
+    "de" -> Seq(" der ", " und ", "sch"),
+    "es" -> Seq(" el ", " que ", "ción"),
+    "fr" -> Seq(" le ", " et ", "eux"))
+
+  /** Language ID by character-n-gram occurrence counts: score(lang) =
+    * Σ occurrences of its marker grams, counted via the replace-length
+    * identity `(len(t) - len(replace(t, g, ''))) / len(g)` — pure scalar
+    * expressions, whole-stage codegen, no tokenization. Ties break
+    * en > de > es > fr like [[langId]]. Same honesty note as langId: the
+    * synthetic corpus's text carries no real language signal, so the
+    * corpus-level query pins determinism and shape; the crafted-sentence
+    * unit test is where the heuristic's discrimination is asserted.
+    */
+  def langIdNgram(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def occ(g: String): Column =
+      ((length(t) - length(replace(t, lit(g), lit("")))) / g.length)
+        .cast("long")
+    def score(lang: String): Column =
+      NGRAM_MARKERS(lang).map(occ).reduce(_ + _)
+    val en = score("en"); val de = score("de")
+    val es = score("es"); val fr = score("fr")
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
   /** Deterministic document fingerprint: md5 of whitespace-normalized
     * lowercase text. Identical in any engine with md5 (rolling-hash variants
     * live in Dedup.simhash).

@@ -909,6 +909,31 @@ object Pipeline {
           |FROM documents""".stripMargin
       }),
 
+    // ── Text: language ID via character-n-gram profiles — no tokenizer,
+    //    pure scalar replace-length counting (works on scripts without
+    //    whitespace); the n-gram twin of the word-marker x_lang_id ────────
+    "x_lang_id_ngram" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdNgram(col("text")).as("predicted")),
+      Some {
+        def sc(grams: Seq[String]) = grams.map { g =>
+          val e = g.replace("'", "''")
+          s"((len(t) - len(replace(t, '$e', ''))) // ${g.length})"
+        }.mkString(" + ")
+        val en = sc(TextAnalysis.NGRAM_MARKERS("en"))
+        val de = sc(TextAnalysis.NGRAM_MARKERS("de"))
+        val es = sc(TextAnalysis.NGRAM_MARKERS("es"))
+        val fr = sc(TextAnalysis.NGRAM_MARKERS("fr"))
+        s"""WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t
+          |  FROM documents)
+          |SELECT doc_id, lang,
+          |CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+          |     WHEN $de >= $es AND $de >= $fr THEN 'de'
+          |     WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS predicted
+          |FROM p""".stripMargin
+      }),
+
     // ── Text: quality facets (exact counts, single-division ratios) ────────
     "x_quality" -> Q(
       (s, d) => TextAnalysis.qualityFacets(

@@ -148,7 +148,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "p4_watermark_lm", "p7_like", "u1_union_all",
       "f1_best_effort_ts", "f8_json_extract", "f9_null_safe_eq",
       "f10_from_json", "f11_datetime", "f12_string_funcs", "f13_math_funcs",
-      "x_lang_id", "x_quality", "x_quality_flags", "x_token_count",
+      "x_lang_id", "x_lang_id_ngram", "x_quality", "x_quality_flags",
+      "x_token_count",
       "x_repetition", "x_repetition_ratio", "x_fingerprint",
       "x_normalize_text", "x_redact_pii", "x_chunk_docs", "x_split_assign",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",

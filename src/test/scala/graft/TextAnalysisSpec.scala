@@ -29,6 +29,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(3L), "sub-trigram docs drop like the oracle")
   }
 
+  test("n-gram language ID discriminates crafted sentences") {
+    val out = Seq(
+      (1L, "the cat and the dog are singing in the garden"),
+      (2L, "der hund und die katze schlafen schon in der schule"),
+      (3L, "el perro que corre y el gato que duerme en la habitación"),
+      (4L, "le chien et le chat sont heureux tous les deux"),
+      (5L, null.asInstanceOf[String])) // null text → deterministic fallback
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en", s"got ${out(1L)}")
+    assert(out(2L) == "de", s"got ${out(2L)}")
+    assert(out(3L) == "es", s"got ${out(3L)}")
+    assert(out(4L) == "fr", s"got ${out(4L)}")
+    assert(out(5L) == "fr", "null text falls through every WHEN to the " +
+      "otherwise branch — same in DuckDB's CASE")
+  }
+
   test("token counts: whitespace vs BPE-ish subword") {
     val out = Seq((1L, "Hello world, it's 42 degrees!"))
       .toDF("doc_id", "text")
