@@ -34,7 +34,8 @@ class EmptyProbeSpec extends AnyFunSuite {
       "x_dedup_simhash_pairs", "x_dedup_clusters", "x_dedup_semantic",
       "x_dedup_keep_best", "x_decontaminate", "x_ann_topk", "x_ann_ivf",
       "x_ann_ivf_trained", "x_ann_kmeans", "x_ann_lsh", "x_ann_recall",
-      "x_bpe_pair_stats", "x_lang_id", "x_quality", "x_token_count",
+      "x_bpe_pair_stats", "x_lang_id", "x_lang_id_ngram", "x_quality",
+      "x_token_count", "x_repetition_ratio",
       "x_top_tokens", "x_tfidf_top_terms", "x_chunk_docs", "x_pack_greedy",
       "x_split_assign", "x_mix_weighted", "x_redact_pii",
       "x_sample_stratified", "x_cap_per_source", "x_fingerprint",
