@@ -50,6 +50,64 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.size == 5, "every left row survives exactly once")
   }
 
+  test("generative law: both directions equal a naive per-key scan on " +
+    "random data") {
+    // Random left/right sets on a COARSE 7-slot time grid: equal-ts
+    // boundary hits, duplicate right timestamps (the max-id dedup path),
+    // keys with no right rows, and empty-side keys all occur constantly.
+    // The naive replay implements the documented contract independently:
+    // dedup right per (key, ts) by max id; backward = max ts <= l.ts,
+    // forward = min ts >= l.ts.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val leftRows = for {
+        u <- 1L to 4L
+        i <- 0 until rnd.nextInt(6)
+      } yield ((u * 100 + i), u, ts(rnd.nextInt(7) * 5))
+      val rightRows = for {
+        u <- 1L to 4L if u != 2L // key 2 never has right rows
+        i <- 0 until rnd.nextInt(6)
+      } yield ((u * 1000 + i), u, ts(rnd.nextInt(7) * 5), rnd.nextInt(100).toDouble)
+      if (leftRows.nonEmpty && rightRows.nonEmpty) {
+        val left = leftRows.toDF("event_id", "user_id", "ts")
+        val right = rightRows.toDF("event_id", "user_id", "ts", "amount")
+
+        val deduped = rightRows.groupBy(r => (r._2, r._3.getTime))
+          .map { case (_, rs) => rs.maxBy(_._1) }.toSeq
+        def naive(forward: Boolean) = leftRows.map { case (lid, u, lts) =>
+          val cands = deduped.filter(r => r._2 == u &&
+            (if (forward) r._3.getTime >= lts.getTime
+             else r._3.getTime <= lts.getTime))
+          val pick =
+            if (cands.isEmpty) None
+            else Some(if (forward) cands.minBy(_._3.getTime)
+                      else cands.maxBy(_._3.getTime))
+          lid -> pick.map(r => (r._1, math.round(r._4 * 100)))
+        }.toMap
+
+        Seq(false, true).foreach { fwd =>
+          val got = AsOf.asofJoin(left, right, Seq("user_id"), "ts",
+            "event_id", "event_id",
+            Seq("cents" -> round(col("amount") * 100).cast("long")),
+            forward = fwd)
+            .collect().map { r =>
+              r.getAs[Long]("event_id") ->
+                (Option(r.getAs[java.lang.Long]("asof_event_id")),
+                  Option(r.getAs[java.lang.Long]("asof_cents")))
+            }.toMap
+          val want = naive(fwd).view.mapValues {
+            case Some((id, c)) => (Some(id), Some(c))
+            case None => (None, None)
+          }.toMap
+          assert(got == want,
+            s"seed $seed forward=$fwd:\n  got-only: " +
+              s"${(got.toSet -- want.toSet).take(3)}\n  want-only: " +
+              s"${(want.toSet -- got.toSet).take(3)}")
+        }
+      }
+    }
+  }
+
   test("forward asofJoin picks the earliest right row at or after each left") {
     val left = Seq(
       (101L, 1L, ts(5)),   // before r1(ts 10) → matches r1
