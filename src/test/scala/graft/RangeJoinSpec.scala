@@ -37,6 +37,43 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out == Set((1L, 11L), (1L, 12L), (2L, 14L), (3L, 15L)))
   }
 
+  test("generative law: bucketed pairs equal the naive quadratic filter " +
+    "on random data") {
+    // Random timestamps around bucket edges (multiples of the window
+    // width ± small jitter) drive rows onto both sides of every bucket
+    // boundary — the exact spots a binning bug would miss or double-count.
+    // The independent truth is the literal quadratic definition.
+    import spark.implicits._
+    val before = 600L * 1000000L
+    val after = 300L * 1000000L
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val width = before + after
+      def randUs(): Long =
+        (1 + rnd.nextInt(8)) * width + (rnd.nextInt(5) - 2) * (width / 4)
+      val leftRows = for { u <- 1L to 3L; i <- 0 until rnd.nextInt(6) }
+        yield (u * 100 + i, u, randUs())
+      val rightRows = for { u <- 1L to 3L; i <- 0 until rnd.nextInt(6) }
+        yield (u * 1000 + i, u, randUs())
+      if (leftRows.nonEmpty && rightRows.nonEmpty) {
+        val got = RangeJoin.timeRangePairs(
+          leftRows.toDF("id", "user_id", "ts"),
+          rightRows.toDF("id", "user_id", "ts"),
+          Seq("user_id"), "ts", "id", "id", before, after)
+          .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+          .toSet
+        val want = (for {
+          (lid, lu, lts) <- leftRows
+          (rid, ru, rts) <- rightRows
+          if lu == ru && rts >= lts - before && rts <= lts + after
+        } yield (lid, rid)).toSet
+        assert(got == want,
+          s"seed $seed:\n  got-only: ${(got -- want).take(5)}\n  " +
+            s"want-only: ${(want -- got).take(5)}")
+      }
+    }
+  }
+
   test("Long epoch-us ts columns are used as-is (not reinterpreted as seconds)") {
     // same shape as above but ts already in µs-since-epoch longs
     val base = 1_640_995_200_000_000L // 2022-01-01 00:00:00 UTC in µs
