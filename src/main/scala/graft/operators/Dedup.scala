@@ -184,6 +184,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment over LSH candidate pairs: containment(A,B) =
+    * |A∩B| / min(|A|,|B|) — the short-in-long near-dup signal. A 50-token
+    * excerpt quoted verbatim inside a 5 000-token page has Jaccard ≈ 0.01
+    * (diluted by the page's extra tokens) but containment 1.0, so the
+    * Jaccard verify never surfaces it; this one does.
+    *
+    * Candidates still come from MinHash LSH, which estimates *resemblance*:
+    * a containment pair collides only when the short side's shingles also
+    * dominate some band of the long side's signature, so recall decays as
+    * the length ratio grows. That is the documented trade: for guaranteed
+    * containment recall you'd band on the short side's shingle set alone
+    * (a per-prefix index); this operator is the cheap pass that reuses the
+    * one LSH build the dedup pipeline already paid for.
+    *
+    * Scale: same shape as `jaccardPairs` — candidate set bounded by bucket
+    * collisions, two id-equi-joins to fetch token sets, integer set sizes.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, numHashes: Int = 16,
+                       bandSize: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
+      maxBucket)
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
+    val nA = size(col("a_toks")).cast("long")
+    val nB = size(col("b_toks")).cast("long")
+    cands
+      .join(toks.select(col("id").as("a"), col("toks").as("a_toks")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("toks").as("b_toks")), Seq("b"))
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        inter.as("n_inter"), nA.as("n_a"), nB.as("n_b"),
+        (inter.cast("double") / least(nA, nB).cast("double"))
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Duplication report: how many exact-dup clusters exist at each copy
+    * count. The report every curation run ships next to its output — it is
+    * the one-page answer to "how duplicated was this crawl". Two grouped
+    * aggregations (fingerprint, then cluster size); after the first the
+    * data is one row per distinct document, so the second is negligible.
+    */
+  def dupStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df, idCol, textCol)
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("n_copies"), col("n_clusters"),
+        (col("n_copies") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("n_copies"))
+
   /** 32-bit SimHash from md5 hex-digit parity: bit i of a token's hash is
     * `ascii(hex_digit_i(md5(token))) % 2`; the doc bit is the majority vote
     * over tokens. Cross-engine deterministic (md5 + ascii only).

@@ -427,6 +427,36 @@ object Pipeline {
         |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
         |  len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8""".stripMargin)),
 
+    // ── Dedup: asymmetric containment over the same LSH candidates —
+    //    |A∩B| / min(|A|,|B|) surfaces short-in-long duplication that the
+    //    union-normalized Jaccard dilutes away (containment ≥ jaccard
+    //    always, so this is a superset of x_dedup_jaccard's pairs) ─────────
+    "x_dedup_containment" -> Q(
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text", 0.8),
+      Some(s"""WITH $candCtesSql,
+        |t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+        |SELECT c.a AS a_id, c.b AS b_id,
+        |  CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
+        |  CAST(len(ta.toks) AS BIGINT) AS n_a,
+        |  CAST(len(tb.toks) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+        |    least(len(ta.toks), len(tb.toks)) AS containment
+        |FROM cand c JOIN t ta ON ta.doc_id = c.a JOIN t tb ON tb.doc_id = c.b
+        |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+        |  least(len(ta.toks), len(tb.toks)) >= 0.8""".stripMargin)),
+
+    // ── Dedup: the duplication report — clusters per copy count, the
+    //    one-page "how duplicated was this crawl" answer shipped next to
+    //    every curation run ────────────────────────────────────────────────
+    "x_dedup_stats" -> Q(
+      (s, d) => Dedup.dupStats(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT n_copies, CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(n_copies * n_clusters AS BIGINT) AS n_docs
+        |FROM (SELECT n_copies, count(*) AS n_clusters FROM (
+        |  SELECT count(*) AS n_copies FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |) GROUP BY 1) ORDER BY n_copies""".stripMargin)),
+
     // ── Dedup: 32-bit SimHash signatures + band buckets ────────────────────
     "x_dedup_simhash" -> Q(
       (s, d) => Dedup.simhash32(t(s, d, "documents"), "doc_id", "text"),
@@ -1037,6 +1067,30 @@ object Pipeline {
         |FROM (SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS h
         |  FROM documents)""".stripMargin)),
+
+    // ── Export sharding: deterministic hash-mod shard assignment plus the
+    //    manifest a training job reads before opening a single file — rows,
+    //    bytes, and the id range per shard. The id-hash (not id-mod) keeps
+    //    shards balanced under any id-assignment pattern; the manifest agg
+    //    is one map-side-partial shuffle over 8 keys, output 8 rows ─────────
+    "x_shard_manifest" -> Q(
+      (s, d) => {
+        val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("int") % 8
+        t(s, d, "documents").groupBy(shard.as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("shard")
+      },
+      Some("""SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id, n_chars,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS shard
+        |  FROM documents)
+        |GROUP BY shard ORDER BY shard""".stripMargin)),
 
     // ── Stratified sampling: deterministic per-language sample of up to 25
     //    docs, ranked by id-hash (stable under re-runs and reshuffling —

@@ -90,6 +90,39 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup strictly between 0.5 and 1, got $near")
   }
 
+  test("containment surfaces a short-in-long pair that jaccard dilutes away") {
+    // doc 7 = doc 1 plus a distinct tail: token jaccard is diluted to
+    // |1|/|7| < 0.8, but every token of doc 1 appears in doc 7 →
+    // containment exactly 1.0. The asymmetric denominator is the point.
+    val docs7 = docs.union(Seq((7L,
+      "the quick brown fox jumps over the lazy dog near the river bank " +
+        "with six extra trailing filler words appended")).toDF("doc_id", "text"))
+    val cont = Dedup.containmentPairs(docs7, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (nInter, nA, nB, c) = cont.getOrElse(1L -> 7L,
+      fail("the contained pair (1,7) must survive the LSH candidate pass"))
+    assert(c == 1.0, s"full containment, got $c")
+    assert(nInter == nA.min(nB) && nA < nB,
+      s"intersection equals the short side: inter=$nInter a=$nA b=$nB")
+    // ...and the union-normalized jaccard verify misses the same pair
+    val jac = Dedup.jaccardPairs(docs7, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains(1L -> 7L),
+      "jaccard@0.8 must NOT report the short-in-long pair — that gap is " +
+        "what containment exists to close")
+  }
+
+  test("dupStats: cluster-size histogram over exact fingerprints") {
+    val stats = Dedup.dupStats(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // fixture: {1,2,6} collapse, {3} {4} {5} are singletons
+    assert(stats.toSeq == Seq((1L, 3L, 3L), (3L, 1L, 3L)),
+      s"got ${stats.toSeq}")
+    // conservation: sum of n_docs equals the corpus size
+    assert(stats.map(_._3).sum == docs.count())
+  }
+
   test("hot-bucket cap drops mega-cluster buckets from pair generation") {
     // every candidate pair needs a bucket of >= 2 members, so cap=1 must
     // yield zero pairs while the default finds the planted dups

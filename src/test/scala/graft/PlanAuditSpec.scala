@@ -176,7 +176,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_sample_stratified" -> 1, "x_top_tokens" -> 1,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
-      "x_decontaminate" -> 4)
+      "x_decontaminate" -> 4,
+      // manifest: one partial+final hash agg + the ORDER BY range exchange;
+      // stats: fingerprint agg + copy-count agg + the ORDER BY
+      "x_shard_manifest" -> 2, "x_dedup_stats" -> 3)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = "Exchange".r.findAllIn(SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString).size
