@@ -113,6 +113,45 @@ class DedupSpec extends AnyFunSuite {
         "what containment exists to close")
   }
 
+  test("containment law: operator scores equal a plain-Scala recompute " +
+    "over every surfaced pair, and dominate jaccard") {
+    // Generated corpus with planted short-in-long pairs (doc 100+i = doc
+    // i's text plus a random tail). For EVERY pair the operator surfaces,
+    // recompute |A∩B| / |A| / |B| from the raw strings in plain Scala and
+    // require exact agreement, plus the dominance law containment ≥
+    // jaccard (min(|A|,|B|) ≤ |A∪B| always). Seeded → deterministic.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(60)(i => s"v$i")
+    val base = (0 until 24).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(8 + rnd.nextInt(20)).mkString(" "))
+    }
+    val planted = (0 until 6).map { i =>
+      (100L + i, base(i)._2 + " " + rnd.shuffle(vocab).take(6).mkString(" "))
+    }
+    val all = base ++ planted
+    val toks = all.map { case (id, tx) =>
+      id -> tx.split("\\s+").toSet }.toMap
+    val out = Dedup.containmentPairs(all.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.0).collect()
+    assert(out.nonEmpty, "the planted near-dups must produce candidates")
+    out.foreach { r =>
+      val (ta, tb) = (toks(r.getLong(0)), toks(r.getLong(1)))
+      val inter = (ta & tb).size
+      assert(r.getLong(2) == inter && r.getLong(3) == ta.size &&
+        r.getLong(4) == tb.size,
+        s"set sizes diverge from recompute for (${r.getLong(0)},${r.getLong(1)})")
+      val c = r.getDouble(5)
+      assert(c == inter.toDouble / math.min(ta.size, tb.size))
+      assert(c >= inter.toDouble / (ta | tb).size - 1e-12,
+        "containment must dominate jaccard")
+    }
+    // at least one planted pair surfaces as full containment of the
+    // strictly-smaller side — the signal the operator exists for
+    assert(out.exists(r => r.getDouble(5) == 1.0 &&
+      r.getLong(3) != r.getLong(4)),
+      "a planted short-in-long pair must score containment 1.0")
+  }
+
   test("dupStats: cluster-size histogram over exact fingerprints") {
     val stats = Dedup.dupStats(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
