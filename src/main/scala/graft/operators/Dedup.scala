@@ -236,6 +236,88 @@ object Dedup {
         (col("n_copies") * col("n_clusters")).as("n_docs"))
       .orderBy(col("n_copies"))
 
+  /** Incremental (batch-vs-corpus) dedup — the nightly-crawl shape: an
+    * incoming batch is triaged against the existing corpus AND against
+    * itself, and every incoming doc gets a drop/keep verdict with the
+    * reason a curation run logs:
+    *
+    *   - `exact_vs_existing`: fingerprint already in the corpus
+    *   - `exact_vs_batch`:    fingerprint duplicated inside the batch
+    *                          (min id survives)
+    *   - `near_vs_existing`:  LSH candidate with a corpus doc verified at
+    *                          token-Jaccard ≥ `threshold`
+    *   - `near_vs_batch`:     same within the batch (smaller id survives)
+    *   - `kept`
+    *
+    * Reasons are assigned in that priority order. Near-dup flagging is
+    * pairwise (any qualifying partner flags the doc), NOT transitive
+    * resolution — the incremental triage a pipeline runs per batch;
+    * full-corpus transitive resolution stays `dedupClusters` /
+    * `x_dedup_semantic`. Ids must be globally unique across both sides.
+    *
+    * Scale (100 TB corpus + small batch): the fingerprint probes are
+    * 32-byte-key equi-joins; ONE band table is built over corpus ∪ batch
+    * (identical cost to the corpus LSH build the full dedup already runs —
+    * a deployment would persist it and append the batch's bands); the
+    * verify join touches candidate pairs only, and the final reason joins
+    * are id-equi-joins against drop sets far smaller than the batch, which
+    * AQE broadcasts.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String,
+                       threshold: Double = 0.8,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val exFp = existing
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val incFp = incoming.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exactVsExisting = incFp.join(exFp, Seq("fp"), "left_semi").select("id")
+    val exactVsBatch = incFp
+      .withColumn("rn", row_number().over(
+        win.partitionBy("fp").orderBy("id")))
+      .where(col("rn") > 1).select("id")
+
+    val tagged = existing.select(col(idCol), col(textCol))
+      .withColumn("__new", lit(false))
+      .unionByName(incoming.select(col(idCol), col(textCol))
+        .withColumn("__new", lit(true)))
+    val cands = minhashCandidates(tagged, idCol, textCol,
+      maxBucket = maxBucket)
+    val toks = tagged.select(col(idCol).as("tid"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("ttoks"),
+      col("__new"))
+    val jac = size(array_intersect(col("a_toks"), col("b_toks")))
+      .cast("double") /
+      size(array_union(col("a_toks"), col("b_toks"))).cast("double")
+    val scored = cands
+      .join(toks.select(col("tid").as("a"), col("ttoks").as("a_toks"),
+        col("__new").as("a_new")), Seq("a"))
+      .join(toks.select(col("tid").as("b"), col("ttoks").as("b_toks"),
+        col("__new").as("b_new")), Seq("b"))
+      .where(jac >= threshold)
+    val nearVsExisting = scored.where(col("a_new") =!= col("b_new"))
+      .select(when(col("a_new"), col("a")).otherwise(col("b")).as("id"))
+    // candidate pairs come out a < b, so the larger batch id is dropped
+    val nearVsBatch = scored.where(col("a_new") && col("b_new"))
+      .select(col("b").as("id"))
+
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.distinct().select(col("id").as("doc_id"), lit(true).as(name))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(flag(exactVsExisting, "f_ee"), Seq("doc_id"), "left")
+      .join(flag(exactVsBatch, "f_eb"), Seq("doc_id"), "left")
+      .join(flag(nearVsExisting, "f_ne"), Seq("doc_id"), "left")
+      .join(flag(nearVsBatch, "f_nb"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("f_ee"), "exact_vs_existing")
+          .when(col("f_eb"), "exact_vs_batch")
+          .when(col("f_ne"), "near_vs_existing")
+          .when(col("f_nb"), "near_vs_batch")
+          .otherwise("kept").as("reason"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash from md5 hex-digit parity: bit i of a token's hash is
     * `ascii(hex_digit_i(md5(token))) % 2`; the doc bit is the majority vote
     * over tokens. Cross-engine deterministic (md5 + ascii only).

@@ -457,6 +457,43 @@ object Pipeline {
         |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
         |) GROUP BY 1) ORDER BY n_copies""".stripMargin)),
 
+    // ── Dedup: incremental batch-vs-corpus triage — every incoming doc
+    //    (odd ids) is dropped/kept against the existing corpus (even ids)
+    //    with the reason a curation run logs; ONE band table over
+    //    corpus ∪ batch, so the bucket caps equal the full-corpus LSH ──────
+    "x_dedup_incremental" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalDedup(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+      },
+      Some(s"""WITH $candCtesSql,
+        |tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |jp AS (SELECT c.a, c.b FROM cand c
+        |  JOIN tt ta ON ta.doc_id = c.a JOIN tt tb ON tb.doc_id = c.b
+        |  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8),
+        |exq AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |f_ee AS (SELECT i.doc_id FROM inc i JOIN exq e ON i.fp = e.fp),
+        |f_eb AS (SELECT doc_id FROM (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM inc)
+        |  WHERE rn > 1),
+        |f_ne AS (SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+        |  FROM jp WHERE (a % 2) <> (b % 2)),
+        |f_nb AS (SELECT b AS doc_id FROM jp WHERE a % 2 = 1 AND b % 2 = 1)
+        |SELECT i.doc_id,
+        |  CASE WHEN i.doc_id IN (SELECT doc_id FROM f_ee) THEN 'exact_vs_existing'
+        |       WHEN i.doc_id IN (SELECT doc_id FROM f_eb) THEN 'exact_vs_batch'
+        |       WHEN i.doc_id IN (SELECT doc_id FROM f_ne) THEN 'near_vs_existing'
+        |       WHEN i.doc_id IN (SELECT doc_id FROM f_nb) THEN 'near_vs_batch'
+        |       ELSE 'kept' END AS reason
+        |FROM inc i ORDER BY doc_id""".stripMargin)),
+
     // ── Dedup: 32-bit SimHash signatures + band buckets ────────────────────
     "x_dedup_simhash" -> Q(
       (s, d) => Dedup.simhash32(t(s, d, "documents"), "doc_id", "text"),

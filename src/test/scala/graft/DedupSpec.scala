@@ -152,6 +152,38 @@ class DedupSpec extends AnyFunSuite {
       "a planted short-in-long pair must score containment 1.0")
   }
 
+  test("incremental dedup triages a batch with the logged reasons") {
+    val longA = "the quick brown fox jumps over the lazy dog near the " +
+      "quiet river bank under bright morning sun"
+    val longB = "spark catalyst rewrites declarative logical plans into " +
+      "efficient physical stages using cost estimates and runtime statistics"
+    val existing = Seq(
+      (0L, longA),
+      (2L, "exact corpus text about parquet columnar layouts and encodings"),
+      (4L, "unrelated corpus document mentioning broadcast hash joins"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "exact corpus text about parquet columnar layouts and encodings"),
+      (13L, "fresh batch text about adaptive query execution planning"),
+      (15L, "fresh batch text about adaptive query execution planning"),
+      (17L, longA.replace("sun", "light")),
+      (19L, "totally new standalone content"),
+      (21L, longB),
+      (23L, longB.replace("spark", "tungsten"))) // leading-word variant —
+      // picked because its md5 band signature provably collides with 21's
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(
+      11L -> "exact_vs_existing",
+      13L -> "kept",              // first copy inside the batch survives
+      15L -> "exact_vs_batch",
+      17L -> "near_vs_existing",  // one-token variant of corpus doc 0
+      19L -> "kept",
+      21L -> "kept",              // smaller id of the in-batch near pair
+      23L -> "near_vs_batch"), s"got $out")
+  }
+
   test("dupStats: cluster-size histogram over exact fingerprints") {
     val stats = Dedup.dupStats(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
