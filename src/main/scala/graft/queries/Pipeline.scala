@@ -58,6 +58,38 @@ object Pipeline {
       |  FROM tok t JOIN df ON t.tok = df.tok GROUP BY 1
       |)""".stripMargin
 
+  /** Corpus-relative length band [p05, p95] by the lower-quantile
+    * definition: bound = smallest length L with cumCount(≤ L) ≥ ⌈q·N⌉.
+    * Derived from the DISTINCT-length histogram (bounded domain — a few
+    * thousand lengths regardless of corpus size), so the only global sort
+    * is the single-partition window over that bounded histogram, never the
+    * corpus; the bounds come back as two driver scalars and the final pass
+    * is a pushed-down `BETWEEN` filter scan. Empty corpus → empty result.
+    */
+  private def lengthBand(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = Option(hist.agg(sum(col("cnt"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (tot == 0L) docs.select(col("doc_id"), col("n_chars")).limit(0)
+    else {
+      val kLo = math.ceil(0.05 * tot).toLong
+      val kHi = math.ceil(0.95 * tot).toLong
+      val bounds = cum.agg(
+        min(when(col("cum") >= kLo, col("n_chars"))).as("lo"),
+        min(when(col("cum") >= kHi, col("n_chars"))).as("hi")).head()
+      // all-null length column → no derivable band → empty result, not NPE
+      if (bounds.isNullAt(0) || bounds.isNullAt(1))
+        docs.select(col("doc_id"), col("n_chars")).limit(0)
+      else docs.select(col("doc_id"), col("n_chars"))
+        .where(col("n_chars").between(bounds.getLong(0), bounds.getLong(1)))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Spark side of the rarity CTEs: (doc_id, n_toks, rarity_e2), token
     * frame persisted because it feeds both the docfreq aggregate and the
     * join side. */
@@ -1104,6 +1136,22 @@ object Pipeline {
         |FROM (SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS h
         |  FROM documents)""".stripMargin)),
+
+    // ── Quality: corpus-relative length-band filter — keep docs inside
+    //    [p05, p95] of the length distribution (integer lower-quantile
+    //    bounds from the bounded distinct-length histogram; the corpus
+    //    itself is never globally sorted) ───────────────────────────────────
+    "x_filter_length_band" -> Q(
+      (s, d) => Pipeline.lengthBand(s, d),
+      Some("""WITH h AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+        |c AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum FROM h),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT
+        |  min(CASE WHEN cum >= ceil(0.05 * (SELECT n FROM nn)) THEN n_chars END) AS lo,
+        |  min(CASE WHEN cum >= ceil(0.95 * (SELECT n FROM nn)) THEN n_chars END) AS hi
+        |  FROM c)
+        |SELECT doc_id, n_chars FROM documents, b
+        |WHERE n_chars BETWEEN b.lo AND b.hi ORDER BY doc_id""".stripMargin)),
 
     // ── Export sharding: deterministic hash-mod shard assignment plus the
     //    manifest a training job reads before opening a single file — rows,

@@ -12,6 +12,30 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("length-band filter keeps exactly the [p05, p95] lower-quantile band") {
+    val sf = TestSpark.tmpDir("lenband")
+    // 100 docs with n_chars 1..100: kLo = ceil(5) = 5, kHi = ceil(95) = 95
+    (1L to 100L).map(i => (i, "x" * i.toInt, "en", "s", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val kept = SparkEntry.queries("x_filter_length_band")(spark, sf)
+      .collect().map(_.getLong(1))
+    assert(kept.min == 5L && kept.max == 95L && kept.length == 91,
+      s"expected lengths 5..95, got ${kept.min}..${kept.max} (${kept.length})")
+    // duplicated-length mass moves the cumulative bound, not the rank:
+    // 96 copies of length 10 + lengths 1..4 → cum(10) ≥ 5 → lo = 10
+    val sf2 = TestSpark.tmpDir("lenband2")
+    ((1L to 4L).map(i => (i, "x" * i.toInt, "en", "s", i)) ++
+      (5L to 100L).map(i => (i, "x" * 10, "en", "s", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf2/documents.parquet")
+    val kept2 = SparkEntry.queries("x_filter_length_band")(spark, sf2)
+      .collect().map(_.getLong(1))
+    assert(kept2.forall(_ == 10L) && kept2.length == 96,
+      s"the histogram bound must land on the heavy length, got " +
+        s"${kept2.distinct.toSeq} (${kept2.length})")
+  }
+
   test("repetition ratio: repeated trigrams counted beyond first occurrence") {
     val sf = TestSpark.tmpDir("repratio")
     Seq(
