@@ -907,6 +907,41 @@ object Pipeline {
     // ── Similarity: one deterministic k-means step (LSH-seeded cells →
     //    integer centroids → nearest-centroid reassignment) — the learned
     //    coarse quantizer an IVF index trains with ──────────────────────────
+    // ── Similarity: cluster-balance report — embedding count and corpus
+    //    share per k-means cell, the semantic-diversity monitor a curation
+    //    run reads next to the domain mix (a cell hoarding the corpus
+    //    means the crawl collapsed to one topic). The share window runs
+    //    over ≤ 2^seedBits = 16 cells — bounded, never the corpus ──────────
+    "x_cluster_balance" -> Q(
+      (s, d) => {
+        val asg = Similarity.kmeansAssignStep(t(s, d, "embeddings"),
+          "vec_id", "embedding")
+        val g = asg.groupBy(col("new_cell")).agg(count(lit(1)).as("n_vecs"))
+        g.withColumn("share", col("n_vecs").cast("double") /
+            sum(col("n_vecs")).over(Window.partitionBy(lit(1))).cast("double"))
+          .orderBy("new_cell")
+      },
+      Some(s"""WITH v0 AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, vq, $planeSumsSql FROM v0),
+        |vc AS (SELECT vec_id, vq, ${bucketSql(0)} AS seed_cell FROM p),
+        |e AS (SELECT seed_cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM vc),
+        |c1 AS (SELECT seed_cell, CAST(z[2] AS BIGINT) AS pos,
+        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT seed_cell AS ccell, list(cx ORDER BY pos) AS cvq
+        |  FROM c1 GROUP BY seed_cell),
+        |sc AS (SELECT vc.vec_id AS id, cent.ccell,
+        |  CAST(list_sum(list_transform(list_zip(vc.vq, cent.cvq),
+        |    x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS dist_q
+        |  FROM vc, cent),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id
+        |  ORDER BY dist_q, ccell) AS rn FROM sc),
+        |g AS (SELECT ccell AS new_cell, count(*) AS n_vecs
+        |  FROM r WHERE rn = 1 GROUP BY 1)
+        |SELECT new_cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(n_vecs AS DOUBLE) / CAST((SELECT sum(n_vecs) FROM g) AS DOUBLE) AS share
+        |FROM g ORDER BY new_cell""".stripMargin)),
+
     "x_ann_kmeans_assign" -> Q(
       (s, d) => Similarity.kmeansAssignStep(t(s, d, "embeddings"),
         "vec_id", "embedding"),

@@ -32,7 +32,7 @@ class EmptyProbeSpec extends AnyFunSuite {
     val emptyOk = Seq(
       "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_jaccard",
       "x_dedup_containment", "x_dedup_stats", "x_shard_manifest",
-      "x_dedup_incremental", "x_filter_length_band",
+      "x_dedup_incremental", "x_filter_length_band", "x_cluster_balance",
       "x_dedup_simhash_pairs", "x_dedup_clusters", "x_dedup_semantic",
       "x_dedup_keep_best", "x_decontaminate", "x_ann_topk", "x_ann_ivf",
       "x_ann_ivf_trained", "x_ann_kmeans", "x_ann_lsh", "x_ann_recall",

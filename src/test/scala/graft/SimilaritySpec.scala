@@ -32,6 +32,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head.getDouble(3) == 1.0)
   }
 
+  test("cluster balance partitions the corpus: counts sum to N, shares to 1") {
+    val sf = TestSpark.tmpDir("clusterbal")
+    val rnd = new scala.util.Random(5)
+    (1L to 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
+    val out = SparkEntry.queries("x_cluster_balance")(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == 40L,
+      "every embedding lands in exactly one cell")
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-9,
+      "shares sum to 1")
+    assert(out.forall(_.getLong(1) > 0), "only occupied cells are reported")
+  }
+
   test("ivf top-k only probes the query's cell") {
     val out = Similarity.ivfTopK(
       vecs.where(col("vec_id") === 1), vecs, "vec_id", "embedding", "label", k = 10)
