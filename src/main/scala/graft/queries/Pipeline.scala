@@ -1212,6 +1212,36 @@ object Pipeline {
         |  FROM documents)
         |GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // ── Snapshot diff: release-audit per-doc status (added / removed /
+    //    changed / unchanged) between two corpus versions. The fixture
+    //    derives both snapshots deterministically from `documents` (old
+    //    drops doc_id%11=0 and reverses text at doc_id%5=0; new drops
+    //    doc_id%7=0) so every status arises. Diff is by (id, md5) after a
+    //    map-side reduction — see Snapshots' scaladoc for the 100 TB shape ─
+    "x_corpus_diff" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"), when(col("doc_id") % 5 === 0,
+            reverse(col("text"))).otherwise(col("text")).as("text"))
+        val neu = docs.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text"))
+        graft.operators.Snapshots.corpusDiff(old, neu, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH old AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |neu AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    o.doc_id IS NOT NULL AS in_o, n.doc_id IS NOT NULL AS in_n,
+        |    md5(coalesce(o.text, '')) AS fp_o, md5(coalesce(n.text, '')) AS fp_n
+        |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT in_o THEN 'added' WHEN NOT in_n THEN 'removed'
+        |       WHEN fp_o <> fp_n THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin)),
+
     // ── Stratified sampling: deterministic per-language sample of up to 25
     //    docs, ranked by id-hash (stable under re-runs and reshuffling —
     //    the curation "inspect N docs per stratum" op) ─────────────────────
@@ -1576,6 +1606,46 @@ object Pipeline {
         |    ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl
         |    FROM (SELECT doc_id, text, string_split_regex(lower(text),'\\s+') AS l FROM documents)))""".stripMargin)),
 
+    // ── Curation-funnel attrition report: one row per cumulative stage
+    //    (ingest → lang → length band → repetition → PII → exact dedup)
+    //    with survivors and per-stage drops. Thresholds mirror
+    //    x_quality_flags; flags computed in ONE scan, dedup via one
+    //    fingerprint-partitioned window, report via a 1-row agg unpivoted
+    //    by stack — see CurationFunnel's scaladoc for the 100 TB shape ─────
+    "x_filter_funnel" -> Q(
+      (s, d) => graft.operators.CurationFunnel.funnelReport(
+        t(s, d, "documents"), "en", Pipeline.EmailRe),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, text,
+        |    string_split_regex(lower(text),'\\s+') AS l FROM documents),
+        |sh AS (SELECT doc_id, lang, text, CAST(len(l) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
+        |    ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl
+        |  FROM tk),
+        |fl AS (SELECT doc_id,
+        |    coalesce(lang = 'en', FALSE) AS f1,
+        |    coalesce(n_tokens BETWEEN 20 AND 90, FALSE) AS f2,
+        |    coalesce(1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl) <= 0.05, FALSE) AS f3,
+        |    coalesce(len(regexp_extract_all(text, '${Pipeline.EmailRe}')) = 0, FALSE) AS f4,
+        |    md5(text) AS fp
+        |  FROM sh),
+        |st AS (SELECT doc_id, fp, f1 AS s1, f1 AND f2 AS s2,
+        |    f1 AND f2 AND f3 AS s3, f1 AND f2 AND f3 AND f4 AS s4 FROM fl),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY s4 DESC, doc_id) AS rn FROM st),
+        |ag AS (SELECT count(*) AS c0,
+        |    coalesce(CAST(sum(CAST(s1 AS INT)) AS BIGINT), 0) AS c1,
+        |    coalesce(CAST(sum(CAST(s2 AS INT)) AS BIGINT), 0) AS c2,
+        |    coalesce(CAST(sum(CAST(s3 AS INT)) AS BIGINT), 0) AS c3,
+        |    coalesce(CAST(sum(CAST(s4 AS INT)) AS BIGINT), 0) AS c4,
+        |    coalesce(CAST(sum(CAST(s4 AND rn = 1 AS INT)) AS BIGINT), 0) AS c5
+        |  FROM rk)
+        |SELECT 0 AS stage_idx, 'ingest' AS stage, c0 AS n_out, CAST(0 AS BIGINT) AS n_dropped FROM ag
+        |UNION ALL SELECT 1, 'lang', c1, c0 - c1 FROM ag
+        |UNION ALL SELECT 2, 'length_band', c2, c1 - c2 FROM ag
+        |UNION ALL SELECT 3, 'repetition', c3, c2 - c3 FROM ag
+        |UNION ALL SELECT 4, 'pii', c4, c3 - c4 FROM ag
+        |UNION ALL SELECT 5, 'exact_dedup', c5, c4 - c5 FROM ag
+        |ORDER BY stage_idx""".stripMargin)),
+
     // ── Contrastive negative sampling: K deterministic pseudo-random
     //    negatives per doc (md5-derived, stable under re-runs); candidate
     //    ids are validated against the corpus by hash equi-join, so only
@@ -1723,6 +1793,36 @@ object Pipeline {
         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
         |       CAST((bits_sq * 100) // n_toks AS BIGINT) AS rarity_e2
         |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ── Bigram-LM fluency score: the CONDITIONAL companion to the rarity
+    //    scorer — per adjacent pair (w1,w2), surprisal =
+    //    length(bin(c1 div c2)) ≈ -log2 P(w2|w1) in whole bits, where c2 =
+    //    corpus bigram count and c1 = w1's bigram-head count (c1 ≥ c2 ≥ 1,
+    //    so no smoothing). The CCnet-style LM quality filter with zero
+    //    float logs. Instances collapse to per-doc multiplicities FIRST;
+    //    the vocab-sized c2/c1 model derives from the collapsed table and
+    //    rejoins by equi-join — see LangModel's scaladoc for the 100 TB
+    //    shape ───────────────────────────────────────────────────────────
+    "x_bigram_lm" -> Q(
+      (s, d) => graft.operators.LangModel
+        .bigramLmScores(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    string_split_regex(lower(text),'\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks)-1)) AS i
+        |  FROM tk WHERE len(toks) >= 2),
+        |pd AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, count(*) AS m
+        |  FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c2 FROM pd GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |sc AS (SELECT pd.doc_id, pd.m, length(bin(c1.c1 // c2.c2)) AS surb
+        |  FROM pd JOIN c2 ON pd.w1 = c2.w1 AND pd.w2 = c2.w2
+        |          JOIN c1 ON pd.w1 = c1.w1)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(m * surb) AS BIGINT) AS nll_bits,
+        |  CAST((sum(m * surb) * 100) // sum(m) AS BIGINT) AS avg_bits_e2
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── Curriculum ordering: easy-to-hard by rarity with a total
     //    tie-break — the deterministic "which 20 docs start epoch 1" cut.

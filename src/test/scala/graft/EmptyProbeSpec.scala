@@ -41,7 +41,8 @@ class EmptyProbeSpec extends AnyFunSuite {
       "x_top_tokens", "x_tfidf_top_terms", "x_chunk_docs", "x_pack_greedy",
       "x_split_assign", "x_mix_weighted", "x_redact_pii",
       "x_sample_stratified", "x_cap_per_source", "x_fingerprint",
-      "x_normalize_text", "x_oov_rate", "x_rarity_score", "x_pipeline_e2e",
+      "x_normalize_text", "x_oov_rate", "x_rarity_score", "x_bigram_lm",
+      "x_filter_funnel", "x_corpus_diff", "x_pipeline_e2e",
       "x_multimodal_meta", "x_inverted_index",
       // events-based operators
       "x_incr_agg", "x_funnel_steps", "x_retention_cohort", "x_cdc_apply",

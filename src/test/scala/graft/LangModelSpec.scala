@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.LangModel
+
+/** Bigram-LM scoring laws. The operator is integer-exact by design, so the
+  * generative law demands EXACT equality against a plain-Scala recompute —
+  * any drift (tokenization, head-count definition, div semantics, the
+  * length(bin(..)) surprisal) breaks it.
+  */
+class LangModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plain-Scala model: identical tokenization (lowercase whitespace
+    * split), bigram counts, head counts, surprisal = binary-string length
+    * of c1/c2 (floor division), per-doc integer totals. */
+  private def recompute(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val bigrams = docs.map { case (id, tx) =>
+      val t = tx.toLowerCase.split("\\s+").toSeq
+      id -> t.zip(t.drop(1))
+    }
+    val all = bigrams.flatMap(_._2)
+    val c2 = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    bigrams.collect { case (id, bs) if bs.nonEmpty =>
+      val nll = bs.map(b =>
+        java.lang.Long.toBinaryString(c1(b._1) / c2(b)).length.toLong).sum
+      id -> ((bs.size.toLong, nll, nll * 100 / bs.size))
+    }.toMap
+  }
+
+  test("generative law: operator scores equal the plain-Scala recompute " +
+    "on random corpora (incl. empty/single-token docs)") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    (0 until 3).foreach { round =>
+      val docs = (0 until 40).map { i =>
+        val n = rnd.nextInt(12) // 0 and 1-token docs exercise exclusion
+        (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = LangModel.bigramLmScores(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == recompute(docs), s"round $round diverged from recompute")
+    }
+  }
+
+  test("fluency signal: a templated corpus scores fewer bits per bigram " +
+    "than a token-salad corpus") {
+    // 20 copies of one sentence → every bigram is its head's dominant
+    // continuation (c1/c2 small); salads over the same vocab spread each
+    // head across many continuations (c1/c2 large). The filter's reason
+    // to exist, asserted end-to-end.
+    val template = (0 until 20).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog sat too"))
+    val rnd = new scala.util.Random(7)
+    val words = "the cat sat on mat and dog too".split(" ")
+    val salad = (100 until 120).map(i =>
+      (i.toLong, Vector.fill(11)(words(rnd.nextInt(words.length))).mkString(" ")))
+    val scores = LangModel.bigramLmScores((template ++ salad).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val tAvg = template.map(d => scores(d._1)).sum.toDouble / template.size
+    val sAvg = salad.map(d => scores(d._1)).sum.toDouble / salad.size
+    assert(tAvg < sAvg,
+      s"templated corpus must score lower: template=$tAvg salad=$sAvg")
+  }
+
+  test("degenerate shapes: no-bigram docs are absent; repeated single " +
+    "bigram scores 1 bit per pair") {
+    val docs = Seq(
+      (1L, ""),               // empty text
+      (2L, "solo"),           // single token — no bigram evidence
+      (3L, "go go go go go")) // one bigram (go,go) ×4: c1=c2=4 → 1 bit
+    val got = LangModel.bigramLmScores(docs.toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(3L -> ((4L, 4L, 100L))))
+  }
+}

@@ -180,7 +180,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_decontaminate" -> 4,
       // manifest: one partial+final hash agg + the ORDER BY range exchange;
       // stats: fingerprint agg + copy-count agg + the ORDER BY
-      "x_shard_manifest" -> 2, "x_dedup_stats" -> 3)
+      "x_shard_manifest" -> 2, "x_dedup_stats" -> 3,
+      // funnel: fingerprint window + 1-row report agg (flags are one scan);
+      // diff: two full-outer join sides + the ORDER BY; bigram-LM: the
+      // instance collapse, the c2/c1 model derivation, the two model
+      // rejoins, the per-doc agg and ORDER BY — all over tables that
+      // shrink to vocab size after the first collapse
+      "x_filter_funnel" -> 2, "x_corpus_diff" -> 3, "x_bigram_lm" -> 10)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = "Exchange".r.findAllIn(SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString).size
