@@ -217,6 +217,112 @@ object Similarity {
     assigned.select(col("id"), col("cell"), col("dist_q"))
   }
 
+  /** Product-quantization ADC top-k — the memory story of ANN at corpus
+    * scale. Each vector's two 32-dim subvectors are encoded as the id of
+    * their nearest codebook entry (codebooks: one floor-mean Lloyd
+    * assignment over 2-bit sign-LSH seed cells per subspace, ≤4 entries
+    * each), so the 100 TB float corpus an exhaustive scan would re-read per
+    * query collapses to two small ints per vector plus two 4-row
+    * codebooks. Queries never touch corpus vectors again: each query
+    * precomputes a per-subspace distance TABLE to the codebook (4 rows),
+    * and the asymmetric-distance score of any corpus vector is the sum of
+    * two table lookups — here two broadcast equi-joins on the code ids, no
+    * arithmetic over the original floats in the scoring pass at all.
+    *
+    * All arithmetic is the quantized-integer kind used by the rest of the
+    * family (micro-unit longs, floor-mean centroids, exact squared
+    * distances < 2^53), so an oracle matches bit-for-bit. Ranking is by
+    * ascending approximate squared L2 (ADC's native metric), ties broken
+    * by neighbor id. In production this composes with the IVF path —
+    * coarse cells bound WHICH vectors are scored, PQ bounds the COST of
+    * scoring each — and the codes/codebooks persist as table columns;
+    * here the scoring join deliberately spans the whole demo corpus so
+    * the ADC structure itself is what the oracle checks.
+    *
+    * Returns (qid, nid, adist, rank), rank 1..k per query.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, subDims: Int = 32): DataFrame = {
+    val (codes, dtabs) = pqEncode(queries, corpus, idCol, vecCol, subDims)
+    val scored = codes
+      .join(broadcast(dtabs(0)), Seq("code0"))
+      .join(broadcast(dtabs(1)), Seq("code1", "qid"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), (col("pd0") + col("pd1")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(asc("adist"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Shared PQ encode step: per-subspace codebooks from the corpus, corpus
+    * codes (nid, code0, code1), and per-query distance tables
+    * (qid, codeS, pdS) — the pieces both the whole-corpus ADC scan
+    * ([[pqTopK]]) and the probe-restricted IVF+PQ path ([[ivfPqTopK]])
+    * assemble.
+    */
+  private def pqEncode(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, subDims: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    def subvec(df: DataFrame, as: String, s: Int) =
+      df.select(col(idCol).as(as),
+        quantize(slice(col(vecCol), s * subDims + 1, subDims)).as("sv"))
+    val parts = Seq(0, 1).map { s =>
+      val sub = subvec(corpus, "nid", s)
+      // codebook: floor-mean centroid of each 2-bit sign-LSH seed cell
+      val cents = centroidsOf(
+        sub.withColumn("cell", signLshBucket(col("sv"), 0 until 2, 2)),
+        "cell", "sv")
+      val w = Window.partitionBy(col("nid")).orderBy(asc("pd"), asc("ccell"))
+      val codes = sub.crossJoin(broadcast(cents))
+        .select(col("nid"), col("ccell"), distQ(col("sv"), col("cvq")).as("pd"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("nid"), col("ccell").as(s"code$s"))
+      val dtab = subvec(queries, "qid", s).crossJoin(broadcast(cents))
+        .select(col("qid"), col("ccell").as(s"code$s"),
+          distQ(col("sv"), col("cvq")).as(s"pd$s"))
+      (codes, dtab)
+    }
+    (parts(0)._1.join(parts(1)._1, "nid"), parts.map(_._2))
+  }
+
+  /** IVF+PQ — the production ANN shape: the coarse quantizer's multi-probe
+    * bounds WHICH corpus vectors each query scores (O(Q·nprobe/cells·N)
+    * candidate rows instead of O(Q·N)), and PQ's asymmetric-distance codes
+    * bound the COST of scoring each one (two table lookups, no corpus
+    * floats). Probe selection is [[ivfMultiProbeTopK]]'s math verbatim;
+    * scoring is [[pqTopK]]'s. At 100 TB both the cell id and the PQ codes
+    * persist as table columns and the per-query work is: broadcast two
+    * 4-row distance tables, equi-join the probed cells, window the
+    * candidates. Returns (qid, nid, adist, rank).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, cellCol: String, k: Int, nprobe: Int,
+                subDims: Int = 32): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(cellCol).as("ncell"),
+      quantize(col(vecCol)).as("nv"))
+    val cents = centroidsOf(c, "ncell", "nv")
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(asc("cdist"), asc("ccell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("ccell"),
+        distQ(col("qv"), col("cvq")).as("cdist"))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nprobe)
+      .select(col("qid"), col("ccell"))
+    val (codes, dtabs) = pqEncode(queries, corpus, idCol, vecCol, subDims)
+    val candidates = probes
+      .join(codes.join(c.select(col("nid"), col("ncell")), "nid"),
+        col("ccell") === col("ncell") && col("qid") =!= col("nid"))
+    val scored = candidates
+      .join(broadcast(dtabs(0)), Seq("code0", "qid"))
+      .join(broadcast(dtabs(1)), Seq("code1", "qid"))
+      .select(col("qid"), col("nid"), (col("pd0") + col("pd1")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(asc("adist"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id over a chosen subset of planes: bit j of
     * the bucket is the sign of plane `planes(j)`. Used to pre-bucket near-dup
     * candidates without a cross join; multiple disjoint plane subsets give

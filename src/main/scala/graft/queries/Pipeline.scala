@@ -58,6 +58,27 @@ object Pipeline {
       |  FROM tok t JOIN df ON t.tok = df.tok GROUP BY 1
       |)""".stripMargin
 
+  // Bigram-LM oracle chain (mirrors LangModel.bigramLmScores), ending in
+  // the per-doc score table `blm` — shared by x_bigram_lm and the
+  // fluency-band filter. Plain (non-interpolated) string: '\s+' stays raw.
+  private val bigramLmCtesSql =
+    """blm_tk AS (SELECT doc_id,
+      |    string_split_regex(lower(text),'\s+') AS toks FROM documents),
+      |blm_bg AS (SELECT doc_id, toks,
+      |    unnest(generate_series(1, len(toks)-1)) AS i
+      |  FROM blm_tk WHERE len(toks) >= 2),
+      |blm_pd AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, count(*) AS m
+      |  FROM blm_bg GROUP BY 1, 2, 3),
+      |blm_c2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c2 FROM blm_pd GROUP BY 1, 2),
+      |blm_c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM blm_c2 GROUP BY 1),
+      |blm_sc AS (SELECT pd.doc_id, pd.m, length(bin(c1.c1 // c2.c2)) AS surb
+      |  FROM blm_pd pd JOIN blm_c2 c2 ON pd.w1 = c2.w1 AND pd.w2 = c2.w2
+      |          JOIN blm_c1 c1 ON pd.w1 = c1.w1),
+      |blm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(m * surb) AS BIGINT) AS nll_bits,
+      |  CAST((sum(m * surb) * 100) // sum(m) AS BIGINT) AS avg_bits_e2
+      |FROM blm_sc GROUP BY doc_id)""".stripMargin
+
   /** Corpus-relative length band [p05, p95] by the lower-quantile
     * definition: bound = smallest length L with cumCount(≤ L) ≥ ⌈q·N⌉.
     * Derived from the DISTINCT-length histogram (bounded domain — a few
@@ -86,6 +107,38 @@ object Pipeline {
         docs.select(col("doc_id"), col("n_chars")).limit(0)
       else docs.select(col("doc_id"), col("n_chars"))
         .where(col("n_chars").between(bounds.getLong(0), bounds.getLong(1)))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Fluency band [p05, p95] over the bigram-LM score (`avg_bits_e2`),
+    * same bounded distinct-score histogram + driver-scalar bounds shape as
+    * [[lengthBand]]. The scored frame is persisted so the corpus is
+    * LM-scored once — it feeds the histogram AND the final band filter.
+    * Scores are integers in a bounded domain (hundreds of distinct values
+    * ×100-scaled bits), so the histogram window never sees corpus-sized
+    * input. Docs without bigram evidence carry no score and are outside
+    * any band by definition.
+    */
+  private def fluencyBand(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.CacheRegistry.register(
+      graft.operators.LangModel
+        .bigramLmScores(t(s, d, "documents"), "doc_id", "text").persist())
+    val hist = scores.groupBy("avg_bits_e2").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy("avg_bits_e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = Option(hist.agg(sum(col("cnt"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (tot == 0L) scores.select(col("doc_id"), col("avg_bits_e2")).limit(0)
+    else {
+      val kLo = math.ceil(0.05 * tot).toLong
+      val kHi = math.ceil(0.95 * tot).toLong
+      val bounds = cum.agg(
+        min(when(col("cum") >= kLo, col("avg_bits_e2"))).as("lo"),
+        min(when(col("cum") >= kHi, col("avg_bits_e2"))).as("hi")).head()
+      scores.select(col("doc_id"), col("avg_bits_e2"))
+        .where(col("avg_bits_e2").between(bounds.getLong(0), bounds.getLong(1)))
         .orderBy("doc_id")
     }
   }
@@ -166,6 +219,35 @@ object Pipeline {
   ).mkString(", ")
   private val bucket8Sql = (0 until 4).map(j =>
     s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  /** One product-quantization subspace's oracle CTEs (mirrors
+    * Similarity.pqTopK): slice the quantized vector to the subspace, seed
+    * 2-bit sign-LSH cells (totalPlanes = 2: plane p sums positions ≡ p mod
+    * 2), build the floor-mean codebook, assign each vector its nearest
+    * entry (the code), and precompute each query's distance table to the
+    * codebook. CTEs are pq_-prefixed per the repo's CTE-collision rule.
+    */
+  private def pqSubCtes(s: Int): String = {
+    val lo = s * 32 + 1; val hi = s * 32 + 32
+    def planeSum(p: Int) =
+      s"list_sum(list_transform(generate_series(1, len(sv)), i -> CASE WHEN (i-1)%2 = $p THEN sv[i] ELSE 0 END))"
+    val dist = "CAST(list_sum(list_transform(list_zip(x.sv, cent.cvq), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+    s"""pq_s$s AS (SELECT vec_id, vq[$lo:$hi] AS sv FROM pq_v),
+       |pq_b$s AS (SELECT vec_id, sv,
+       |  (CASE WHEN ${planeSum(0)} >= 0 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN ${planeSum(1)} >= 0 THEN 2 ELSE 0 END) AS cell FROM pq_s$s),
+       |pq_e$s AS (SELECT cell, unnest(list_zip(sv, generate_series(1, len(sv)))) AS z FROM pq_b$s),
+       |pq_c$s AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
+       |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+       |  FROM pq_e$s GROUP BY 1, 2),
+       |pq_cent$s AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM pq_c$s GROUP BY cell),
+       |pq_a$s AS (SELECT nid, ccell AS code$s FROM (
+       |  SELECT x.vec_id AS nid, cent.ccell, row_number() OVER (PARTITION BY x.vec_id
+       |    ORDER BY $dist, cent.ccell) AS rn
+       |  FROM pq_s$s x, pq_cent$s cent) WHERE rn = 1),
+       |pq_q$s AS (SELECT x.vec_id AS qid, cent.ccell AS code$s, $dist AS pd$s
+       |  FROM pq_s$s x, pq_cent$s cent WHERE x.vec_id < 10)""".stripMargin
+  }
 
   /** Query-sample bound shared by the default ANN path and its recall
     * monitor: `graft.ann.recallQueries` (default 10) — the knob a
@@ -1026,6 +1108,78 @@ object Pipeline {
         |${ivfMultiprobeCtes("asn", "id")}
         |SELECT qid, nid, dot_q, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // ── Similarity: product-quantization ADC top-k — the ANN *memory*
+    //    story. Two 32-dim subspaces, each with a ≤4-entry floor-mean
+    //    codebook over 2-bit sign-LSH seed cells; vectors become (code0,
+    //    code1) and query scoring is two distance-table lookups (broadcast
+    //    equi-joins), never arithmetic over corpus floats. Integer-exact
+    //    end-to-end; ranked by ascending approx squared L2. See
+    //    Similarity.pqTopK for the composition-with-IVF production shape ──
+    "x_ann_pq" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.pqTopK(e.where(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH pq_v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |${(0 to 1).map(pqSubCtes).mkString(",\n")},
+        |pq_codes AS (SELECT a0.nid, a0.code0, a1.code1
+        |  FROM pq_a0 a0 JOIN pq_a1 a1 ON a0.nid = a1.nid),
+        |pq_sc AS (SELECT q0.qid, c.nid, q0.pd0 + q1.pd1 AS adist
+        |  FROM pq_codes c
+        |  JOIN pq_q0 q0 ON c.code0 = q0.code0
+        |  JOIN pq_q1 q1 ON c.code1 = q1.code1 AND q1.qid = q0.qid
+        |  WHERE q0.qid <> c.nid),
+        |pq_r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY adist, nid) AS rank FROM pq_sc)
+        |SELECT qid, nid, adist, CAST(rank AS BIGINT) AS rank
+        |FROM pq_r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // ── Similarity: IVF+PQ — the composed production shape. The default
+    //    sign-LSH coarse quantizer's 4-of-16 multi-probe bounds WHICH
+    //    vectors each query scores; PQ codes bound the COST of each score
+    //    (two broadcast table lookups). Probe math ≡ x_ann_ivf, scoring
+    //    math ≡ x_ann_pq — both oracle chains composed verbatim, so a
+    //    drift in either half breaks this query too ───────────────────────
+    "x_ann_ivfpq" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val withCell = e.select(col("vec_id"), col("embedding"),
+          Similarity.signLshBucket(
+            Similarity.quantize(col("embedding")), 0 until 4, 8).as("cell"))
+        Similarity.ivfPqTopK(withCell.where(col("vec_id") < 10), withCell,
+          "vec_id", "embedding", "cell", k = 3, nprobe = 4)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH pq_v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |${(0 to 1).map(pqSubCtes).mkString(",\n")},
+        |ipq_p AS (SELECT vec_id, vq, $planeSums8Sql FROM pq_v),
+        |ipq_bk AS (SELECT vec_id, vq, $bucket8Sql AS cell FROM ipq_p),
+        |ipq_e AS (SELECT cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM ipq_bk),
+        |ipq_c AS (SELECT cell, CAST(z[2] AS BIGINT) AS pos,
+        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM ipq_e GROUP BY 1, 2),
+        |ipq_cent AS (SELECT cell AS ccell, list(cx ORDER BY pos) AS cvq FROM ipq_c GROUP BY cell),
+        |ipq_q AS (SELECT vec_id AS qid, vq AS qv FROM pq_v WHERE vec_id < 10),
+        |ipq_pr AS (SELECT qid, ccell,
+        |  CAST(list_sum(list_transform(list_zip(qv, cvq), x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS cdist
+        |  FROM ipq_q, ipq_cent),
+        |ipq_prr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS rn FROM ipq_pr),
+        |ipq_probes AS (SELECT qid, ccell FROM ipq_prr WHERE rn <= 4),
+        |ipq_scoped AS (SELECT p.qid, b.vec_id AS nid
+        |  FROM ipq_probes p JOIN ipq_bk b ON b.cell = p.ccell AND p.qid <> b.vec_id),
+        |ipq_sc AS (SELECT s.qid, s.nid, q0.pd0 + q1.pd1 AS adist
+        |  FROM ipq_scoped s
+        |  JOIN pq_a0 a0 ON a0.nid = s.nid
+        |  JOIN pq_a1 a1 ON a1.nid = s.nid
+        |  JOIN pq_q0 q0 ON q0.code0 = a0.code0 AND q0.qid = s.qid
+        |  JOIN pq_q1 q1 ON q1.code1 = a1.code1 AND q1.qid = s.qid),
+        |ipq_r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY adist, nid) AS rank FROM ipq_sc)
+        |SELECT qid, nid, adist, CAST(rank AS BIGINT) AS rank
+        |FROM ipq_r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
     // ── Text: language-ID heuristic ────────────────────────────────────────
     "x_lang_id" -> Q(
       (s, d) => t(s, d, "documents")
@@ -1241,6 +1395,30 @@ object Pipeline {
         |  CASE WHEN NOT in_o THEN 'added' WHEN NOT in_n THEN 'removed'
         |       WHEN fp_o <> fp_n THEN 'changed' ELSE 'unchanged' END AS status
         |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // ── Cross-source leakage matrix: which source pairs share identical
+    //    lead passages (md5 of the first 200 chars) — the mirror-site /
+    //    syndication detector that decides whether "diverse sources" are
+    //    actually diverse. Scale shape: (fp, source) collapses map-side
+    //    to ≤ |sources| rows per fingerprint BEFORE the self-join, so the
+    //    equi-join on fp fans out at most sources²/2 per key and the pair
+    //    matrix is bounded by sources², never corpus-sized ────────────────
+    "x_cross_source_leakage" -> Q(
+      (s, d) => {
+        val cs = t(s, d, "documents")
+          .select(md5(substring(col("text"), 1, 200)).as("fp"), col("source"))
+          .distinct()
+        val a = cs.select(col("fp"), col("source").as("src_a"))
+        val b = cs.select(col("fp"), col("source").as("src_b"))
+        a.join(b, Seq("fp")).where(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH cs AS (SELECT DISTINCT md5(substr(text, 1, 200)) AS fp, source
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM cs a JOIN cs b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ── Stratified sampling: deterministic per-language sample of up to 25
     //    docs, ranked by id-hash (stable under re-runs and reshuffling —
@@ -1807,22 +1985,29 @@ object Pipeline {
       (s, d) => graft.operators.LangModel
         .bigramLmScores(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""WITH tk AS (SELECT doc_id,
-        |    string_split_regex(lower(text),'\s+') AS toks FROM documents),
-        |bg AS (SELECT doc_id, toks,
-        |    unnest(generate_series(1, len(toks)-1)) AS i
-        |  FROM tk WHERE len(toks) >= 2),
-        |pd AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, count(*) AS m
-        |  FROM bg GROUP BY 1, 2, 3),
-        |c2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c2 FROM pd GROUP BY 1, 2),
-        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-        |sc AS (SELECT pd.doc_id, pd.m, length(bin(c1.c1 // c2.c2)) AS surb
-        |  FROM pd JOIN c2 ON pd.w1 = c2.w1 AND pd.w2 = c2.w2
-        |          JOIN c1 ON pd.w1 = c1.w1)
-        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(m * surb) AS BIGINT) AS nll_bits,
-        |  CAST((sum(m * surb) * 100) // sum(m) AS BIGINT) AS avg_bits_e2
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $bigramLmCtesSql
+        |SELECT doc_id, n_bigrams, nll_bits, avg_bits_e2
+        |FROM blm ORDER BY doc_id""".stripMargin)),
+
+    // ── Fluency-band filter: the bigram-LM score applied the way a CCNet
+    //    deployment applies perplexity — keep the corpus-relative
+    //    [p05, p95] band of avg bits/bigram, dropping BOTH tails
+    //    (high = token salad, low = boilerplate/templated). Same bounded
+    //    distinct-score histogram + driver-scalar bounds shape as
+    //    x_filter_length_band; the scored frame persists so the corpus is
+    //    LM-scored exactly once, not once per pass ────────────────────────
+    "x_filter_fluency_band" -> Q(
+      (s, d) => Pipeline.fluencyBand(s, d),
+      Some(s"""WITH $bigramLmCtesSql,
+        |fb_h AS (SELECT avg_bits_e2, count(*) AS cnt FROM blm GROUP BY 1),
+        |fb_c AS (SELECT avg_bits_e2, sum(cnt) OVER (ORDER BY avg_bits_e2) AS cum FROM fb_h),
+        |fb_n AS (SELECT count(*) AS n FROM blm),
+        |fb_b AS (SELECT
+        |  min(CASE WHEN cum >= ceil(0.05 * (SELECT n FROM fb_n)) THEN avg_bits_e2 END) AS lo,
+        |  min(CASE WHEN cum >= ceil(0.95 * (SELECT n FROM fb_n)) THEN avg_bits_e2 END) AS hi
+        |  FROM fb_c)
+        |SELECT doc_id, avg_bits_e2 FROM blm, fb_b
+        |WHERE avg_bits_e2 BETWEEN fb_b.lo AND fb_b.hi ORDER BY doc_id""".stripMargin)),
 
     // ── Curriculum ordering: easy-to-hard by rarity with a total
     //    tie-break — the deterministic "which 20 docs start epoch 1" cut.

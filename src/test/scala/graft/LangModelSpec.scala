@@ -69,6 +69,38 @@ class LangModelSpec extends AnyFunSuite {
       s"templated corpus must score lower: template=$tAvg salad=$sAvg")
   }
 
+  test("fluency band: registered query keeps exactly the [p05, p95] " +
+    "score band of the plain-Scala recompute") {
+    val rnd = new scala.util.Random(31)
+    val words = "the cat sat on mat and dog too".split(" ")
+    val docs =
+      // templated block: low bits/bigram
+      (0 until 15).map(i => (i.toLong, "the cat sat on the mat and the dog sat too")) ++
+      // salads: high bits/bigram
+      (100 until 115).map(i =>
+        (i.toLong, Vector.fill(11)(words(rnd.nextInt(words.length))).mkString(" "))) ++
+      // no-bigram docs: unscored, never in any band
+      Seq((200L, "solo"), (201L, ""))
+    val sf = TestSpark.tmpDir("fluencysf")
+    docs.map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val scores = recompute(docs).view.mapValues(_._3).toMap
+    val n = scores.size
+    def bound(q: Double): Long = {
+      val k = math.ceil(q * n).toLong
+      val sorted = scores.values.toSeq.sorted
+      sorted.zipWithIndex.collectFirst {
+        case (v, i) if i + 1 >= k => v }.get
+    }
+    val (lo, hi) = (bound(0.05), bound(0.95))
+    val expected = scores.filter { case (_, v) => v >= lo && v <= hi }
+    val got = SparkEntry.queries("x_filter_fluency_band")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"band [$lo, $hi] over $n scored docs diverged")
+  }
+
   test("degenerate shapes: no-bigram docs are absent; repeated single " +
     "bigram scores 1 bit per pair") {
     val docs = Seq(

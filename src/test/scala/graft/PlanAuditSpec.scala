@@ -42,6 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_ann_ivf_multiprobe" -> 16L,
     "x_ann_ivf_trained" -> 16L,
     "x_ann_recall" -> 16L,        // 16 centroids; truth side probes = 10
+    "x_ann_pq" -> 16L,            // two ≤4-row codebooks
+    "x_ann_ivfpq" -> 16L,         // 16 coarse centroids + two ≤4-row codebooks
     "x_vec_sql_native" -> 100L)   // 5×20-row demo relations
 
   test("no query plans a cartesian product or nested-loop join") {
@@ -186,8 +188,22 @@ class PlanAuditSpec extends AnyFunSuite {
       // instance collapse, the c2/c1 model derivation, the two model
       // rejoins, the per-doc agg and ORDER BY — all over tables that
       // shrink to vocab size after the first collapse
-      "x_filter_funnel" -> 2, "x_corpus_diff" -> 3, "x_bigram_lm" -> 10)
+      "x_filter_funnel" -> 2, "x_corpus_diff" -> 3, "x_bigram_lm" -> 10,
+      // leakage: (fp,source) distinct, fp self-join both sides, pair agg, ORDER BY
+      "x_cross_source_leakage" -> 5,
+      // fluency band: textual count — the persisted LM-score subtree's plan
+      // (10 exchanges, executed ONCE) is replicated inside every
+      // InMemoryTableScan occurrence; the per-execution increment over
+      // x_bigram_lm is just the bounded histogram + band filter
+      "x_filter_fluency_band" -> 25)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      // drop caches registered by earlier queries' CONSTRUCTION (e.g. the
+      // fluency band persists the LM-score subtree it shares with
+      // x_bigram_lm): CacheManager substitution would otherwise splice an
+      // InMemoryTableScan — whose stored plan text re-counts the cached
+      // subtree's exchanges — into a plan that is cache-free when the
+      // query runs alone, making counts depend on suite order
+      graft.operators.CacheRegistry.unpersistAll()
       val n = "Exchange".r.findAllIn(SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString).size
       if (n > cap) Some(s"$name: $n exchanges > budget $cap") else None
