@@ -40,4 +40,50 @@ object Snapshots {
           .when(col("fp_o") =!= col("fp_n"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Per-source distribution-drift report between two corpus snapshots:
+    * (source, n_old, n_new, drift_e4). Catches a truncation bug or a
+    * boilerplate influx even when document counts look fine, by comparing
+    * the SHAPE of each source's length distribution, not its size.
+    *
+    * Metric: L1 distance between the normalized log2-length histograms,
+    * kept integer-exact by cross-multiplying instead of dividing —
+    * `drift_e4 = Σ_buckets |a_i·N_new − b_i·N_old| · 10⁴ ÷ (N_old·N_new)`
+    * — so the same value reproduces bit-for-bit in any engine. Range:
+    * 0 (identical shapes) … 20000 (disjoint length regimes); a source
+    * present in only one snapshot reports the 10000 midpoint. Buckets are
+    * length-bit-counts (null text → −1), so a source spans ≤ ~40 buckets
+    * regardless of corpus size.
+    *
+    * Scale shape: the two snapshots are tagged and unioned, so ONE
+    * map-side-combined aggregate collapses the corpus to (source, bucket,
+    * a, b) histogram rows — the only corpus-wide exchange, and it ships
+    * combiner output, not rows. The per-source totals come from a window
+    * over the histogram (≤ sources × 40 rows), never a self-join, and the
+    * final collapse reuses the window's src partitioning. Nothing
+    * downstream of the first groupBy is proportional to corpus size.
+    */
+  def corpusDrift(oldDf: DataFrame, newDf: DataFrame,
+                  sourceCol: String, textCol: String): DataFrame = {
+    def tagged(df: DataFrame, side: Int) = df
+      .select(coalesce(col(sourceCol), lit("")).as("src"),
+        coalesce(length(bin(length(col(textCol)).cast("long"))),
+          lit(-1)).as("bucket"),
+        lit(side).as("side"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    tagged(oldDf, 0).unionByName(tagged(newDf, 1))
+      .groupBy("src", "bucket")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+      .withColumn("n_old", sum(col("a")).over(w))
+      .withColumn("n_new", sum(col("b")).over(w))
+      .groupBy(col("src").as("source"), col("n_old"), col("n_new"))
+      .agg(sum(abs(col("a") * col("n_new") - col("b") * col("n_old")))
+        .as("l1"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        when(col("n_old") === 0 || col("n_new") === 0, lit(10000L))
+          .otherwise(expr("(l1 * 10000) div (n_old * n_new)"))
+          .as("drift_e4"))
+      .orderBy("source")
+  }
 }

@@ -1326,6 +1326,46 @@ object Pipeline {
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS h
         |  FROM documents)""".stripMargin)),
 
+    // ── Leakage-safe split: assign train/val/test by the DEDUP CLUSTER's
+    //    hash, not the document's — every near-duplicate of a test doc
+    //    lands in test with it, so eval can't be contaminated by a
+    //    training-set paraphrase (the straddle x_split_assign's per-doc
+    //    hash permits). Same md5-prefix % 100 scheme and 90/5/5 bands as
+    //    x_split_assign, applied to the cluster representative; singleton
+    //    docs are their own cluster via the left join's coalesce. Scale:
+    //    the proven components build + one doc→cluster equi-join; the
+    //    split decision itself is per-row ──────────────────────────────────
+    "x_split_leakage_safe" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = Dedup.dedupClusters(
+          Dedup.minhashCandidates(docs, "doc_id", "text"))
+        val membered = docs.select(col("doc_id"))
+          .join(clusters, docs("doc_id") === clusters("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val h = conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        membered.select(col("doc_id"), col("cluster"),
+          when(h < 90, "train").when(h < 95, "val").otherwise("test")
+            .as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+        |cl AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY node),
+        |m AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id)
+        |SELECT doc_id, cluster, CASE WHEN h < 90 THEN 'train'
+        |  WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster,
+        |  CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS h
+        |  FROM m) ORDER BY doc_id""".stripMargin)),
+
     // ── Quality: corpus-relative length-band filter — keep docs inside
     //    [p05, p95] of the length distribution (integer lower-quantile
     //    bounds from the bounded distinct-length histogram; the corpus
@@ -1395,6 +1435,47 @@ object Pipeline {
         |  CASE WHEN NOT in_o THEN 'added' WHEN NOT in_n THEN 'removed'
         |       WHEN fp_o <> fp_n THEN 'changed' ELSE 'unchanged' END AS status
         |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // ── Snapshot drift report: per-source distribution shift between two
+    //    corpus versions — the "did the new crawl change the SHAPE of each
+    //    source" audit. Fixture: old drops doc_id%11=0 and truncates
+    //    doc_id%3=0 to 100 chars (the planted regression); new drops
+    //    doc_id%7=0. Metric + 100 TB shape: Snapshots.corpusDrift ─────────
+    "x_corpus_drift" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") % 11 =!= 0)
+          .select(col("source"), when(col("doc_id") % 3 === 0,
+            substring(col("text"), 1, 100)).otherwise(col("text")).as("text"))
+        val neu = docs.where(col("doc_id") % 7 =!= 0)
+          .select(col("source"), col("text"))
+        graft.operators.Snapshots.corpusDrift(old, neu, "source", "text")
+      },
+      Some("""WITH cd_old AS (SELECT coalesce(source, '') AS src,
+        |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 100) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |cd_new AS (SELECT coalesce(source, '') AS src, text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |cd_ho AS (SELECT src, coalesce(length(bin(CAST(length(text) AS BIGINT))), -1) AS bucket,
+        |    count(*) AS a FROM cd_old GROUP BY 1, 2),
+        |cd_hn AS (SELECT src, coalesce(length(bin(CAST(length(text) AS BIGINT))), -1) AS bucket,
+        |    count(*) AS b FROM cd_new GROUP BY 1, 2),
+        |cd_na AS (SELECT src, CAST(sum(a) AS BIGINT) AS n_old FROM cd_ho GROUP BY 1),
+        |cd_nb AS (SELECT src, CAST(sum(b) AS BIGINT) AS n_new FROM cd_hn GROUP BY 1),
+        |cd_j AS (SELECT coalesce(o.src, n.src) AS src,
+        |    coalesce(o.bucket, n.bucket) AS bucket,
+        |    coalesce(o.a, 0) AS a, coalesce(n.b, 0) AS b
+        |  FROM cd_ho o FULL OUTER JOIN cd_hn n ON o.src = n.src AND o.bucket = n.bucket),
+        |cd_t AS (SELECT j.src, coalesce(na.n_old, 0) AS n_old,
+        |    coalesce(nb.n_new, 0) AS n_new,
+        |    CAST(sum(abs(j.a * coalesce(nb.n_new, 0) - j.b * coalesce(na.n_old, 0))) AS BIGINT) AS l1
+        |  FROM cd_j j LEFT JOIN cd_na na ON j.src = na.src
+        |              LEFT JOIN cd_nb nb ON j.src = nb.src
+        |  GROUP BY 1, 2, 3)
+        |SELECT src AS source, n_old, n_new,
+        |  CASE WHEN n_old = 0 OR n_new = 0 THEN 10000
+        |       ELSE (l1 * 10000) // (n_old * n_new) END AS drift_e4
+        |FROM cd_t ORDER BY source""".stripMargin)),
 
     // ── Cross-source leakage matrix: which source pairs share identical
     //    lead passages (md5 of the first 200 chars) — the mirror-site /

@@ -246,6 +246,34 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.clusters.driverMaxEdges")
   }
 
+  test("leakage-safe split: dedup clusters are split-atomic and no minhash " +
+    "candidate pair straddles train/val/test") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("x_split_leakage_safe")(spark, sf).collect()
+    val split = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // (a) cluster atomicity: every cluster maps to exactly one split
+    out.groupBy(_.getLong(1)).foreach { case (c, rows) =>
+      assert(rows.map(_.getString(2)).distinct.length == 1,
+        s"cluster $c straddles splits")
+    }
+    // (b) the guarantee the operator exists for, asserted on the raw pair
+    // table (not via the cluster column): no near-dup candidate straddles.
+    // Guard that the fixture actually exercises it.
+    val pairs = Dedup.minhashCandidates(
+      graft.io.Tables.table(spark, sf, "documents"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — property untested")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a,$b) split across ${split(a)}/${split(b)}")
+    }
+    // (c) cluster-correlated assignment still lands near the declared
+    // 90/5/5 (clusters are small relative to the corpus)
+    val n = out.length.toDouble
+    val train = out.count(_.getString(2) == "train") / n
+    assert(math.abs(train - 0.90) < 0.06, s"train fraction $train far from 0.90")
+  }
+
   test("dedup clusters: graft.checkpointDir switches to reliable checkpoints") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("ckpt")

@@ -40,10 +40,11 @@ class EmptyProbeSpec extends AnyFunSuite {
       "x_bpe_pair_stats", "x_lang_id", "x_lang_id_ngram", "x_quality",
       "x_token_count", "x_repetition_ratio",
       "x_top_tokens", "x_tfidf_top_terms", "x_chunk_docs", "x_pack_greedy",
-      "x_split_assign", "x_mix_weighted", "x_redact_pii",
+      "x_split_assign", "x_split_leakage_safe", "x_mix_weighted", "x_redact_pii",
       "x_sample_stratified", "x_cap_per_source", "x_fingerprint",
       "x_normalize_text", "x_oov_rate", "x_rarity_score", "x_bigram_lm",
-      "x_filter_funnel", "x_corpus_diff", "x_cross_source_leakage",
+      "x_filter_funnel", "x_corpus_diff", "x_corpus_drift",
+      "x_cross_source_leakage",
       "x_filter_fluency_band", "x_pipeline_e2e",
       "x_multimodal_meta", "x_inverted_index",
       // events-based operators

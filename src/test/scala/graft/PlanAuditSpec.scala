@@ -189,6 +189,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // rejoins, the per-doc agg and ORDER BY — all over tables that
       // shrink to vocab size after the first collapse
       "x_filter_funnel" -> 2, "x_corpus_diff" -> 3, "x_bigram_lm" -> 10,
+      // drift: ONE corpus-wide combiner agg on (src,bucket), the
+      // histogram-sized window re-shuffle on src (whose partitioning the
+      // final collapse reuses — a 4th exchange means that reuse broke),
+      // and the ORDER BY
+      "x_corpus_drift" -> 3,
       // leakage: (fp,source) distinct, fp self-join both sides, pair agg, ORDER BY
       "x_cross_source_leakage" -> 5,
       // fluency band: textual count — the persisted LM-score subtree's plan

@@ -58,4 +58,83 @@ class SnapshotsSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Snapshots.corpusDiff(empty, empty, "doc_id", "text").count() == 0)
   }
+
+  // ── corpusDrift ────────────────────────────────────────────────────────
+
+  /** The metric, recomputed in plain Scala from first principles:
+    * log2-length buckets (null → −1), cross-multiplied L1, integer ÷. */
+  private def naiveDrift(old: Seq[(String, String)], neu: Seq[(String, String)])
+      : Map[String, (Long, Long, Long)] = {
+    def bucket(text: String): Int =
+      if (text == null) -1
+      else java.lang.Long.toBinaryString(text.length.toLong).length
+    def hist(rows: Seq[(String, String)]) = rows
+      .groupBy { case (s, t) => (if (s == null) "" else s, bucket(t)) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val (ho, hn) = (hist(old), hist(neu))
+    val srcs = (ho.keySet ++ hn.keySet).map(_._1)
+    srcs.map { s =>
+      val na = ho.collect { case ((`s`, _), c) => c }.sum
+      val nb = hn.collect { case ((`s`, _), c) => c }.sum
+      val buckets = (ho.keySet ++ hn.keySet).collect { case (`s`, b) => b }
+      val l1 = buckets.toSeq.map { b =>
+        math.abs(ho.getOrElse((s, b), 0L) * nb - hn.getOrElse((s, b), 0L) * na)
+      }.sum
+      s -> (na, nb,
+        if (na == 0 || nb == 0) 10000L else l1 * 10000L / (na * nb))
+    }.toMap
+  }
+
+  private def runDrift(old: Seq[(String, String)], neu: Seq[(String, String)])
+      : Map[String, (Long, Long, Long)] =
+    Snapshots.corpusDrift(old.toDF("source", "text"), neu.toDF("source", "text"),
+      "source", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("corpusDrift endpoints: identical shapes score 0, disjoint length " +
+    "regimes score 20000, a vanished source scores the 10000 midpoint") {
+    // identical histograms even though the actual documents differ
+    val sameShape = runDrift(
+      old = Seq(("a", "xx"), ("a", "yyyy")),
+      neu = Seq(("a", "zz"), ("a", "wwww"), ("a", "qq"), ("a", "rrrr")))
+    assert(sameShape("a") == ((2L, 4L, 0L)), s"got $sameShape")
+    // old all short (bucket 2), new all long (bucket 5): no overlap
+    val disjoint = runDrift(
+      old = Seq(("a", "xx"), ("a", "yy")),
+      neu = Seq(("a", "x" * 20)))
+    assert(disjoint("a") == ((2L, 1L, 20000L)), s"got $disjoint")
+    val vanished = runDrift(old = Seq(("gone", "xx")), neu = Seq(("kept", "xx")))
+    assert(vanished("gone") == ((1L, 0L, 10000L)), s"got $vanished")
+    assert(vanished("kept") == ((0L, 1L, 10000L)), s"got $vanished")
+  }
+
+  test("corpusDrift nulls: null source folds into the '' source and null " +
+    "text occupies its own bucket") {
+    val got = runDrift(
+      old = Seq((null, "xx"), ("", null)),
+      neu = Seq(("", "xx"), (null, null)))
+    // both rows on each side land in source "": identical {bucket 2: 1,
+    // bucket -1: 1} histograms → drift 0
+    assert(got == Map("" -> ((2L, 2L, 0L))), s"got $got")
+  }
+
+  test("generative law: drift equals the plain-Scala recompute on random " +
+    "planted corpora") {
+    val rnd = new scala.util.Random(61)
+    (0 until 3).foreach { round =>
+      def corpus() = (0 until 120).map { _ =>
+        val src = s"s${rnd.nextInt(4)}"
+        val text =
+          if (rnd.nextInt(10) == 0) null
+          else "x" * (1 + rnd.nextInt(300))
+        (src, text)
+      }
+      val (old, neu) = (corpus(), corpus())
+      val got = runDrift(old, neu)
+      val want = naiveDrift(old, neu)
+      assert(got == want, s"round $round: $got != $want")
+    }
+  }
 }
