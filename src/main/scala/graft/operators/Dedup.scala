@@ -222,6 +222,44 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Edit-distance verification over the same LSH candidates — the
+    * character-level near-dup signal the set-based metrics can't see.
+    * Jaccard and containment treat a document as a token SET: a
+    * systematic single-character corruption (OCR noise, a mojibake pass,
+    * a diff-sized template change) that touches every token drops set
+    * overlap to ~0 while the texts remain one edit per token apart. The
+    * Levenshtein similarity over the documents' prefixes scores exactly
+    * that residual closeness.
+    *
+    * Cost contract at 100 TB: Levenshtein is O(m·n) per pair, so the
+    * comparison is CAPPED to the first `prefixLen` characters (default
+    * 200 — the same lead-passage window the leakage matrix fingerprints),
+    * bounding every pair at prefixLen² cell updates regardless of
+    * document size, and it runs only on LSH candidates, never all pairs.
+    * `sim_e4` is the ×10⁴ integer similarity 1 − dist/max(len) (two
+    * empty prefixes score 10000), so the score is engine-exact.
+    */
+  def editVerifyPairs(df: DataFrame, idCol: String, textCol: String,
+                      prefixLen: Int = 200, numHashes: Int = 16,
+                      bandSize: Int = 4,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
+      maxBucket)
+    val pfx = df.select(col(idCol).as("id"),
+      substring(coalesce(col(textCol), lit("")), 1, prefixLen).as("pfx"))
+    cands
+      .join(pfx.select(col("id").as("a"), col("pfx").as("a_pfx")), Seq("a"))
+      .join(pfx.select(col("id").as("b"), col("pfx").as("b_pfx")), Seq("b"))
+      .withColumn("edit_dist",
+        levenshtein(col("a_pfx"), col("b_pfx")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("a_pfx")), length(col("b_pfx"))).cast("long"))
+      .select(col("a").as("a_id"), col("b").as("b_id"), col("edit_dist"),
+        when(col("max_len") === 0, 10000L)
+          .otherwise(expr("10000 - (edit_dist * 10000) div max_len"))
+          .as("sim_e4"))
+  }
+
   /** Duplication report: how many exact-dup clusters exist at each copy
     * count. The report every curation run ships next to its output — it is
     * the one-page answer to "how duplicated was this crawl". Two grouped

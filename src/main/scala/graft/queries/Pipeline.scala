@@ -559,6 +559,25 @@ object Pipeline {
         |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
         |  least(len(ta.toks), len(tb.toks)) >= 0.8""".stripMargin)),
 
+    // ── Dedup: edit-distance verify over the same LSH candidates — the
+    //    character-level residual-closeness score the set-based metrics
+    //    miss (one OCR edit per token zeroes Jaccard but barely moves
+    //    this). Levenshtein capped to 200-char prefixes: prefixLen² cell
+    //    updates per pair, candidates only, never all-pairs ────────────────
+    "x_dedup_edit_verify" -> Q(
+      (s, d) => Dedup.editVerifyPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH $candCtesSql,
+        |ep AS (SELECT doc_id, substr(coalesce(text, ''), 1, 200) AS pfx
+        |  FROM documents)
+        |SELECT c.a AS a_id, c.b AS b_id,
+        |  CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS edit_dist,
+        |  CASE WHEN greatest(len(pa.pfx), len(pb.pfx)) = 0 THEN 10000
+        |    ELSE 10000 - (CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) * 10000)
+        |      // greatest(len(pa.pfx), len(pb.pfx)) END AS sim_e4
+        |FROM cand c JOIN ep pa ON pa.doc_id = c.a JOIN ep pb ON pb.doc_id = c.b
+        |ORDER BY a_id, b_id""".stripMargin)),
+
     // ── Dedup: the duplication report — clusters per copy count, the
     //    one-page "how duplicated was this crawl" answer shipped next to
     //    every curation run ────────────────────────────────────────────────
@@ -1799,6 +1818,56 @@ object Pipeline {
       Some("""SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100
         |  < (CASE WHEN lang = 'en' THEN 90 WHEN lang = 'de' THEN 60 ELSE 30 END)""".stripMargin)),
+
+    // ── Mixture planning: per-source repeat epochs for a temperature-τ=2
+    //    target mix. Targets w_s ∝ √tokens_s (the standard multilingual
+    //    upsample-the-tail schedule); each source's epochs = its target
+    //    token share of the whole-corpus budget over what it actually has,
+    //    and over_cap flags > 4 epochs — the data-constrained-scaling
+    //    point past which repetition stops buying loss. Integer-exact
+    //    everywhere: √ enters only as floor(ieee_sqrt(bigint)), identical
+    //    in any engine, and shares/epochs are ×10⁴ integer divisions.
+    //    Scale: ONE corpus-wide combiner aggregate collapses to a
+    //    sources-sized table; the totals window and the arithmetic touch
+    //    ~20 rows ─────────────────────────────────────────────────────────
+    "x_mix_epochs" -> Q(
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        t(s, d, "documents")
+          .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+          .groupBy("source")
+          .agg(coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+          .withColumn("w", floor(sqrt(col("n_tokens"))).cast("long"))
+          .withColumn("w_total", sum(col("w")).over(wAll))
+          .withColumn("budget", sum(col("n_tokens")).over(wAll))
+          .withColumn("epochs_e4",
+            when(col("n_tokens") === 0 || col("w_total") === 0, 0L)
+              .otherwise(expr(
+                "((budget * w) div w_total) * 10000 div n_tokens")))
+          .select(col("source"), col("n_tokens"),
+            when(col("budget") === 0, 0L)
+              .otherwise(expr("(n_tokens * 10000) div budget")).as("share_e4"),
+            when(col("w_total") === 0, 0L)
+              .otherwise(expr("(w * 10000) div w_total")).as("target_e4"),
+            col("epochs_e4"),
+            (col("epochs_e4") > 40000L).as("over_cap"))
+          .orderBy("source")
+      },
+      Some("""WITH me_s AS (SELECT source,
+        |    CAST(coalesce(sum(CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT)), 0) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |me_w AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w FROM me_s),
+        |me_t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS w_total,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS budget FROM me_w),
+        |me_e AS (SELECT *, CASE WHEN n_tokens = 0 OR w_total = 0 THEN 0
+        |    ELSE ((budget * w) // w_total) * 10000 // n_tokens END AS epochs_e4
+        |  FROM me_t)
+        |SELECT source, n_tokens,
+        |  CASE WHEN budget = 0 THEN 0 ELSE (n_tokens * 10000) // budget END AS share_e4,
+        |  CASE WHEN w_total = 0 THEN 0 ELSE (w * 10000) // w_total END AS target_e4,
+        |  epochs_e4, epochs_e4 > 40000 AS over_cap
+        |FROM me_e ORDER BY source""".stripMargin)),
 
     // ── Safety: PII redaction (emails + long digit runs), reported as the
     //    redacted-text fingerprint + counts so outputs stay compact ─────────

@@ -246,6 +246,50 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.clusters.driverMaxEdges")
   }
 
+  test("edit verify: distances and sim_e4 equal a plain-Scala levenshtein " +
+    "recompute over the corpus's LSH candidates; exact dups score 10000") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cost
+        }
+      }
+      prev(b.length)
+    }
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val out = SparkEntry.queries("x_dedup_edit_verify")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture has no candidate pairs — law untested")
+    val pfx = docs
+      .select(col("doc_id"),
+        substring(coalesce(col("text"), lit("")), 1, 200).as("pfx"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val d = lev(pfx(a), pfx(b)).toLong
+      val m = math.max(pfx(a).length, pfx(b).length).toLong
+      val sim = if (m == 0) 10000L else 10000L - d * 10000L / m
+      assert(r.getLong(2) == d && r.getLong(3) == sim,
+        s"pair ($a,$b): got (${r.getLong(2)},${r.getLong(3)}), want ($d,$sim)")
+    }
+    // planted exact duplicates are GUARANTEED candidates (identical
+    // shingle sets → identical signatures → same buckets — no banding
+    // lottery) and must score dist 0 / sim 10000
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated content about something else entirely here"))
+      .toDF("doc_id", "text")
+    val dup = Dedup.editVerifyPairs(planted, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dup.contains((1L, 2L, 0L, 10000L)), s"got ${dup.mkString(",")}")
+  }
+
   test("leakage-safe split: dedup clusters are split-atomic and no minhash " +
     "candidate pair straddles train/val/test") {
     val sf = "/root/testdata/sf0.001"

@@ -17,7 +17,8 @@ class DegenerateProbe extends AnyFunSuite {
 
   private val names = Seq(
     "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_jaccard",
-    "x_dedup_containment", "x_dedup_stats", "x_shard_manifest",
+    "x_dedup_containment", "x_dedup_edit_verify", "x_dedup_stats",
+    "x_shard_manifest",
     "x_dedup_incremental", "x_filter_length_band", "x_cluster_balance",
     "x_dedup_simhash_pairs", "x_dedup_clusters", "x_dedup_semantic",
     "x_dedup_keep_best", "x_decontaminate", "x_ann_topk", "x_ann_ivf",
@@ -27,7 +28,7 @@ class DegenerateProbe extends AnyFunSuite {
     "x_lang_id_ngram", "x_repetition_ratio",
     "x_quality", "x_token_count", "x_top_tokens", "x_tfidf_top_terms",
     "x_chunk_docs", "x_pack_greedy", "x_split_assign",
-    "x_split_leakage_safe", "x_mix_weighted",
+    "x_split_leakage_safe", "x_mix_weighted", "x_mix_epochs",
     "x_redact_pii", "x_sample_stratified", "x_cap_per_source",
     "x_fingerprint", "x_normalize_text", "x_oov_rate", "x_rarity_score",
     "x_bigram_lm", "x_filter_funnel", "x_corpus_diff", "x_corpus_drift",

@@ -194,6 +194,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // final collapse reuses — a 4th exchange means that reuse broke),
       // and the ORDER BY
       "x_corpus_drift" -> 3,
+      // mix planning: the corpus-wide combiner agg + the single-partition
+      // totals window over the sources-sized table (which the ORDER BY
+      // then rides for free)
+      "x_mix_epochs" -> 2,
       // leakage: (fp,source) distinct, fp self-join both sides, pair agg, ORDER BY
       "x_cross_source_leakage" -> 5,
       // fluency band: textual count — the persisted LM-score subtree's plan
