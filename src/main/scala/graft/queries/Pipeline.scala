@@ -2297,6 +2297,17 @@ object Pipeline {
       (s, d) => graft.streaming.StreamingSync.statefulUserRollupTws(s, d),
       Some(userRollupSql)),
 
+    // ── Structured Streaming: per-(source, length-bucket) corpus
+    //    histogram maintained as documents land — the online half of
+    //    Snapshots.corpusDrift (shape alarms can fire MID-ingest). State
+    //    bounded by sources × ~40 buckets; see StreamingSync ───────────────
+    "stream_corpus_hist" -> Q(
+      (s, d) => graft.streaming.StreamingSync.corpusHistogram(s, d),
+      Some("""SELECT coalesce(source, '') AS source,
+        |  coalesce(length(bin(CAST(length(text) AS BIGINT))), -1) AS bucket,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY 1, 2""".stripMargin)),
+
     // ── Structured Streaming: the CDC fold as arriving state — one state
     //    row per key, trailing-delete keys dropped after compaction; the
     //    streaming twin of x_cdc_apply against the SAME oracle ─────────────
@@ -2379,6 +2390,52 @@ object Pipeline {
         |post AS (SELECT tok, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
         |  FROM topd GROUP BY 1)
         |SELECT dfreq.tok, CAST(df AS BIGINT) AS df, postings
-        |FROM dfreq JOIN post USING (tok)""".stripMargin))
+        |FROM dfreq JOIN post USING (tok)""".stripMargin)),
+
+    // ── Retrieval: tf-idf top-k scoring for a fixed term query — the
+    //    online search path the inverted-index build exists to serve.
+    //    Integer-exact idf via the established log2-bin trick
+    //    (idf_bits = len(bin(N div df)) ≈ log₂(N/df)+1), so score =
+    //    Σ tf·idf_bits reproduces bit-for-bit in any engine. Scale: the
+    //    term filter applies AT the token explode (rows ∝ query-term
+    //    occurrences, not corpus tokens), tf is one combiner agg on
+    //    (doc, term), idf is a 3-row broadcast join, and top-k is
+    //    TakeOrdered (per-partition heads + driver merge of k) — no
+    //    global window, no corpus sort ─────────────────────────────────────
+    "x_search_tfidf" -> Q(
+      (s, d) => {
+        val terms = Seq("join", "merge", "stream")
+        // persisted: feeds both the df aggregate and the scoring join —
+        // without it Spark recomputes the corpus explode per consumer
+        val tf = graft.operators.CacheRegistry.register(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              explode(split(lower(col("text")), "\\s+")).as("tok"))
+            .where(col("tok").isin(terms: _*))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+            .persist())
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val idf = tf.groupBy("tok")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .crossJoin(broadcast(nDocs)) // 1-row corpus count vs 3 term rows
+          .select(col("tok"),
+            length(bin(expr("n_docs div df"))).cast("long").as("idf_bits"))
+        tf.join(broadcast(idf), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(sum(col("tf") * col("idf_bits")).as("score"))
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH st_f AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok IN ('join', 'merge', 'stream') GROUP BY 1, 2),
+        |st_n AS (SELECT count(*) AS n_docs FROM documents),
+        |st_idf AS (SELECT tok,
+        |    CAST(length(bin(CAST((SELECT n_docs FROM st_n) // count(DISTINCT doc_id) AS BIGINT))) AS BIGINT) AS idf_bits
+        |  FROM st_f GROUP BY tok)
+        |SELECT f.doc_id, CAST(sum(f.tf * i.idf_bits) AS BIGINT) AS score
+        |FROM st_f f JOIN st_idf i USING (tok)
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

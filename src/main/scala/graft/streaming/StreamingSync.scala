@@ -85,16 +85,16 @@ object StreamingSync {
     base
   }
 
-  /** The events table as a stream. The file streaming source requires a
+  /** A corpus table as a stream. The file streaming source requires a
     * DIRECTORY (a production table is one); the test corpus ships
     * single-file tables, so expose the file through a per-run directory of
     * symlinks (local filesystems only — a cluster source is a directory).
     * ns-annotated Long columns are restored from the parquet footer exactly
     * like graft.io.Tables.table.
     */
-  private def eventsStream(spark: SparkSession, sfDir: String,
-                           base: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
+  private def tableStream(spark: SparkSession, sfDir: String, table: String,
+                          base: String): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
     val batchSchema = spark.read.parquet(path).schema
     val eventsPath = java.nio.file.Paths.get(path).toAbsolutePath
     val streamDir =
@@ -103,7 +103,7 @@ object StreamingSync {
         val d = java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(s"$base/src"))
         java.nio.file.Files.createSymbolicLink(
-          d.resolve("events.parquet"), eventsPath)
+          d.resolve(s"$table.parquet"), eventsPath)
         d.toString
       }
     // multi-batch drains (eviction tests; backfills that shouldn't land as
@@ -118,6 +118,34 @@ object StreamingSync {
     graft.io.Tables.nsTimestampCols(spark, path).filter(longNames)
       .foldLeft(raw)((d, c) =>
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
+  }
+
+  private def eventsStream(spark: SparkSession, sfDir: String,
+                           base: String): DataFrame =
+    tableStream(spark, sfDir, "events", base)
+
+  /** Streaming corpus-shape monitor: the per-(source, length-bucket)
+    * histogram maintained as documents land — the online half of
+    * `Snapshots.corpusDrift`. The batch report compares two FINISHED
+    * snapshots; this keeps the incoming snapshot's histogram continuously
+    * current, so the shape comparison can run mid-ingest (the "is this
+    * crawl truncating documents" alarm fires before the crawl finishes).
+    * State is one count per (source, bucket) — bounded by
+    * sources × ~40 length-bits buckets, never corpus-sized — and the
+    * update-mode changelog compacts last-writer-wins per bucket. Batch
+    * parity: the same single grouped aggregate.
+    */
+  def corpusHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "hist")
+    val agg = tableStream(ss, sfDir, "documents", base)
+      .select(
+        coalesce(col("source"), lit("")).as("source"),
+        coalesce(length(bin(length(col("text")).cast("long"))), lit(-1))
+          .cast("long").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    runToChangelog(agg, base, "graft_stream_corpus_hist",
+      Seq("source", "bucket"))
   }
 
   /** Empty result with the given schema — the no-batches case (empty

@@ -48,7 +48,7 @@ class EmptyProbeSpec extends AnyFunSuite {
       "x_filter_funnel", "x_corpus_diff", "x_corpus_drift",
       "x_cross_source_leakage",
       "x_filter_fluency_band", "x_pipeline_e2e",
-      "x_multimodal_meta", "x_inverted_index",
+      "x_multimodal_meta", "x_inverted_index", "x_search_tfidf",
       // events-based operators
       "x_incr_agg", "x_funnel_steps", "x_retention_cohort", "x_cdc_apply",
       "x_scd2_history", "x_negative_sample",

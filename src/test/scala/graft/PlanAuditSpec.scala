@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
       "stream_range_join", "stream_enrich", "stream_sessionize",
       "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
+      "stream_corpus_hist",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
@@ -44,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_ann_recall" -> 16L,        // 16 centroids; truth side probes = 10
     "x_ann_pq" -> 16L,            // two ≤4-row codebooks
     "x_ann_ivfpq" -> 16L,         // 16 coarse centroids + two ≤4-row codebooks
-    "x_vec_sql_native" -> 100L)   // 5×20-row demo relations
+    "x_vec_sql_native" -> 100L,   // 5×20-row demo relations
+    "x_search_tfidf" -> 1L)       // the 1-row corpus-count broadcast
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -198,6 +200,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // totals window over the sources-sized table (which the ORDER BY
       // then rides for free)
       "x_mix_epochs" -> 2,
+      // search: the persisted tf subtree's plan text is re-counted inside
+      // both InMemoryTableScan consumers (executed ONCE — same accounting
+      // as the fluency band); per execution it is the tf combiner agg, the
+      // 3-row df agg + two broadcasts, and the per-doc score agg,
+      // top-k via TakeOrdered (no sort exchange)
+      "x_search_tfidf" -> 8,
       // leakage: (fp,source) distinct, fp self-join both sides, pair agg, ORDER BY
       "x_cross_source_leakage" -> 5,
       // fluency band: textual count — the persisted LM-score subtree's plan

@@ -52,6 +52,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(dedup.isEmpty && dedup.columns.toSeq == Seq("user_id"))
   }
 
+  test("corpus histogram: multi-batch drain compacts per-bucket state to " +
+    "the cumulative counts (update-mode last-writer-wins across batches)") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("histsf")
+    val dir = new java.io.File(s"$sf/documents.parquet")
+    assert(dir.mkdirs())
+    def docs(rows: Seq[(Long, String, String)]) = rows
+      .map { case (id, text, src) => (id, text, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val now = System.currentTimeMillis()
+    // batch 1: two 3-char docs in src a (bucket len(bin(3)) = 2)
+    stageBatchFile(sf, dir, docs(Seq((1L, "abc", "a"), (2L, "xyz", "a"))),
+      "b1", now - 240000)
+    // batch 2: one more 3-char doc in a — SAME bucket, so its update-mode
+    // re-emission (3) must supersede batch 1's count (2) — plus a
+    // 10-char doc opening src b (bucket 4) and a null text (bucket -1)
+    stageBatchFile(sf, dir,
+      docs(Seq((3L, "def", "a"), (4L, "0123456789", "b"), (5L, null, "b"))),
+      "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out =
+      try graft.streaming.StreamingSync.corpusHistogram(spark, sf).collect()
+      finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = out.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", 2L) -> 3L, ("b", 4L) -> 1L, ("b", -1L) -> 1L),
+      s"got $got")
+  }
+
   test("session_window merges at the EXACT gap boundary (oracle contract)") {
     import spark.implicits._
     // Both session oracles (stream_sessionize, stream_sessionize_wm) break

@@ -12,6 +12,24 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("tf-idf search: planted tf/df produce the exact log2-bin scores in " +
+    "rank order") {
+    val sf = TestSpark.tmpDir("tfidf")
+    Seq(
+      (1L, "join join merge xyz", "en", "s", 0L),
+      (2L, "stream stream stream other", "en", "s", 0L),
+      (3L, "nothing relevant here", "en", "s", 0L),
+      (4L, "join stream", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    // N=4; df(join)=2, df(merge)=1, df(stream)=2 →
+    // idf_bits: join = len(bin(2)) = 2, merge = len(bin(4)) = 3, stream = 2
+    // scores: d1 = 2·2 + 1·3 = 7, d2 = 3·2 = 6, d4 = 1·2 + 1·2 = 4; d3 out
+    val got = SparkEntry.queries("x_search_tfidf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L), (2L, 6L), (4L, 4L)), s"got $got")
+  }
+
   test("length-band filter keeps exactly the [p05, p95] lower-quantile band") {
     val sf = TestSpark.tmpDir("lenband")
     // 100 docs with n_chars 1..100: kLo = ceil(5) = 5, kHi = ceil(95) = 95
