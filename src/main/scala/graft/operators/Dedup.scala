@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
@@ -193,10 +194,12 @@ object Dedup {
     * Candidates still come from MinHash LSH, which estimates *resemblance*:
     * a containment pair collides only when the short side's shingles also
     * dominate some band of the long side's signature, so recall decays as
-    * the length ratio grows. That is the documented trade: for guaranteed
-    * containment recall you'd band on the short side's shingle set alone
-    * (a per-prefix index); this operator is the cheap pass that reuses the
-    * one LSH build the dedup pipeline already paid for.
+    * the length ratio grows. That is the documented trade: this operator
+    * is the cheap pass that reuses the one LSH build the dedup pipeline
+    * already paid for; [[containmentIndexed]] is the guaranteed-recall
+    * path (bottom-k probes of the short side against corpus postings,
+    * length-ratio independent) when the ratio-decayed recall is not
+    * acceptable.
     *
     * Scale: same shape as `jaccardPairs` — candidate set bounded by bucket
     * collisions, two id-equi-joins to fetch token sets, integer set sizes.
@@ -220,6 +223,56 @@ object Dedup {
         (inter.cast("double") / least(nA, nB).cast("double"))
           .as("containment"))
       .where(col("containment") >= threshold)
+  }
+
+  /** Guaranteed-recall containment candidates via a bottom-k shingle
+    * index — the scale path [[containmentPairs]]'s scaladoc promises: its
+    * MinHash-LSH candidates estimate *resemblance*, so recall on
+    * short-in-long pairs decays as the length ratio grows; here every doc
+    * probes the corpus postings with its k smallest shingle hashes (a
+    * bottom-k sketch of the PROBE side alone — a uniform sample of its
+    * shingles under the hash order), so for true containment c each probe
+    * shingle hits independently with probability ≈ c and
+    * `est_e4 ≈ n_match·10⁴/k_probe` estimates c with NO dependence on the
+    * other side's size. Direction matters (containment is asymmetric):
+    * (a_id, b_id) means "a's shingles are in b".
+    *
+    * Scale contract: postings drop shingles shared by > maxDf docs — the
+    * same boilerplate cap as decontamination (hot shingles produce
+    * quadratic pair counts and carry no discriminative signal; a probe
+    * whose shingle was capped undercounts, never overcounts). The probe
+    * side is ≤ k rows per doc, the candidate join is an equi-join on the
+    * hash, and the bottom-k window is a rank-limit shape (partial
+    * WindowGroupLimit: each input partition reduces to its local k before
+    * shuffling). Pairs at or above `thresholdE4` remain; exact
+    * verification composes via [[containmentPairs]]'s scorer.
+    */
+  def containmentIndexed(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, maxDf: Int = DefaultMaxBucket,
+                         thresholdE4: Long = 5000L): DataFrame = {
+    val sh = registerPersisted(df
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        explode(array_distinct(shinglesFromTokens(col("toks")))).as("s"))
+      .select(col("doc"), md5(col("s")).as("h"))
+      .persist())
+    val heavy = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select("h")
+    val post = sh.join(heavy, Seq("h"), "left_anti")
+    val probe = sh
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("h"))))
+      .where(col("rk") <= k).select(col("doc"), col("h"))
+    val kProbe = probe.groupBy("doc").agg(count(lit(1)).as("k_probe"))
+    probe.select(col("doc").as("a"), col("h"))
+      .join(post.select(col("doc").as("b"), col("h")), Seq("h"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
+      .join(kProbe.withColumnRenamed("doc", "a"), Seq("a"))
+      .withColumn("est_e4", expr("(n_match * 10000) div k_probe"))
+      .where(col("est_e4") >= thresholdE4)
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        col("n_match"), col("k_probe"), col("est_e4"))
   }
 
   /** Edit-distance verification over the same LSH candidates — the

@@ -559,6 +559,37 @@ object Pipeline {
         |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
         |  least(len(ta.toks), len(tb.toks)) >= 0.8""".stripMargin)),
 
+    // ── Dedup: guaranteed-recall containment candidates — bottom-k
+    //    shingle probes against df-capped corpus postings. The scale path
+    //    containmentPairs' doc promises: est_e4 estimates directional
+    //    containment with NO length-ratio recall decay ─────────────────────
+    "x_dedup_containment_idx" -> Q(
+      (s, d) => Dedup.containmentIndexed(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH ci_t AS (SELECT doc_id AS doc,
+        |    string_split_regex(lower(text), '\\s+') AS l FROM documents),
+        |ci_sh0 AS (SELECT doc, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |  ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl
+        |  FROM ci_t),
+        |ci_ex AS (SELECT doc, unnest(list_distinct(shl)) AS sh FROM ci_sh0),
+        |ci_h AS (SELECT doc, md5(sh) AS h FROM ci_ex),
+        |ci_hv AS (SELECT h FROM ci_h GROUP BY h
+        |  HAVING count(*) > ${Dedup.DefaultMaxBucket}),
+        |ci_post AS (SELECT doc, h FROM ci_h WHERE h NOT IN (SELECT h FROM ci_hv)),
+        |ci_probe AS (SELECT doc, h FROM (SELECT doc, h,
+        |    row_number() OVER (PARTITION BY doc ORDER BY h) AS rk FROM ci_h)
+        |  WHERE rk <= 8),
+        |ci_k AS (SELECT doc, count(*) AS k_probe FROM ci_probe GROUP BY 1),
+        |ci_m AS (SELECT p.doc AS a, i.doc AS b, count(*) AS n_match
+        |  FROM ci_probe p JOIN ci_post i ON p.h = i.h AND p.doc <> i.doc
+        |  GROUP BY 1, 2)
+        |SELECT m.a AS a_id, m.b AS b_id, CAST(m.n_match AS BIGINT) AS n_match,
+        |  CAST(k.k_probe AS BIGINT) AS k_probe,
+        |  CAST((m.n_match * 10000) // k.k_probe AS BIGINT) AS est_e4
+        |FROM ci_m m JOIN ci_k k ON k.doc = m.a
+        |WHERE (m.n_match * 10000) // k.k_probe >= 5000
+        |ORDER BY a_id, b_id""".stripMargin)),
+
     // ── Dedup: edit-distance verify over the same LSH candidates — the
     //    character-level residual-closeness score the set-based metrics
     //    miss (one OCR edit per token zeroes Jaccard but barely moves

@@ -246,6 +246,30 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.clusters.driverMaxEdges")
   }
 
+  test("indexed containment: a short doc fully inside a long one scores " +
+    "est 10000 in the containing direction regardless of length ratio — " +
+    "deterministically, no banding lottery") {
+    import spark.implicits._
+    // the long doc embeds the short doc verbatim plus 60 filler tokens —
+    // a length ratio where minhash LSH recall has decayed; bottom-k
+    // probing is immune: ALL of the short doc's shingles are in the long
+    // doc, so every probe hits, deterministically
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val planted = Seq((1L, short), (2L, long), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentIndexed(planted, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val fwd = out((1L, 2L))
+    assert(fwd._1 == fwd._2 && fwd._3 == 10000L,
+      s"short-in-long must hit on every probe: $fwd")
+    // the reverse direction (long ⊄ short) must NOT reach the threshold:
+    // most of the long doc's bottom-k shingles are filler
+    assert(!out.contains((2L, 1L)), s"asymmetry violated: $out")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("edit verify: distances and sim_e4 equal a plain-Scala levenshtein " +
     "recompute over the corpus's LSH candidates; exact dups score 10000") {
     def lev(a: String, b: String): Int = {

@@ -31,7 +31,8 @@ class EmptyProbeSpec extends AnyFunSuite {
     val requiresNonEmpty = Set("x_bpe_merges", "x_bpe_encode")
     val emptyOk = Seq(
       "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_jaccard",
-      "x_dedup_containment", "x_dedup_edit_verify", "x_dedup_stats",
+      "x_dedup_containment", "x_dedup_containment_idx",
+      "x_dedup_edit_verify", "x_dedup_stats",
       "x_shard_manifest",
       "x_dedup_incremental", "x_filter_length_band", "x_cluster_balance",
       "x_dedup_simhash_pairs", "x_dedup_clusters", "x_dedup_semantic",

@@ -127,7 +127,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "w1_rownum_dedup", "x_ann_ivf", "x_ann_ivf_multiprobe",
       "x_ann_ivf_trained", "x_ann_kmeans", "x_ann_kmeans_assign",
       "x_ann_lsh", "x_ann_recall", "x_ann_topk", "x_asof_forward",
-      "x_asof_join", "x_cap_per_source", "x_inverted_index",
+      "x_asof_join", "x_cap_per_source", "x_dedup_containment_idx",
+      "x_inverted_index",
       "x_pipeline_e2e", "x_sample_stratified", "x_tfidf_top_terms")
     val missing = rankLimited.filterNot { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
