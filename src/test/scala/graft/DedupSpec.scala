@@ -270,6 +270,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("indexed containment: bottom-k estimate tracks true shingle " +
+    "containment (accuracy law, the bottom-k twin of the minhash law)") {
+    // est_e4/10⁴ is a k=8 binomial estimate of c = |sh(A)∩sh(B)|/|sh(A)|:
+    // per-pair sd = sqrt(c(1-c)/8) ≤ 0.18, so 0.45 per pair is a ~2.5σ
+    // bound; the mean bias over 20 pairs must be near zero. Containment is
+    // planted CONTIGUOUSLY (B embeds a prefix of A) so A's shingle set
+    // intersects B's in exactly the prefix-interior shingles — computable
+    // in closed form; junction shingles mix fresh tokens and cannot
+    // collide.
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 20).map { p =>
+      val a = Vector.tabulate(40)(i => s"w${p * 200 + i}")
+      val cTok = 5 + rnd.nextInt(34)
+      val b = a.take(cTok) ++ Vector.tabulate(40)(i => s"w${p * 200 + 100 + i}")
+      (p, a, b, (cTok - 2).toDouble / 38.0)
+    }
+    import spark.implicits._
+    val corpus = pairs.flatMap { case (p, a, b, _) =>
+      Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" "))) }
+      .toDF("doc_id", "text")
+    val est = Dedup.containmentIndexed(corpus, "doc_id", "text",
+      thresholdE4 = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val errs = pairs.map { case (p, _, _, c) =>
+      val e = est.getOrElse((p * 2L, p * 2L + 1), 0L) / 10000.0
+      assert(math.abs(e - c) <= 0.45,
+        f"pair $p: estimate $e%.2f far from true containment $c%.2f")
+      e - c
+    }
+    val bias = errs.sum / errs.size
+    assert(math.abs(bias) <= 0.10,
+      f"bottom-k estimator is biased: mean(est - c) = $bias%.3f over 20 pairs")
+  }
+
   test("edit verify: distances and sim_e4 equal a plain-Scala levenshtein " +
     "recompute over the corpus's LSH candidates; exact dups score 10000") {
     def lev(a: String, b: String): Int = {
