@@ -20,6 +20,12 @@ object LocalSession {
       .config("spark.sql.session.timeZone", "UTC")
       // corpus events.ts is ns-precision parquet; see graft.io.Tables.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive (no-tz) parquet timestamps surface as TimestampType, not NTZ:
+      // with session TZ pinned to UTC the instant equals the wall-clock, so
+      // every timestamp flavor a source emits behaves identically downstream
+      // (the reference is deliberately flavor-lenient — clickhouse_backend
+      // .py:134-138 parseDateTimeBestEffortOrNull; duckdb_backend.py:107).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark

@@ -17,8 +17,11 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val sf = "/root/testdata/sf0.001"
-    val orders = spark.read.parquet(s"$sf/orders.parquet")
-    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    // via Tables.table, not raw spark.read: the loader repairs every parquet
+    // timestamp flavor (ns-long, NTZ) to TimestampType even when the caller's
+    // session lacks our LocalSession configs.
+    val orders = graft.io.Tables.table(spark, sf, "orders")
+    val lineitem = graft.io.Tables.table(spark, sf, "lineitem")
     orders
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))

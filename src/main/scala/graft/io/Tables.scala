@@ -7,7 +7,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Sources & sinks (reference operators S1-S6, SURVEY §2.1).
   *
@@ -75,10 +75,21 @@ object Tables {
     val df = spark.read.parquet(path)
     val longNames = df.schema.fields
       .collect { case f if f.dataType == LongType => f.name }.toSet
-    nsTimestampCols(spark, path).filter(longNames)
+    val nsFixed = nsTimestampCols(spark, path).filter(longNames)
       .foldLeft(df) { (d, c) =>
         d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      }
+    // Flavor repair #2: naive parquet timestamps that an inferTimestampNTZ
+    // session surfaced as TIMESTAMP_NTZ become TimestampType here too, so
+    // the loader's contract — "any timestamp flavor the source emits is a
+    // usable TimestampType" — holds regardless of session config. Session
+    // TZ is UTC, so the cast maps the naive wall-clock to the identical
+    // instant (the exact semantics DuckDB's naive `epoch_us` applies).
+    nsFixed.schema.fields
+      .collect { case f if f.dataType == TimestampNTZType => f.name }
+      .foldLeft(nsFixed) { (d, c) =>
+        d.withColumn(c, d(s"`$c`").cast(TimestampType))
       }
   }
 

@@ -129,7 +129,7 @@ object Relational {
       (s, d) => {
         val ev = t(s, d, "events")
         val wm = Watermark.maxOf(ev, "ts").map { v =>
-          java.sql.Timestamp.from(v.asInstanceOf[java.sql.Timestamp].toInstant
+          java.sql.Timestamp.from(Watermark.asSqlTimestamp(v).toInstant
             .minus(java.time.Duration.ofDays(7)))
         }
         Watermark.modifiedSince(ev, "ts", wm)
@@ -436,7 +436,7 @@ object Relational {
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(Functions.cents(col("value"))).as("cents"))
-        .select(unix_micros(col("window.start")).as("win_start_us"),
+        .select(usec(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("cents")),
       Some("""WITH w AS (
         |  SELECT epoch_us(ts) AS ts_us, event_type,
@@ -630,7 +630,7 @@ object Relational {
       (s, d) => {
         val ev = t(s, d, "events")
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+        val gap = usec(col("ts")) - usec(lag(col("ts"), 1).over(w))
         val isBreak = when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L)
         ev.select(col("user_id"), col("event_id"), usec(col("ts")).as("ts_us"),
           sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -909,7 +909,7 @@ object Relational {
         val sink = Watermark.maxOf(src, "ts") match {
           case Some(maxTs) =>
             val boundary = java.sql.Timestamp.from(
-              maxTs.asInstanceOf[java.sql.Timestamp].toInstant
+              Watermark.asSqlTimestamp(maxTs).toInstant
                 .minus(java.time.Duration.ofDays(1)))
             src.where(col("ts") < lit(boundary))
               .withColumn("value", col("value") - 5) // stale values to be overwritten

@@ -22,6 +22,20 @@ object Watermark {
   def maxOf(df: DataFrame, col: String): Option[Any] =
     Option(df.agg(max(df(col))).head().get(0))
 
+  /** Timestamp watermark scalar → java.sql.Timestamp, whatever flavor the
+    * session handed back: LTZ columns yield java.sql.Timestamp, NTZ yields
+    * java.time.LocalDateTime. Session TZ is pinned UTC, so the naive
+    * wall-clock IS the instant — the two branches agree by construction.
+    */
+  def asSqlTimestamp(v: Any): java.sql.Timestamp = v match {
+    case t: java.sql.Timestamp => t
+    case ldt: java.time.LocalDateTime =>
+      java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case other => throw new IllegalArgumentException(
+      s"not a timestamp watermark: ${other.getClass.getName}")
+  }
+
   /** P3: strict `>` predicate for append-only sync (clickhouse_backend.py:217). */
   def newerThan(df: DataFrame, pkCol: String, wm: Option[Any]): DataFrame =
     wm.fold(df)(v => df.filter(df(pkCol) > lit(v)))

@@ -79,14 +79,44 @@ class TablesSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("b_right"))
   }
 
-  test("ns-annotated Long columns are repaired to TimestampType from the footer") {
+  test("every parquet timestamp flavor surfaces as TimestampType") {
+    // The loader's contract mirrors the reference's deliberate timestamp
+    // leniency (clickhouse_backend.py:134-138 best-effort parse): whatever
+    // flavor the corpus was generated with — TIMESTAMP_NS (pre-r8 corpus,
+    // repaired from nanosAsLong longs via the footer), naive µs
+    // (TIMESTAMP_NTZ under inferTimestampNTZ, r8+ corpus), or plain LTZ —
+    // callers always see TimestampType with UTC-wall-clock instants.
     val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType == TimestampType,
-      "events.ts (TIMESTAMP_NS in parquet) surfaces as a timestamp")
+      "events.ts surfaces as TimestampType whatever the parquet flavor")
     assert(ev.where(col("ts").isNull).count() == 0)
-    // non-ns tables pass through untouched (ms-precision NTZ stays NTZ)
     val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
-    assert(li.schema("l_shipdate").dataType ==
-      org.apache.spark.sql.types.TimestampNTZType)
+    assert(li.schema("l_shipdate").dataType == TimestampType,
+      "naive/NTZ columns are repaired, not passed through")
+    // no flavor in the whole corpus escapes the repair
+    for (t <- Seq("orders", "lineitem", "events", "documents"))
+      assert(!Tables.table(spark, "/root/testdata/sf0.001", t).schema.fields
+        .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType),
+        s"$t still exposes a TIMESTAMP_NTZ column")
+  }
+
+  test("NTZ repair holds even in a session that infers NTZ (belt-and-braces)") {
+    // A session WITHOUT inferTimestampNTZ=false (e.g. a user's default
+    // Spark 4 session) must still get TimestampType out of the loader —
+    // the repair can't depend on our session config being present.
+    val prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try {
+      val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      assert(ev.schema("ts").dataType == TimestampType)
+      // and the values are the same instants as the config-off read
+      val a = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head().get(0)
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val b = Tables.table(spark, "/root/testdata/sf0.001", "events")
+        .agg(org.apache.spark.sql.functions.max(col("ts"))).head().get(0)
+      assert(graft.sync.Watermark.asSqlTimestamp(a) ==
+        graft.sync.Watermark.asSqlTimestamp(b),
+        "instant is flavor-invariant under UTC session TZ")
+    } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
   }
 }
