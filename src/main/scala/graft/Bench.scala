@@ -51,7 +51,8 @@ object Bench {
     "x_asof_join", "x_range_join", "x_decontaminate", "x_pipeline_e2e",
     "x_token_count", "stream_window_agg", "stream_dedup",
     "x_multimodal_decode", "x_pagerank_trade", "x_fuzzy_join",
-    "x_dedup_semantic", "stream_cdc_apply", "x_bpe_merges")
+    "x_dedup_semantic", "stream_cdc_apply", "x_bpe_merges",
+    "x_dedup_substring")
 
   /** Lower median: exact middle for odd n (the common n=3 case), the lower
     * of the two middles for even n — never interpolates a time that was

@@ -623,6 +623,56 @@ object Dedup {
         countDistinct(col("doc")).as("n_docs"))
       .where(col("n_occurrences") > 1)
 
+  /** Exact shared-substring spans between document pairs at n-gram
+    * granularity — the substring-level dedup signal (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): two documents sharing one long verbatim span are
+    * near-dups even when the rest of their content diverges enough that
+    * the set-overlap metrics (Jaccard/containment) stay low.
+    *
+    * Method: a posting list (gram-md5, doc, position) over every n-token
+    * gram; postings self-join on the hash (a < b). Matching grams of a
+    * pair lie on the same *diagonal* when posA − posB is constant, and a
+    * maximal run of consecutive positions on one diagonal is one shared
+    * span (gaps-and-islands: island = posA − row_number within the
+    * diagonal). Span length in tokens = run + n − 1; a pair survives when
+    * its longest span ≥ `minSpanTokens`.
+    *
+    * Scale (100 TB): grams with document frequency > `maxDf` (license
+    * blocks, boilerplate headers) are dropped BEFORE pairing, capping
+    * per-gram join fan-out at maxDf²; every stage shuffles constant-width
+    * md5 keys, and the islands window partitions by (a, b, diagonal) —
+    * small per-pair groups, never a global sort. No all-pairs anywhere.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minSpanTokens: Int = 16,
+                     maxDf: Int = DefaultMaxBucket): DataFrame = {
+    val grams = registerPersisted(df
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))))
+      .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .persist())
+    val heavy = grams.groupBy("h").agg(countDistinct(col("doc")).as("__df"))
+      .where(col("__df") > maxDf).select("h")
+    val post = grams.join(heavy, Seq("h"), "left_anti")
+    val diag = post.select(col("doc").as("a"), col("pos").as("pa"), col("h"))
+      .join(post.select(col("doc").as("b"), col("pos").as("pb"), col("h")),
+        Seq("h"))
+      .where(col("a") < col("b"))
+      .withColumn("diff", col("pa") - col("pb"))
+    diag
+      .withColumn("isl", col("pa") - row_number().over(
+        Window.partitionBy(col("a"), col("b"), col("diff")).orderBy(col("pa"))))
+      .groupBy("a", "b", "diff", "isl").agg(count(lit(1)).as("run"))
+      .groupBy("a", "b")
+      .agg((max(col("run")) + (n - 1)).cast("long").as("max_span_toks"))
+      .where(col("max_span_toks") >= minSpanTokens)
+      .select(col("a").as("a_id"), col("b").as("b_id"), col("max_span_toks"))
+  }
+
   /** Driver-side union-find over a collected symmetric edge set: path
     * compression + min-tracking per root, so the emitted cluster label is
     * the component MINIMUM — bit-identical to the distributed min-label

@@ -2467,6 +2467,160 @@ object Pipeline {
         |  FROM st_f GROUP BY tok)
         |SELECT f.doc_id, CAST(sum(f.tf * i.idf_bits) AS BIGINT) AS score
         |FROM st_f f JOIN st_idf i USING (tok)
-        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ── Dedup: exact shared-substring spans (Lee et al. 2021 substring-
+    //    level dedup) — a long verbatim span between two documents is a
+    //    near-dup signal even when set-overlap (Jaccard/containment) stays
+    //    low because the rest of the texts diverge. Diagonal run-length
+    //    over a df-capped 8-gram posting join; see Dedup.substringSpans
+    //    for the 100 TB cost contract (pair fan-out ≤ maxDf² per gram) ────
+    "x_dedup_substring" -> Q(
+      (s, d) => Dedup.substringSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 8, minSpanTokens = 16, maxDf = 64),
+      Some("""WITH sp_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |sp_g AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
+        |  FROM sp_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+        |sp_df AS (SELECT h FROM sp_g GROUP BY h HAVING count(DISTINCT doc_id) <= 64),
+        |sp_p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
+        |  FROM (SELECT g.* FROM sp_g g JOIN sp_df USING (h)) a
+        |  JOIN (SELECT g.* FROM sp_g g JOIN sp_df USING (h)) b USING (h)
+        |  WHERE a.doc_id < b.doc_id),
+        |sp_i AS (SELECT a, b, pa - pb AS diff, pa,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS isl
+        |  FROM sp_p),
+        |sp_r AS (SELECT a, b, diff, isl, count(*) AS run FROM sp_i GROUP BY 1,2,3,4)
+        |SELECT a AS a_id, b AS b_id, CAST(max(run) + 7 AS BIGINT) AS max_span_toks
+        |FROM sp_r GROUP BY 1,2 HAVING max(run) + 7 >= 16""".stripMargin)),
+
+    // ── Retrieval: BM25 top-k — the tf-saturating, length-normalized
+    //    upgrade of x_search_tfidf (k1=1.2, b=0.75). Float work is kept
+    //    engine-exact by (a) writing the per-term score as ONE arithmetic
+    //    expression evaluated identically by both engines (IEEE doubles
+    //    are deterministic given the same tree) and (b) quantizing each
+    //    term's score to integer micro-units BEFORE the per-doc sum, so
+    //    summation order (Spark partial aggs vs DuckDB) cannot change the
+    //    result. Same broadcast shape as tf-idf: corpus stats (3 term
+    //    rows + one scalar) broadcast, corpus side one narrow pass ────────
+    "x_search_bm25" -> Q(
+      (s, d) => {
+        val terms = Seq("join", "merge", "stream")
+        val docs = t(s, d, "documents")
+        val tf = graft.operators.CacheRegistry.register(
+          docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+            .select(col("doc_id"), size(col("l")).cast("long").as("dl"),
+              explode(col("l")).as("tok"))
+            .where(col("tok").isin(terms: _*))
+            .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+            .persist())
+        val nd = docs.agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("tot_tok"))
+        val idf = tf.groupBy("tok")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .crossJoin(broadcast(nd)) // 1-row corpus stats vs 3 term rows
+          .select(col("tok"),
+            length(bin(expr("n_docs div df"))).cast("long").as("idf_bits"),
+            (col("tot_tok").cast("double") / col("n_docs")).as("avgdl"))
+        tf.join(broadcast(idf), Seq("tok"))
+          .withColumn("score_u", expr(
+            "CAST(round(1000000 * idf_bits * (2.2 * tf) / " +
+              "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT)"))
+          .groupBy("doc_id").agg(sum(col("score_u")).as("score_u"))
+          .orderBy(desc("score_u"), asc("doc_id")).limit(20)
+      },
+      Some("""WITH bm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |bm_e AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, unnest(l) AS tok FROM bm_t),
+        |bm_f AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM bm_e
+        |  WHERE tok IN ('join','merge','stream') GROUP BY 1, 2, 3),
+        |bm_n AS (SELECT count(*) AS n_docs, CAST(sum(len(l)) AS BIGINT) AS tot_tok FROM bm_t),
+        |bm_i AS (SELECT tok,
+        |    CAST(length(bin(CAST((SELECT n_docs FROM bm_n) // count(DISTINCT doc_id) AS BIGINT))) AS BIGINT) AS idf_bits,
+        |    CAST((SELECT tot_tok FROM bm_n) AS DOUBLE) / (SELECT n_docs FROM bm_n) AS avgdl
+        |  FROM bm_f GROUP BY tok),
+        |bm_s AS (SELECT f.doc_id,
+        |    CAST(round(1000000 * i.idf_bits * (2.2 * f.tf) /
+        |      (f.tf + 1.2 * (0.25 + 0.75 * f.dl / i.avgdl))) AS BIGINT) AS score_u
+        |  FROM bm_f f JOIN bm_i i USING (tok))
+        |SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u FROM bm_s
+        |GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ── Data selection: DSIR-style importance weights (Xie et al. 2023,
+    //    arXiv:2302.03169) — score every document by how much its hashed
+    //    unigram distribution looks like a target domain (here lang='en')
+    //    vs the raw corpus. log(p_target/p_raw) is quantized to integer
+    //    bit-lengths (log2 via length(bin(x)), the same trick the tf-idf
+    //    idf uses) so both engines compute identical integers: per-bucket
+    //    weight = bitlen((cnt_t+1)·N_r) − bitlen((cnt_r+1)·N_t), and a
+    //    doc's weight is the sum over its tokens. Scale: bucket stats are
+    //    64 rows (broadcast); the corpus side is one explode + one
+    //    shuffle-free map, then a per-doc partial-agg sum ─────────────────
+    "x_importance_weights" -> Q(
+      (s, d) => {
+        val tok = graft.operators.CacheRegistry.register(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"),
+              explode(TextAnalysis.tokens(col("text"))).as("tok"))
+            .withColumn("b",
+              conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int") % 64)
+            .persist())
+        val raw = tok.groupBy("b").agg(count(lit(1)).as("cnt_r"))
+        val tgt = tok.where(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+        val nTot = tok.agg(count(lit(1)).as("n_r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+        val buckets = raw.join(tgt, Seq("b"), "left")
+          .na.fill(0L, Seq("cnt_t"))
+          .crossJoin(broadcast(nTot)) // 1-row totals vs ≤64 bucket rows
+          .select(col("b"),
+            (length(bin(expr("(cnt_t + 1) * n_r"))) -
+              length(bin(expr("(cnt_r + 1) * n_t")))).cast("long").as("w_bits"))
+        tok.join(broadcast(buckets), Seq("b"))
+          .groupBy("doc_id").agg(sum(col("w_bits")).as("w_bits"))
+      },
+      Some("""WITH iw_tok AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(tok), 1, 2) AS INTEGER) % 64 AS b
+        |  FROM (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(text),'\s+')) AS tok FROM documents)),
+        |iw_raw AS (SELECT b, count(*) AS cnt_r FROM iw_tok GROUP BY b),
+        |iw_tgt AS (SELECT b, count(*) AS cnt_t FROM iw_tok WHERE lang = 'en' GROUP BY b),
+        |iw_n AS (SELECT count(*) AS n_r,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t FROM iw_tok),
+        |iw_b AS (SELECT r.b,
+        |    CAST(length(bin(CAST((COALESCE(t.cnt_t, 0) + 1) * (SELECT n_r FROM iw_n) AS BIGINT))) -
+        |      length(bin(CAST((r.cnt_r + 1) * (SELECT n_t FROM iw_n) AS BIGINT))) AS BIGINT) AS w_bits
+        |  FROM iw_raw r LEFT JOIN iw_tgt t USING (b))
+        |SELECT k.doc_id, CAST(sum(b.w_bits) AS BIGINT) AS w_bits
+        |FROM iw_tok k JOIN iw_b b USING (b) GROUP BY 1""".stripMargin)),
+
+    // ── Corpus analytics: EXACT per-source length quantiles (p50/p90 by
+    //    the rank-at-ceil(q·n) rule) — the thresholds a length-band
+    //    curation filter is tuned from. Exactness is the point here (the
+    //    oracle can check it); the at-scale variant of the same readout is
+    //    approx_percentile over the identical grouping, which drops the
+    //    per-source sort for a sketch merge. Both engines evaluate
+    //    ceil(q·n) on IEEE doubles — identical trees, identical picks ─────
+    "x_length_quantiles" -> Q(
+      (s, d) => {
+        val bySrc = Window.partitionBy(col("source"))
+        val w = bySrc.orderBy(col("n_chars"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("source"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .groupBy("source").agg(
+            max(when(col("rn") === ceil(col("n") * 0.5), col("n_chars"))).as("p50"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("n_chars"))).as("p90"),
+            max(col("n_chars")).as("max_chars"),
+            max(col("n")).cast("long").as("n_docs"))
+      },
+      Some("""SELECT source,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_chars END) AS p90,
+        |  max(n_chars) AS max_chars, CAST(max(n) AS BIGINT) AS n_docs
+        |FROM (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |GROUP BY source""".stripMargin))
   )
 }

@@ -426,6 +426,45 @@ class DedupSpec extends AnyFunSuite {
       "the shared leading passage (docs 1+2) is the only duplicate")
   }
 
+  test("substring spans: longest shared n-gram run equals the planted span") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"w$i")
+    // doc 2 embeds tokens w5..w24 of doc 1 (a 20-token verbatim span) inside
+    // otherwise-disjoint text; doc 3 shares nothing 8 tokens long
+    val docs = Seq(
+      (1L, w.take(30).mkString(" ")),
+      (2L, (Seq("x1", "x2", "x3", "x4", "x5") ++ w.slice(4, 24) ++
+        Seq("y1", "y2", "y3", "y4", "y5")).mkString(" ")),
+      (3L, (31 to 45).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "doc_id", "text",
+      n = 8, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 20L)),
+      "exactly the planted 20-token span, measured exactly")
+  }
+
+  test("substring spans: a sub-threshold span and a df-capped gram emit " +
+    "nothing") {
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"s$i")
+    val short = Seq(
+      (1L, w.take(18).mkString(" ")),
+      // only 10 shared tokens (< minSpanTokens=16) → pair must not surface
+      (2L, (w.slice(0, 10) ++ Seq("a1", "a2", "a3", "a4", "a5", "a6", "a7",
+        "a8")).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringSpans(short, "doc_id", "text",
+      n = 8, minSpanTokens = 16).isEmpty,
+      "a 10-token overlap is below the 16-token span threshold")
+    // boilerplate guard: the same span in MANY docs exceeds maxDf and is
+    // dropped before pairing (license-header immunity)
+    val boiler = (1L to 6L).map(i => (i, w.mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(boiler, "doc_id", "text",
+      n = 8, minSpanTokens = 16, maxDf = 5).isEmpty,
+      "grams present in >maxDf docs never pair")
+  }
+
   test("ngram overlap flags the contaminated eval/train pair only") {
     import spark.implicits._
     val leak = "one two three four five six seven eight nine ten eleven twelve"
