@@ -646,7 +646,55 @@ object Dedup {
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, minSpanTokens: Int = 16,
-                     maxDf: Int = DefaultMaxBucket): DataFrame = {
+                     maxDf: Int = DefaultMaxBucket): DataFrame =
+    spanRuns(df, idCol, textCol, n, maxDf)
+      .groupBy("a", "b")
+      .agg((max(col("run")) + (n - 1)).cast("long").as("max_span_toks"))
+      .where(col("max_span_toks") >= minSpanTokens)
+      .select(col("a").as("a_id"), col("b").as("b_id"), col("max_span_toks"))
+
+  /** The curation ACTION substring dedup exists for (Lee et al. 2021 cut
+    * the duplicated substring, not the document): for every document that
+    * repeats a span first seen in a lower-id document, the merged token
+    * ranges to remove. Spans land on the HIGHER id of each pair (the
+    * earliest occurrence survives, matching the min-id-survives rule of
+    * `exact`); overlapping/adjacent-overlapping ranges from different
+    * partners merge via the classic running-max interval pass. Output:
+    * (doc_id, cut_start, cut_len) in 1-based token positions.
+    *
+    * Scale: inherits the posting/df-cap contract of `spanRuns`; the merge
+    * windows partition by doc — per-doc range counts are small (bounded by
+    * partners × spans), never a global sort.
+    */
+  def substringRemovalRanges(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 8, minSpanTokens: Int = 16,
+                             maxDf: Int = DefaultMaxBucket): DataFrame = {
+    val ranges = spanRuns(df, idCol, textCol, n, maxDf)
+      .withColumn("span", (col("run") + (n - 1)).cast("long"))
+      .where(col("span") >= minSpanTokens)
+      .select(col("b").as("doc"), col("pb_start").cast("long").as("st"),
+        (col("pb_start") + col("span") - 1).cast("long").as("en"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("st"), col("en"))
+    ranges
+      .withColumn("prev_max_en",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        when(col("st") > coalesce(col("prev_max_en"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_grp")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc", "grp")
+      .agg(min(col("st")).as("cut_start"),
+        (max(col("en")) - min(col("st")) + 1).as("cut_len"))
+      .select(col("doc").as("doc_id"), col("cut_start"), col("cut_len"))
+  }
+
+  /** Shared core of the substring family: per (pair, diagonal, island) the
+    * consecutive-gram run length and where the run starts on each side.
+    * See `substringSpans` for the method and the 100 TB cost contract.
+    */
+  private def spanRuns(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDf: Int): DataFrame = {
     val grams = registerPersisted(df
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= n)
@@ -658,19 +706,16 @@ object Dedup {
     val heavy = grams.groupBy("h").agg(countDistinct(col("doc")).as("__df"))
       .where(col("__df") > maxDf).select("h")
     val post = grams.join(heavy, Seq("h"), "left_anti")
-    val diag = post.select(col("doc").as("a"), col("pos").as("pa"), col("h"))
+    post.select(col("doc").as("a"), col("pos").as("pa"), col("h"))
       .join(post.select(col("doc").as("b"), col("pos").as("pb"), col("h")),
         Seq("h"))
       .where(col("a") < col("b"))
       .withColumn("diff", col("pa") - col("pb"))
-    diag
       .withColumn("isl", col("pa") - row_number().over(
         Window.partitionBy(col("a"), col("b"), col("diff")).orderBy(col("pa"))))
-      .groupBy("a", "b", "diff", "isl").agg(count(lit(1)).as("run"))
-      .groupBy("a", "b")
-      .agg((max(col("run")) + (n - 1)).cast("long").as("max_span_toks"))
-      .where(col("max_span_toks") >= minSpanTokens)
-      .select(col("a").as("a_id"), col("b").as("b_id"), col("max_span_toks"))
+      .groupBy("a", "b", "diff", "isl")
+      .agg(count(lit(1)).as("run"), min(col("pb")).as("pb_start"),
+        min(col("pa")).as("pa_start"))
   }
 
   /** Driver-side union-find over a collected symmetric edge set: path

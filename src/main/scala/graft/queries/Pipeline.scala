@@ -2493,6 +2493,67 @@ object Pipeline {
         |SELECT a AS a_id, b AS b_id, CAST(max(run) + 7 AS BIGINT) AS max_span_toks
         |FROM sp_r GROUP BY 1,2 HAVING max(run) + 7 >= 16""".stripMargin)),
 
+    // ── Dedup: the removal plan substring dedup exists for — per document
+    //    that repeats a ≥16-token span first seen in a lower-id document,
+    //    the merged 1-based token ranges to cut (classic running-max
+    //    interval merge, partitioned per doc). The earliest occurrence
+    //    survives, mirroring exact-dedup's min-id rule ────────────────────
+    "x_dedup_substring_mask" -> Q(
+      (s, d) => Dedup.substringRemovalRanges(t(s, d, "documents"), "doc_id",
+        "text", n = 8, minSpanTokens = 16, maxDf = 64),
+      Some("""WITH sm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |sm_g AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
+        |  FROM sm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+        |sm_df AS (SELECT h FROM sm_g GROUP BY h HAVING count(DISTINCT doc_id) <= 64),
+        |sm_p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
+        |  FROM (SELECT g.* FROM sm_g g JOIN sm_df USING (h)) a
+        |  JOIN (SELECT g.* FROM sm_g g JOIN sm_df USING (h)) b USING (h)
+        |  WHERE a.doc_id < b.doc_id),
+        |sm_i AS (SELECT a, b, pa - pb AS diff, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS isl
+        |  FROM sm_p),
+        |sm_r AS (SELECT a, b, diff, isl, count(*) AS run, min(pb) AS pb_start
+        |  FROM sm_i GROUP BY 1,2,3,4),
+        |sm_c AS (SELECT b AS doc, CAST(pb_start AS BIGINT) AS st,
+        |    CAST(pb_start + run + 6 AS BIGINT) AS en
+        |  FROM sm_r WHERE run + 7 >= 16),
+        |sm_m AS (SELECT doc, st, en,
+        |    CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS new_grp
+        |  FROM sm_c),
+        |sm_gg AS (SELECT doc, st, en, sum(new_grp) OVER (PARTITION BY doc
+        |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM sm_m)
+        |SELECT doc AS doc_id, min(st) AS cut_start,
+        |  CAST(max(en) - min(st) + 1 AS BIGINT) AS cut_len
+        |FROM sm_gg GROUP BY doc, grp""".stripMargin)),
+
+    // ── Packing: serpentine LPT shard assembly — size-desc docs dealt
+    //    down-and-back across 8 bins per lang, pairing heavy rows with
+    //    light ones each pass (the balanced-shard layout; x_pack_greedy is
+    //    the token-budget layout). One window shuffle, oracle-exact ────────
+    "x_pack_serpentine" -> Q(
+      (s, d) => graft.operators.Pack.serpentine(t(s, d, "documents"), 8),
+      Some("""SELECT doc_id, lang, n_tokens,
+        |  CAST(CASE WHEN r < 8 THEN r ELSE 15 - r END AS BIGINT) AS bin
+        |FROM (SELECT doc_id, lang, n_tokens,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) - 1) % 16 AS r
+        |  FROM (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents))""".stripMargin)),
+
+    // ── Packing: best-fit-decreasing capacity packing — true no-straddle
+    //    bin packing (fullest bin that still fits, else a new bin) per
+    //    (lang, md5-shard) group. Sequential bin state is the documented
+    //    flatMapGroups last-resort; PackSpec pins the capacity invariant,
+    //    FFD-vs-next-fit dominance, and determinism. Not SQL-expressible
+    //    (bin reset is a fold) → rows-only driver check by design ──────────
+    "x_pack_bestfit" -> Q(
+      (s, d) => graft.operators.Pack.bestFitDecreasing(
+        t(s, d, "documents"), cap = 256L, shards = 16),
+      None),
+
     // ── Retrieval: BM25 top-k — the tf-saturating, length-normalized
     //    upgrade of x_search_tfidf (k1=1.2, b=0.75). Float work is kept
     //    engine-exact by (a) writing the per-term score as ONE arithmetic

@@ -465,6 +465,25 @@ class DedupSpec extends AnyFunSuite {
       "grams present in >maxDf docs never pair")
   }
 
+  test("substring removal mask: ranges land on the higher id and merge " +
+    "across partners") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")), // the surviving original
+      (2L, w.mkString(" ")), // full copy → whole doc masked
+      // copies w5..w24 behind a 5-token prefix: the span sits at 6..25,
+      // reported by BOTH partners (1,3) and (2,3) → must merge to one range
+      (3L, (Seq("x1", "x2", "x3", "x4", "x5") ++ w.slice(4, 24) ++
+        Seq("y1", "y2", "y3", "y4", "y5")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringRemovalRanges(docs, "doc_id", "text",
+      n = 8, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq == Seq((2L, 1L, 30L), (3L, 6L, 20L)),
+      "doc 2 fully masked; doc 3's twice-reported span merges to one range")
+  }
+
   test("ngram overlap flags the contaminated eval/train pair only") {
     import spark.implicits._
     val leak = "one two three four five six seven eight nine ten eleven twelve"

@@ -100,6 +100,30 @@ class TablesSpec extends AnyFunSuite {
         s"$t still exposes a TIMESTAMP_NTZ column")
   }
 
+  test("drift sentinel: every corpus table at every SF loads with repaired " +
+    "types and identical schemas across scale factors") {
+    // Round-8 lesson: the driver regenerates /root/testdata between rounds
+    // and the timestamp flavor has already changed once (ns → naive µs).
+    // This canary fails loudly on the NEXT flavor drift instead of letting
+    // 12 queries crash at construction: whatever the parquet files hold,
+    // the loader must surface no NTZ, no raw ns-longs-that-were-timestamps,
+    // and the same schema at sf0.001/0.01/0.1.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    for (t <- tables) {
+      val schemas = sfs.map { sf =>
+        val df = Tables.table(spark, s"/root/testdata/$sf", t)
+        assert(!df.schema.fields.exists(_.dataType ==
+          org.apache.spark.sql.types.TimestampNTZType),
+          s"$sf/$t exposes TIMESTAMP_NTZ through the loader")
+        sf -> df.schema.map(f => f.name -> f.dataType)
+      }
+      assert(schemas.map(_._2).distinct.size == 1,
+        s"$t schema drifts across scale factors: $schemas")
+    }
+  }
+
   test("NTZ repair holds even in a session that infers NTZ (belt-and-braces)") {
     // A session WITHOUT inferTimestampNTZ=false (e.g. a user's default
     // Spark 4 session) must still get TimestampType out of the loader —
