@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: find evaluation documents that share long
@@ -43,5 +44,48 @@ object Contamination {
     fps(evalDocs, "eval_id").join(trainCapped, "fp")
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Surgical decontamination: instead of DROPPING every training document
+    * that overlaps the eval set (ngramOverlapPairs' readout), emit the
+    * merged 1-based token ranges inside each training doc that verbatim-
+    * match an eval doc for ≥ `minSpanTokens` tokens — cut the span, keep
+    * the document (the Lee-et-al-style span surgery applied to benchmark
+    * decontamination). Positional n-gram postings on both sides, diagonal
+    * gaps-and-islands for run length (same core as Dedup.substringSpans),
+    * ranges merged per train doc via the shared interval pass.
+    *
+    * Scale: the df-cap drops train grams present in > `maxDocFreq` train
+    * docs BEFORE the join (boilerplate immunity); the eval side is tiny by
+    * construction, so the join fan-out is |eval postings| × ≤maxDocFreq.
+    * Output: (doc_id, cut_start, cut_len) for train docs only.
+    */
+  def decontaminationMask(evalDocs: DataFrame, trainDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8, minSpanTokens: Int = 16,
+                          maxDocFreq: Int = 128): DataFrame = {
+    def posts(df: DataFrame, as: String, posAs: String): DataFrame = df
+      .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(as), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))))
+      .select(col(as), (col("pos") + 1).as(posAs), col("col").as("h"))
+    val tr = posts(trainDocs, "train_id", "pt")
+    val heavy = tr.groupBy("h").agg(countDistinct(col("train_id")).as("__df"))
+      .where(col("__df") > maxDocFreq).select("h")
+    val ranges = posts(evalDocs, "eval_id", "pe")
+      .join(tr.join(heavy, Seq("h"), "left_anti"), Seq("h"))
+      .withColumn("diff", col("pe") - col("pt"))
+      .withColumn("isl", col("pe") - row_number().over(
+        Window.partitionBy(col("eval_id"), col("train_id"), col("diff"))
+          .orderBy(col("pe"))))
+      .groupBy("eval_id", "train_id", "diff", "isl")
+      .agg(count(lit(1)).as("run"), min(col("pt")).as("pt_start"))
+      .withColumn("span", (col("run") + (n - 1)).cast("long"))
+      .where(col("span") >= minSpanTokens)
+      .select(col("train_id").as("doc"), col("pt_start").cast("long").as("st"),
+        (col("pt_start") + col("span") - 1).cast("long").as("en"))
+    Dedup.mergeTokenRanges(ranges)
   }
 }

@@ -674,6 +674,16 @@ object Dedup {
       .where(col("span") >= minSpanTokens)
       .select(col("b").as("doc"), col("pb_start").cast("long").as("st"),
         (col("pb_start") + col("span") - 1).cast("long").as("en"))
+    mergeTokenRanges(ranges)
+  }
+
+  /** Classic running-max interval merge over (doc, st, en) rows →
+    * (doc_id, cut_start, cut_len), 1-based inclusive token positions.
+    * Windows partition per doc, so the sort is per-doc-local. Shared by
+    * the in-corpus mask and the eval-decontamination mask
+    * (Contamination.decontaminationMask) — one definition, one semantics.
+    */
+  private[operators] def mergeTokenRanges(ranges: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc")).orderBy(col("st"), col("en"))
     ranges
       .withColumn("prev_max_en",

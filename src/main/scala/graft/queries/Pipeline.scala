@@ -1094,6 +1094,46 @@ object Pipeline {
         |  ORDER BY dist_q, ccell) AS rn FROM sc)
         |SELECT id, seed_cell, ccell AS new_cell, dist_q FROM r WHERE rn = 1""".stripMargin)),
 
+    // ── Curation: diversity-preserving subsample (the SemDeDup/cluster-
+    //    balanced shape): ≤8 vectors per trained cell, picked by md5 rank
+    //    — keeps every region of embedding space represented instead of
+    //    letting dense modes dominate a random sample. Reuses the one-step
+    //    k-means assignment; the md5 pick is deterministic and engine-
+    //    exact. At 100 TB the cell assignment persists as a column and
+    //    this is one windowed rank per cell ────────────────────────────────
+    "x_sample_diverse" -> Q(
+      (s, d) => {
+        val asg = Similarity.kmeansAssignStep(t(s, d, "embeddings"),
+          "vec_id", "embedding")
+        val w = Window.partitionBy(col("new_cell"))
+          .orderBy(col("pick"), col("id"))
+        asg.withColumn("pick", md5(col("id").cast("string")))
+          .withColumn("pick_rank", row_number().over(w).cast("long"))
+          .where(col("pick_rank") <= 8)
+          .select(col("id").as("vec_id"), col("new_cell").as("cell"),
+            col("pick_rank"))
+      },
+      Some(s"""WITH v0 AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, vq, $planeSumsSql FROM v0),
+        |vc AS (SELECT vec_id, vq, ${bucketSql(0)} AS seed_cell FROM p),
+        |e AS (SELECT seed_cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM vc),
+        |c1 AS (SELECT seed_cell, CAST(z[2] AS BIGINT) AS pos,
+        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT seed_cell AS ccell, list(cx ORDER BY pos) AS cvq
+        |  FROM c1 GROUP BY seed_cell),
+        |sc AS (SELECT vc.vec_id AS id, cent.ccell,
+        |  CAST(list_sum(list_transform(list_zip(vc.vq, cent.cvq),
+        |    x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS dist_q
+        |  FROM vc, cent),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id
+        |  ORDER BY dist_q, ccell) AS rn FROM sc),
+        |a AS (SELECT id, ccell FROM r WHERE rn = 1)
+        |SELECT id AS vec_id, ccell AS cell, CAST(rn2 AS BIGINT) AS pick_rank
+        |FROM (SELECT id, ccell, row_number() OVER (PARTITION BY ccell
+        |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn2 FROM a)
+        |WHERE rn2 <= 8""".stripMargin)),
+
     // ── Similarity: INSTRUCTIONAL BASELINE — do not pick this by name for
     //    production lookups; the default ANN path is `x_ann_ivf` (recall@3
     //    0.67 vs 0.30 here at sf0.01). Multi-probe IVF top-3 over
@@ -2528,6 +2568,52 @@ object Pipeline {
         |SELECT doc AS doc_id, min(st) AS cut_start,
         |  CAST(max(en) - min(st) + 1 AS BIGINT) AS cut_len
         |FROM sm_gg GROUP BY doc, grp""".stripMargin)),
+
+    // ── Decontamination, surgically: instead of dropping every train doc
+    //    that overlaps the eval split (x_decontaminate), the merged token
+    //    ranges INSIDE each train doc that verbatim-match an eval doc for
+    //    ≥16 tokens — cut the span, keep the document. Same h-split as
+    //    x_decontaminate (eval = top 5% of the md5 hash, train < 90) ───────
+    "x_decontaminate_mask" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = t(s, d, "documents")
+        Contamination.decontaminationMask(
+          docs.where(h >= 95), docs.where(h < 90), "doc_id", "text",
+          n = 8, minSpanTokens = 16, maxDocFreq = 128)
+      },
+      Some("""WITH dm_s AS (SELECT doc_id,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER)%100 AS hs,
+        |    text FROM documents),
+        |dm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM dm_s WHERE hs < 90),
+        |dm_e AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM dm_s WHERE hs >= 95),
+        |dm_tg AS (SELECT doc_id AS train_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
+        |  FROM dm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+        |dm_eg AS (SELECT doc_id AS eval_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
+        |  FROM dm_e, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+        |dm_df AS (SELECT h FROM dm_tg GROUP BY h HAVING count(DISTINCT train_id) <= 128),
+        |dm_p AS (SELECT eval_id, train_id, e.pos AS pe, t.pos AS pt
+        |  FROM dm_eg e JOIN (SELECT g.* FROM dm_tg g JOIN dm_df USING (h)) t USING (h)),
+        |dm_i AS (SELECT eval_id, train_id, pe - pt AS diff, pe, pt,
+        |    pe - row_number() OVER (PARTITION BY eval_id, train_id, pe - pt ORDER BY pe) AS isl
+        |  FROM dm_p),
+        |dm_r AS (SELECT eval_id, train_id, diff, isl, count(*) AS run, min(pt) AS pt_start
+        |  FROM dm_i GROUP BY 1,2,3,4),
+        |dm_c AS (SELECT train_id AS doc, CAST(pt_start AS BIGINT) AS st,
+        |    CAST(pt_start + run + 6 AS BIGINT) AS en
+        |  FROM dm_r WHERE run + 7 >= 16),
+        |dm_m AS (SELECT doc, st, en,
+        |    CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS new_grp
+        |  FROM dm_c),
+        |dm_gg AS (SELECT doc, st, en, sum(new_grp) OVER (PARTITION BY doc
+        |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM dm_m)
+        |SELECT doc AS doc_id, min(st) AS cut_start,
+        |  CAST(max(en) - min(st) + 1 AS BIGINT) AS cut_len
+        |FROM dm_gg GROUP BY doc, grp""".stripMargin)),
 
     // ── Packing: serpentine LPT shard assembly — size-desc docs dealt
     //    down-and-back across 8 bins per lang, pairing heavy rows with

@@ -484,6 +484,26 @@ class DedupSpec extends AnyFunSuite {
       "doc 2 fully masked; doc 3's twice-reported span merges to one range")
   }
 
+  test("decontamination mask cuts exactly the eval-matching span from the " +
+    "train doc") {
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"w$i")
+    val evalDocs = Seq((100L, w.mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      // 3-token prefix, then eval tokens w1..w16, then a 4-token tail:
+      // the mask must be [4, 19] (st 4, len 16), nothing else
+      (1L, (Seq("a1", "a2", "a3") ++ w.take(16) ++
+        Seq("b1", "b2", "b3", "b4")).mkString(" ")),
+      (2L, (1 to 20).map(i => s"u$i").mkString(" "))) // no overlap
+      .toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .decontaminationMask(evalDocs, train, "doc_id", "text",
+        n = 8, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 4L, 16L)),
+      "one mask, on the train doc, at the planted offset and length")
+  }
+
   test("ngram overlap flags the contaminated eval/train pair only") {
     import spark.implicits._
     val leak = "one two three four five six seven eight nine ten eleven twelve"

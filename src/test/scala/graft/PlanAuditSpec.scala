@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_ann_topk" -> 16L,          // 10 probe vectors
     "x_ann_kmeans_assign" -> 16L, // 16 centroids
     "x_cluster_balance" -> 16L,   // same assign step, 16 centroids
+    "x_sample_diverse" -> 16L,    // same assign step, 16 centroids
     "x_ann_kmeans" -> 16L,
     "x_ann_ivf" -> 16L,
     "x_ann_ivf_multiprobe" -> 16L,
