@@ -64,10 +64,13 @@ object Pack {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      // null ids can't be packed (and the tuple encoder's Long slots are
+      // non-nullable); null text packs as a zero-length doc
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id").cast("long"), col("lang"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
           .cast("int") % shards).as("shard"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)).as("n_tokens"))
       .as[(Long, String, Int, Long)]
       .groupByKey { case (_, lang, shard, _) => (lang, shard) }
       .flatMapGroups { (key: (String, Int),

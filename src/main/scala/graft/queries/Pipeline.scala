@@ -2509,6 +2509,131 @@ object Pipeline {
         |FROM st_f f JOIN st_idf i USING (tok)
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // ── Embedding hygiene: per-label norm outliers — Tukey fences
+    //    (1.5×IQR, integer arithmetic) on the quantized squared norm flag
+    //    corrupt/degenerate vectors before they poison ANN cells or
+    //    near-dup verdicts. Exact rank-based quartiles per label (the
+    //    at-scale variant swaps in approx_percentile per label) ────────────
+    "x_embed_outliers" -> Q(
+      (s, d) => {
+        val v = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            Similarity.quantize(col("embedding")).as("vq"))
+          .withColumn("norm_q",
+            expr("aggregate(vq, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .drop("vq")
+        val byLabel = Window.partitionBy(col("label"))
+        val w = byLabel.orderBy(col("norm_q"), col("vec_id"))
+        val fences = v
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(byLabel))
+          .groupBy("label")
+          .agg(max(when(col("rn") === ceil(col("n") * 0.25), col("norm_q"))).as("q1"),
+            max(when(col("rn") === ceil(col("n") * 0.75), col("norm_q"))).as("q3"))
+          .select(col("label"),
+            expr("q1 - 3 * (q3 - q1) div 2").as("lo"),
+            expr("q3 + 3 * (q3 - q1) div 2").as("hi"))
+        v.join(broadcast(fences), Seq("label"))
+          .where(col("norm_q") < col("lo") || col("norm_q") > col("hi"))
+          .select(col("label"), col("vec_id"), col("norm_q"), col("lo"), col("hi"))
+      },
+      Some("""WITH eo_v AS (SELECT vec_id, label,
+        |    CAST(list_sum([CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) *
+        |      CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) FOR x IN embedding]) AS BIGINT) AS norm_q
+        |  FROM embeddings),
+        |eo_r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY norm_q, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS n FROM eo_v),
+        |eo_q AS (SELECT label,
+        |    max(CASE WHEN rn = ceil(0.25*n) THEN norm_q END) AS q1,
+        |    max(CASE WHEN rn = ceil(0.75*n) THEN norm_q END) AS q3
+        |  FROM eo_r GROUP BY label),
+        |eo_f AS (SELECT label, q1 - 3*(q3-q1)//2 AS lo, q3 + 3*(q3-q1)//2 AS hi FROM eo_q)
+        |SELECT label, vec_id, norm_q, lo, hi
+        |FROM eo_v JOIN eo_f USING (label)
+        |WHERE norm_q < lo OR norm_q > hi""".stripMargin)),
+
+    // ── Corpus analytics: tokenizer fertility per language — BPE-ish
+    //    subword tokens per whitespace word (the tokenizer-fit number
+    //    multilingual corpus reports quote; a lang whose fertility runs
+    //    high is under-served by the vocab and pays more sequence length
+    //    per sentence). Integer-exact: corpus sums, ×10⁴ ratio ─────────────
+    "x_tok_fertility" -> Q(
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_ws"),
+          sum(TextAnalysis.bpeishCount(col("text"))).as("n_bpeish"))
+        .withColumn("fertility_e4", expr("(n_bpeish * 10000) div n_ws")),
+      Some("""SELECT lang,
+        |  CAST(sum(len(string_split_regex(lower(text),'\s+'))) AS BIGINT) AS n_ws,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_bpeish,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) * 10000
+        |    // sum(len(string_split_regex(lower(text),'\s+'))) AS BIGINT) AS fertility_e4
+        |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ── Corpus analytics: cross-source duplication matrix — WHERE is the
+    //    corpus copying from? Minhash-LSH candidate pairs rolled up by the
+    //    (source_a, source_b) of their endpoints (sorted so the matrix is
+    //    upper-triangular). The same bounded candidate set as every LSH
+    //    op; the source lookup is a broadcast-size dimension join at any
+    //    corpus scale (sources ≪ docs) ─────────────────────────────────────
+    "x_dup_source_matrix" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        cand
+          .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+          .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+          .select(least(col("src_a"), col("src_b")).as("source_lo"),
+            greatest(col("src_a"), col("src_b")).as("source_hi"))
+          .groupBy("source_lo", "source_hi")
+          .agg(count(lit(1)).as("n_cand_pairs"))
+      },
+      Some(s"""WITH $candCtesSql
+        |SELECT least(sa.source, sb.source) AS source_lo,
+        |  greatest(sa.source, sb.source) AS source_hi,
+        |  CAST(count(*) AS BIGINT) AS n_cand_pairs
+        |FROM cand c
+        |JOIN documents sa ON sa.doc_id = c.a
+        |JOIN documents sb ON sb.doc_id = c.b
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // ── Corpus analytics: n-gram novelty — per doc (in doc_id order, the
+    //    ingestion order), how many of its distinct trigrams were never
+    //    seen in ANY earlier document. The marginal-contribution curve a
+    //    corpus build watches to decide when another crawl shard stops
+    //    adding content. One shuffle on the gram hash (first-seen = min
+    //    doc_id, a partial-aggregating min), one per-doc rollup ────────────
+    "x_ngram_novelty" -> Q(
+      (s, d) => {
+        val g = graft.operators.CacheRegistry.register(
+          t(s, d, "documents")
+            .select(col("doc_id"), explode(array_distinct(
+              Dedup.shinglesFromTokens(TextAnalysis.tokens(col("text")), 3)))
+              .as("sh"))
+            .select(col("doc_id"), md5(col("sh")).as("h"))
+            .persist())
+        val first = g.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+        g.join(first, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_e4", expr("(n_novel * 10000) div n_grams"))
+      },
+      Some("""WITH nv_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |nv_g AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l,' ')]
+        |    ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END)) AS sh
+        |  FROM nv_t),
+        |nv_h AS (SELECT doc_id, md5(sh) AS h FROM nv_g),
+        |nv_f AS (SELECT h, min(doc_id) AS first_doc FROM nv_h GROUP BY h)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS novelty_e4
+        |FROM nv_h g JOIN nv_f f USING (h) GROUP BY g.doc_id""".stripMargin)),
+
     // ── Dedup: exact shared-substring spans (Lee et al. 2021 substring-
     //    level dedup) — a long verbatim span between two documents is a
     //    near-dup signal even when set-overlap (Jaccard/containment) stays
