@@ -46,6 +46,40 @@ object Pipeline {
     * sum), shared by the `x_rarity_score` and `x_curriculum_order`
     * oracles — a per-query copy would let a future scoring change
     * silently split the two. */
+  /** ONE CTE chain for the in-corpus substring-surgery mask (postings →
+    * diagonals → islands → ≥16-token spans → merged per-doc cut ranges,
+    * ending in CTE `sm_z(doc_id, cut_start, cut_len)`), shared by the
+    * `x_dedup_substring_mask` oracle and the `x_surgery_report` rollup —
+    * the lockstep rule: one definition or the two silently diverge. */
+  private val maskCtesSql =
+    """sm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+      |sm_g AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
+      |  FROM sm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+      |sm_df AS (SELECT h FROM sm_g GROUP BY h HAVING count(DISTINCT doc_id) <= 64),
+      |sm_p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
+      |  FROM (SELECT g.* FROM sm_g g JOIN sm_df USING (h)) a
+      |  JOIN (SELECT g.* FROM sm_g g JOIN sm_df USING (h)) b USING (h)
+      |  WHERE a.doc_id < b.doc_id),
+      |sm_i AS (SELECT a, b, pa - pb AS diff, pa, pb,
+      |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS isl
+      |  FROM sm_p),
+      |sm_r AS (SELECT a, b, diff, isl, count(*) AS run, min(pb) AS pb_start
+      |  FROM sm_i GROUP BY 1,2,3,4),
+      |sm_c AS (SELECT b AS doc, CAST(pb_start AS BIGINT) AS st,
+      |    CAST(pb_start + run + 6 AS BIGINT) AS en
+      |  FROM sm_r WHERE run + 7 >= 16),
+      |sm_m AS (SELECT doc, st, en,
+      |    CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS new_grp
+      |  FROM sm_c),
+      |sm_gg AS (SELECT doc, st, en, sum(new_grp) OVER (PARTITION BY doc
+      |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM sm_m),
+      |sm_z AS (SELECT doc AS doc_id, min(st) AS cut_start,
+      |    CAST(max(en) - min(st) + 1 AS BIGINT) AS cut_len
+      |  FROM sm_gg GROUP BY doc, grp)""".stripMargin
+
   private val rarityCtesSql =
     """tok AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\s+')) AS tok
       |  FROM documents),
@@ -2666,33 +2700,45 @@ object Pipeline {
     "x_dedup_substring_mask" -> Q(
       (s, d) => Dedup.substringRemovalRanges(t(s, d, "documents"), "doc_id",
         "text", n = 8, minSpanTokens = 16, maxDf = 64),
-      Some("""WITH sm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
-        |sm_g AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
-        |  FROM sm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
-        |sm_df AS (SELECT h FROM sm_g GROUP BY h HAVING count(DISTINCT doc_id) <= 64),
-        |sm_p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
-        |  FROM (SELECT g.* FROM sm_g g JOIN sm_df USING (h)) a
-        |  JOIN (SELECT g.* FROM sm_g g JOIN sm_df USING (h)) b USING (h)
-        |  WHERE a.doc_id < b.doc_id),
-        |sm_i AS (SELECT a, b, pa - pb AS diff, pa, pb,
-        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS isl
-        |  FROM sm_p),
-        |sm_r AS (SELECT a, b, diff, isl, count(*) AS run, min(pb) AS pb_start
-        |  FROM sm_i GROUP BY 1,2,3,4),
-        |sm_c AS (SELECT b AS doc, CAST(pb_start AS BIGINT) AS st,
-        |    CAST(pb_start + run + 6 AS BIGINT) AS en
-        |  FROM sm_r WHERE run + 7 >= 16),
-        |sm_m AS (SELECT doc, st, en,
-        |    CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc ORDER BY st, en
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |      THEN 1 ELSE 0 END AS new_grp
-        |  FROM sm_c),
-        |sm_gg AS (SELECT doc, st, en, sum(new_grp) OVER (PARTITION BY doc
-        |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |  FROM sm_m)
-        |SELECT doc AS doc_id, min(st) AS cut_start,
-        |  CAST(max(en) - min(st) + 1 AS BIGINT) AS cut_len
-        |FROM sm_gg GROUP BY doc, grp""".stripMargin)),
+      Some(s"""WITH $maskCtesSql
+        |SELECT doc_id, cut_start, cut_len FROM sm_z""".stripMargin)),
+
+    // ── The surgery executive report: per source, how much the substring
+    //    mask would actually remove — docs touched, tokens cut, the cut
+    //    ratio in e-4. What a curation run reads before deciding span
+    //    surgery vs whole-doc dedup for a source ──────────────────────────
+    "x_surgery_report" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        val cuts = Dedup.substringRemovalRanges(t(s, d, "documents"),
+          "doc_id", "text", n = 8, minSpanTokens = 16, maxDf = 64)
+          .groupBy("doc_id")
+          .agg(sum(col("cut_len")).as("cut_toks"))
+        docs.join(cuts, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("cut_toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cut_toks") > 0, 1L).otherwise(0L)).as("n_masked"),
+            sum(col("n_tok")).as("tokens_total"),
+            sum(col("cut_toks")).as("tokens_cut"))
+          .withColumn("cut_ratio_e4",
+            expr("(tokens_cut * 10000) div tokens_total"))
+      },
+      Some(s"""WITH $maskCtesSql,
+        |sr_c AS (SELECT doc_id, CAST(sum(cut_len) AS BIGINT) AS cut_toks
+        |  FROM sm_z GROUP BY doc_id),
+        |sr_d AS (SELECT d.doc_id, d.source,
+        |    CAST(len(string_split_regex(lower(d.text),'\\s+')) AS BIGINT) AS n_tok,
+        |    COALESCE(c.cut_toks, 0) AS cut_toks
+        |  FROM documents d LEFT JOIN sr_c c USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cut_toks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(cut_toks) AS BIGINT) AS tokens_cut,
+        |  CAST(sum(cut_toks) * 10000 // sum(n_tok) AS BIGINT) AS cut_ratio_e4
+        |FROM sr_d GROUP BY source""".stripMargin)),
 
     // ── Decontamination, surgically: instead of dropping every train doc
     //    that overlaps the eval split (x_decontaminate), the merged token
