@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+
+/** Environment-drift sentinel (VERDICT r8 §next-7): the round-8 testdata
+  * regeneration silently switched `events.ts` from TIMESTAMP(NANOS) to naive
+  * TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ — and 12 queries
+  * crashed before any contract test fired. This spec pins the post-
+  * `Tables.table` schema (names + normalized type strings, in order) for
+  * every corpus table, so the NEXT silent regeneration fails one obvious
+  * test with a readable diff instead of a dozen queries.
+  *
+  * The pinned strings are the *normalized* contract — whatever timestamp
+  * flavor the parquet footer holds (NANOS-as-long, NTZ, LTZ), the loader
+  * must surface `timestamp` — so this spec holds across flavor drift and
+  * only fails on a genuine contract change (column added/renamed/retyped).
+  */
+class CorpusContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** table → "name:normalizedSimpleTypeName" per column, in schema order. */
+  private val pinned: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey:int", "r_name:string"),
+    "nation" -> Seq("n_nationkey:int", "n_name:string", "n_regionkey:int"),
+    "customer" -> Seq("c_custkey:bigint", "c_name:string", "c_nationkey:int",
+      "c_acctbal:double", "c_mktsegment:string"),
+    "supplier" -> Seq("s_suppkey:bigint", "s_name:string", "s_nationkey:int",
+      "s_acctbal:double"),
+    "part" -> Seq("p_partkey:bigint", "p_name:string", "p_brand:string",
+      "p_type:string", "p_size:int", "p_retailprice:double"),
+    "orders" -> Seq("o_orderkey:bigint", "o_custkey:bigint",
+      "o_orderstatus:string", "o_totalprice:double", "o_orderdate:timestamp",
+      "o_orderpriority:string"),
+    "lineitem" -> Seq("l_orderkey:bigint", "l_partkey:bigint",
+      "l_suppkey:bigint", "l_linenumber:int", "l_quantity:double",
+      "l_extendedprice:double", "l_discount:double", "l_tax:double",
+      "l_returnflag:string", "l_linestatus:string", "l_shipdate:timestamp"),
+    "events" -> Seq("event_id:bigint", "ts:timestamp", "user_id:bigint",
+      "event_type:string", "value:double", "props:string"),
+    "documents" -> Seq("doc_id:bigint", "text:string", "lang:string",
+      "source:string", "n_chars:bigint"),
+    "embeddings" -> Seq("vec_id:bigint", "embedding:array<float>",
+      "label:int"))
+
+  for ((name, want) <- pinned.toSeq.sortBy(_._1)) {
+    test(s"$name: post-loader schema matches the pinned contract") {
+      assume(new java.io.File(s"$sf/$name.parquet").exists(),
+        s"corpus table $name absent at $sf — driver testdata not generated")
+      val got = Tables.table(spark, sf, name).schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").toSeq
+      assert(got == want,
+        s"\ncorpus drift on `$name` —\n  pinned: ${want.mkString(", ")}\n" +
+          s"  actual: ${got.mkString(", ")}\n" +
+          "If the driver regenerated /root/testdata with a new schema, " +
+          "update this pin AND re-run the full suite: downstream queries " +
+          "bake these names/types into oracle SQL.")
+    }
+  }
+
+  test("every corpus table still parses timestamps to TimestampType " +
+    "(no NTZ/NANOS leaks through the loader)") {
+    assume(new java.io.File(sf).isDirectory)
+    val leaks = pinned.keys.toSeq.sorted.flatMap { n =>
+      Tables.table(spark, sf, n).schema.fields.collect {
+        case f if f.dataType.simpleString.startsWith("timestamp") &&
+          f.dataType.simpleString != "timestamp" => s"$n.${f.name}:${f.dataType.simpleString}"
+      }
+    }
+    assert(leaks.isEmpty, s"non-LTZ timestamp flavors leaked: $leaks")
+  }
+}
