@@ -664,6 +664,46 @@ object Analytics {
 
     // ── Cohort retention: users bucketed by first-seen week × activity
     //    week offset — integer epoch-week division, distinct-then-count ────
-    "x_retention_cohort" -> cohortQ)
+    "x_retention_cohort" -> cohortQ,
+
+    // ── Ingest monitoring: daily-volume spike detection per event type —
+    //    a day is flagged when its count exceeds 2.5× the type's MEDIAN
+    //    daily count (exact lower-median order statistic, not a float
+    //    mean that one spike inflates; the 2.5× test is the integer
+    //    cross-multiplication c·2 > med·5). The readout a training-data
+    //    ingest pipeline alarms on before a bad crawl batch poisons the
+    //    corpus. Scale: one (type, day) count shuffle collapses the input
+    //    to ~types×days rows; the median window runs on that tiny
+    //    aggregate, never on raw events ─────────────────────────────────────
+    "x_event_spikes" -> Q(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .select(col("event_type"),
+            usec(date_trunc("DAY", col("ts"))).as("day_us"))
+          .groupBy("event_type", "day_us").agg(count(lit(1)).as("c"))
+        val byType = Window.partitionBy(col("event_type"))
+        val w = byType.orderBy(col("c"), col("day_us"))
+        val med = daily
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(byType))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("c")))
+            .as("med"))
+        daily.join(med, "event_type")
+          .select(col("event_type"), col("day_us"), col("c"), col("med"),
+            (col("c") * 2 > col("med") * 5).as("spike"))
+      },
+      Some("""WITH sp_d AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |sp_r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, day_us) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM sp_d),
+        |sp_m AS (SELECT event_type,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
+        |  FROM sp_r GROUP BY 1)
+        |SELECT d.event_type, d.day_us, d.c, m.med,
+        |  d.c * 2 > m.med * 5 AS spike
+        |FROM sp_d d JOIN sp_m m ON d.event_type = m.event_type""".stripMargin)))
 
 }

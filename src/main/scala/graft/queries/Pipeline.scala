@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.{AsOf, Contamination, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Contamination, Dedup, Embeddings, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import graft.queries.Relational.Q
 
 /** LLM-training-data pipeline operators as named queries over `documents` /
@@ -32,6 +32,37 @@ object Pipeline {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
+
+  /** Per-document integer token entropy (see `x_entropy_bits` for the
+    * math), shared by the entropy readout and the cross-source quality
+    * calibration — ONE definition or the two silently diverge (lockstep
+    * rule). Returns (doc_id, source, n_tok, distinct_tok, ent_bits).
+    */
+  private def entropyPerDoc(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source").agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("distinct_tok"),
+        sum(col("c") * length(bin(col("c"))).cast("long")).as("s_cb"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("distinct_tok"),
+        (col("n_tok") * length(bin(col("n_tok"))).cast("long") - col("s_cb"))
+          .as("ent_bits"))
+
+  /** DuckDB twin of [[entropyPerDoc]], ending in CTE
+    * `en_d(doc_id, source, n_tok, distinct_tok, ent_bits)`. */
+  private val entCtesSql =
+    """en_t AS (SELECT doc_id, source,
+      |    unnest(string_split_regex(lower(text),'\s+')) AS tok FROM documents),
+      |en_c AS (SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM en_t GROUP BY 1, 2, 3),
+      |en_d AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
+      |    CAST(count(*) AS BIGINT) AS distinct_tok,
+      |    CAST(sum(c) * length(bin(CAST(sum(c) AS BIGINT)))
+      |      - sum(c * length(bin(c))) AS BIGINT) AS ent_bits
+      |  FROM en_c GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB-side quantized vector: list of round(x*1e6)::BIGINT. */
   private val vqSql = "[CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) FOR x IN embedding]"
@@ -2939,6 +2970,194 @@ object Pipeline {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents)
-        |GROUP BY source""".stripMargin))
+        |GROUP BY source""".stripMargin)),
+
+    // ── Embedding toolbox: Johnson–Lindenstrauss ±1 random projection
+    //    (Achlioptas 2003) — 64-dim quantized vectors to 8 integer
+    //    components, y_j = Σ s(i,j)·vq_i with a compile-time sign matrix
+    //    inlined into BOTH engines (no runtime hash to agree on). Narrow
+    //    per-row map, zero shuffles, codegen'd; the at-scale front door to
+    //    cheaper brute-force ANN and fewer-plane LSH ──────────────────────
+    "x_embed_rp_reduce" -> Q(
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))
+        .select(col("vec_id"),
+          posexplode(Embeddings.randomProject(col("vq"), 64, 8))
+            .as(Seq("j0", "y_q")))
+        .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"), col("y_q")),
+      Some(s"""WITH rp_v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |rp_s AS (SELECT ${Embeddings.rpSignsSql(64, 8)} AS sgn)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  CAST(list_sum(list_transform(list_zip(vq, sgn[j]), x -> x[1]*x[2])) AS BIGINT) AS y_q
+        |FROM rp_v, rp_s, LATERAL (SELECT unnest(generate_series(1, 8)) AS j)""".stripMargin)),
+
+    // ── Embedding toolbox: symmetric int8 quantization audit — per-vector
+    //    scale m = max|v| and exact integer reconstruction error in units
+    //    of micro-units×127 (err127_i = |127·v_i − code_i·m|, bound m/2;
+    //    EmbedToolboxSpec pins 2·max_err127 ≤ m). The round itself is pure
+    //    integer round-half-away — no IEEE division to diverge. Narrow
+    //    per-row map; this is the "did quantizing to a quarter of the
+    //    bytes hurt" readout a 100 TB embedding store runs before
+    //    switching its serving tier to int8 ───────────────────────────────
+    "x_embed_int8" -> Q(
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))
+        .select(col("vec_id"), Embeddings.int8Stats(col("vq")).as("st"))
+        .select(col("vec_id"), col("st.scale_q").as("scale_q"),
+          col("st.sum_err127").as("sum_err127"),
+          col("st.max_err127").as("max_err127")),
+      Some(s"""WITH i8_v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |i8_m AS (SELECT vec_id, vq, list_max([abs(x) FOR x IN vq]) AS m FROM i8_v),
+        |i8_e AS (SELECT vec_id, m,
+        |    CASE WHEN m = 0 THEN [CAST(0 AS BIGINT) FOR x IN vq]
+        |    ELSE [abs(x*127 - (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+        |      * ((abs(x)*254 + m) // (2*m)) * m) FOR x IN vq] END AS errs
+        |  FROM i8_m)
+        |SELECT vec_id, CAST(m AS BIGINT) AS scale_q,
+        |  CAST(list_sum(errs) AS BIGINT) AS sum_err127,
+        |  CAST(list_max(errs) AS BIGINT) AS max_err127 FROM i8_e""".stripMargin)),
+
+    // ── Text quality: per-document token-entropy in integer bits —
+    //    ent_bits = Σ_k c_k·(bitlen(N)−bitlen(c_k)) = N·bitlen(N) − Σ c_k·
+    //    bitlen(c_k), the log2-bit-length entropy surrogate (same
+    //    `length(bin(x))` trick as the tf-idf idf). Low entropy = looping/
+    //    boilerplate text, high = diverse vocabulary — the classic cheap
+    //    gibberish-vs-natural-text quality axis. Integer-exact end to end;
+    //    one explode + one (doc,tok) shuffle + one per-doc partial agg ─────
+    "x_entropy_bits" -> Q(
+      (s, d) => entropyPerDoc(s, d)
+        .select("doc_id", "n_tok", "distinct_tok", "ent_bits"),
+      Some(s"""WITH $entCtesSql
+        |SELECT doc_id, n_tok, distinct_tok, ent_bits FROM en_d""".stripMargin)),
+
+    // ── Text quality: cross-source score calibration — a raw quality
+    //    score (here ent_bits) is not comparable across sources with
+    //    different length/style distributions, so a corpus-wide keep
+    //    threshold over-prunes some sources. Replace the raw score with
+    //    its WITHIN-SOURCE percentile (basis points, integer division) and
+    //    a single global percentile floor prunes every source equally —
+    //    the calibration step quality-classifier pipelines apply before
+    //    thresholding. One extra per-source window pass over the entropy
+    //    relation, no new shuffle key beyond `source` ────────────────────
+    "x_quality_calibration" -> Q(
+      (s, d) => {
+        val bySrc = Window.partitionBy(col("source"))
+        val w = bySrc.orderBy(col("ent_bits"), col("doc_id"))
+        entropyPerDoc(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .select(col("doc_id"), col("source"), col("ent_bits"),
+            expr("((CAST(rn AS BIGINT) - 1) * 10000) div greatest(n - 1, 1)")
+              .as("pct_bp"))
+      },
+      Some(s"""WITH $entCtesSql
+        |SELECT doc_id, source, ent_bits,
+        |  ((rn - 1) * 10000) // greatest(n - 1, 1) AS pct_bp
+        |FROM (SELECT doc_id, source, ent_bits,
+        |    row_number() OVER (PARTITION BY source ORDER BY ent_bits, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n FROM en_d)""".stripMargin)),
+
+    // ── Text statistics: PMI collocations over adjacent token bigrams —
+    //    pmi_bits = bitlen(c_ab)+bitlen(N)−bitlen(c_a)−bitlen(c_b), the
+    //    bit-length log2 form (within ±1 bit of log2 of the PMI ratio and,
+    //    unlike bitlen(c_ab·N)−bitlen(c_a·c_b), free of BIGINT overflow at
+    //    trillion-token N). Top-50 multiword expressions with full
+    //    tiebreak, support floor c_ab ≥ 5. Scale: bigrams come from
+    //    zipping each token list with its own tail (no self-join on
+    //    position), then two equi-joins against the unigram table and one
+    //    broadcast of the 1-row corpus total ───────────────────────────────
+    "x_pmi_bigrams" -> Q(
+      (s, d) => {
+        val toks = graft.operators.CacheRegistry.register(
+          t(s, d, "documents")
+            .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+            .persist())
+        val uni = toks.select(explode(col("l")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val nTot = toks.agg(sum(size(col("l")).cast("long")).as("n"))
+        val tail = greatest(size(col("l")) - 1, lit(0))
+        toks
+          .select(explode(zip_with(
+            slice(col("l"), lit(1), tail), slice(col("l"), lit(2), tail),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .where(col("c_ab") >= 5)
+          .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+          .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+          .crossJoin(broadcast(nTot)) // 1-row corpus total vs pair rows
+          .select(concat_ws(" ", col("a"), col("b")).as("pair"),
+            col("c_ab"), col("c_a"), col("c_b"),
+            (length(bin(col("c_ab"))).cast("long") +
+              length(bin(col("n"))).cast("long") -
+              length(bin(col("c_a"))).cast("long") -
+              length(bin(col("c_b"))).cast("long")).as("pmi_bits"))
+          .orderBy(desc("pmi_bits"), desc("c_ab"), asc("pair"))
+          .limit(50)
+      },
+      Some("""WITH pm_t AS (SELECT doc_id,
+        |    string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |pm_u AS (SELECT unnest(l) AS tok FROM pm_t),
+        |pm_uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM pm_u GROUP BY tok),
+        |pm_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pm_u),
+        |pm_b AS (SELECT l[i] AS a, l[i+1] AS b FROM pm_t,
+        |  LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-1))) AS i)),
+        |pm_bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM pm_b GROUP BY a, b HAVING count(*) >= 5)
+        |SELECT a || ' ' || b AS pair, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  CAST(length(bin(c_ab)) + length(bin((SELECT n FROM pm_n)))
+        |    - length(bin(ua.c)) - length(bin(ub.c)) AS BIGINT) AS pmi_bits
+        |FROM pm_bc JOIN pm_uc ua ON a = ua.tok JOIN pm_uc ub ON b = ub.tok
+        |ORDER BY pmi_bits DESC, c_ab DESC, pair LIMIT 50""".stripMargin)),
+
+    // ── Training-example assembly from event streams: sessionize per user
+    //    (30-min silence breaks a session, the w3 gaps-and-islands rule),
+    //    then collapse each session into ONE example row — length, span,
+    //    and an order-exact fingerprint of the event-type sequence
+    //    (array_sort over (ts,event_id,type) structs makes the collect
+    //    deterministic; md5 keeps the row narrow). This is the event-log →
+    //    behavioral-sequence-corpus step of an agent/recommender training
+    //    pipeline. Scale: the window and the groupBy share the user_id
+    //    shuffle key, so sessionize + collapse is ONE exchange; per-session
+    //    state is bounded by session length, never by user history ─────────
+    "x_session_examples" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gap = Relational.usec(col("ts")) -
+          Relational.usec(lag(col("ts"), 1).over(w))
+        val isBreak = when(gap.isNull || gap > 30L * 60 * 1000000, 1L)
+          .otherwise(0L)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            Relational.usec(col("ts")).as("ts_us"),
+            sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .as("session_id"))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")), ",")).as("fp"))
+      },
+      Some("""WITH se_g AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap_us
+        |  FROM events),
+        |se_s AS (SELECT user_id, event_id, event_type, ts_us,
+        |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM se_g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+        |  md5(string_agg(event_type, ',' ORDER BY ts_us, event_id)) AS fp
+        |FROM se_s GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-log training-pipeline operators: session-example assembly
+  * (order-exact fingerprints), daily spike detection (median-based), and
+  * cross-source quality calibration (within-source percentiles).
+  */
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeEvents(dir: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+    rows.map { case (id, ts, uid, et, v, p) =>
+      (id, Timestamp.valueOf(ts), uid, et, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("session examples: 30-min gap splits sessions; fingerprint is " +
+    "order-exact, not set-based") {
+    val dir = TestSpark.tmpDir("sess")
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "a", 0.0, "{}"),
+      (2L, "2024-01-01 10:10:00", 7L, "b", 0.0, "{}"),
+      // 31-minute silence → new session
+      (3L, "2024-01-01 10:41:00", 7L, "b", 0.0, "{}"),
+      (4L, "2024-01-01 10:42:00", 7L, "a", 0.0, "{}")))
+    val out = SparkEntry.queries("x_session_examples")(spark, dir)
+      .orderBy("session_id").collect()
+    assert(out.length == 2, "two sessions")
+    val fps = out.map(_.getAs[String]("fp"))
+    assert(fps(0) != fps(1),
+      "sessions 'a,b' and 'b,a' hash differently — order matters")
+    assert(out(0).getAs[Long]("n_events") == 2 &&
+      out(0).getAs[Long]("span_us") == 600000000L)
+  }
+
+  test("event spikes: a planted 3× day is flagged, normal days are not") {
+    val dir = TestSpark.tmpDir("spike")
+    // 5 quiet days of 4 events + one day with 13 (13·2 > 4·5)
+    val quiet = for {
+      day <- 1 to 5; i <- 0 until 4
+    } yield ((day * 100 + i).toLong, f"2024-01-0$day 0$i:00:00", i.toLong, "click", 0.0, "{}")
+    val burst = (0 until 13).map(i =>
+      ((600 + i).toLong, f"2024-01-06 ${i % 24}%02d:10:00", i.toLong, "click", 0.0, "{}"))
+    writeEvents(dir, quiet ++ burst)
+    val out = SparkEntry.queries("x_event_spikes")(spark, dir).collect()
+      .map(r => r.getAs[Long]("c") -> r.getAs[Boolean]("spike")).toMap
+    assert(out(13L), "burst day flagged")
+    assert(!out(4L), "quiet days unflagged")
+  }
+
+  test("quality calibration: percentiles span 0..10000 within every " +
+    "source and are monotone in the raw score") {
+    val docs = (1 to 40).map { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      // distinct vocab sizes → strictly increasing entropy per source
+      val text = (1 to (i / 2 + 2)).map(k => s"w$k").mkString(" ")
+      (i.toLong, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.tmpDir("calib")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_quality_calibration")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("ent_bits"), r.getAs[Long]("pct_bp")))
+    assert(rows.forall { case (_, _, p) => p >= 0 && p <= 10000 })
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val sorted = grp.sortBy(_._3)
+      assert(sorted.map(_._2).sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)),
+        "pct_bp order respects ent_bits order")
+      assert(sorted.head._3 == 0 && sorted.last._3 == 10000,
+        "each source spans the full 0..10000 range")
+    }
+  }
+}

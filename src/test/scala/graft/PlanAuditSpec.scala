@@ -49,7 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_vec_sql_native" -> 100L,   // 5×20-row demo relations
     "x_search_tfidf" -> 1L,       // the 1-row corpus-count broadcast
     "x_search_bm25" -> 1L,        // the 1-row corpus-stats broadcast
-    "x_importance_weights" -> 1L) // the 1-row token-totals broadcast
+    "x_importance_weights" -> 1L, // the 1-row token-totals broadcast
+    "x_pmi_bigrams" -> 1L)        // the 1-row corpus-total broadcast
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
