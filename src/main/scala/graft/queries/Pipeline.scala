@@ -3158,6 +3158,80 @@ object Pipeline {
         |  CAST(min(ts_us) AS BIGINT) AS start_us,
         |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
         |  md5(string_agg(event_type, ',' ORDER BY ts_us, event_id)) AS fp
-        |FROM se_s GROUP BY 1, 2""".stripMargin))
+        |FROM se_s GROUP BY 1, 2""".stripMargin)),
+
+    // ── Corpus release: the per-source DATASET CARD — one row per source
+    //    with the numbers a release readme publishes: volume (docs,
+    //    tokens), exact-duplicate load (docs sharing an md5 text
+    //    fingerprint within the source), language concentration (top lang
+    //    + its basis-point share), and a calibrated quality level (exact
+    //    lower-median ent_bits). Composes four aggregation trees that each
+    //    collapse documents to a ~sources-sized relation before any join —
+    //    at 100 TB every shuffle here is over the tiny source key domain,
+    //    and the four scans share the parquet read (columns pruned per
+    //    branch). Integer-exact throughout: shares are ×10⁴ integer
+    //    divisions, the median is an order statistic, never a float mean ──
+    "x_dataset_card" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vol = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        val dup = docs.select(col("source"), md5(col("text")).as("fp"))
+          .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"))
+        val bySrc = Window.partitionBy(col("source"))
+        val lang = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+          .withColumn("tot", sum(col("c")).over(bySrc))
+          .withColumn("rn", row_number().over(
+            bySrc.orderBy(desc("c"), asc("lang"))))
+          .where(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"),
+            expr("(c * 10000) div tot").as("top_lang_bp"))
+        val entW = bySrc.orderBy(col("ent_bits"), col("doc_id"))
+        val med = entropyPerDoc(s, d)
+          .withColumn("rn", row_number().over(entW))
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .groupBy("source")
+          .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("ent_bits")))
+            .as("med_ent_bits"))
+        vol.join(dup, "source").join(lang, "source").join(med, "source")
+          .orderBy("source")
+      },
+      Some(s"""WITH $entCtesSql,
+        |dc_v AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(lower(text),'\\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |dc_f AS (SELECT source, md5(text) AS fp, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |dc_d AS (SELECT source,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+        |  FROM dc_f GROUP BY 1),
+        |dc_l AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |dc_t AS (SELECT *, CAST(sum(c) OVER (PARTITION BY source) AS BIGINT)
+        |      AS tot,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang)
+        |      AS rn
+        |  FROM dc_l),
+        |dc_top AS (SELECT source, lang AS top_lang,
+        |    (c * 10000) // tot AS top_lang_bp FROM dc_t WHERE rn = 1),
+        |dc_e AS (SELECT source, ent_bits,
+        |    row_number() OVER (PARTITION BY source ORDER BY ent_bits, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM en_d),
+        |dc_m AS (SELECT source,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN ent_bits END)
+        |      AS med_ent_bits
+        |  FROM dc_e GROUP BY 1)
+        |SELECT v.source, v.n_docs, v.n_tokens, d.dup_docs, l.top_lang,
+        |  l.top_lang_bp, m.med_ent_bits
+        |FROM dc_v v JOIN dc_d d ON v.source = d.source
+        |JOIN dc_top l ON v.source = l.source
+        |JOIN dc_m m ON v.source = m.source
+        |ORDER BY v.source""".stripMargin))
   )
 }

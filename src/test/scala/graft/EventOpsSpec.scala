@@ -53,6 +53,33 @@ class EventOpsSpec extends AnyFunSuite {
     assert(!out(4L), "quiet days unflagged")
   }
 
+  test("dataset card: dup_docs counts ALL members of duplicated groups; " +
+    "top-lang ties break alphabetically") {
+    val docs = Seq(
+      // source A: 4 docs, one exact-dup pair (both members count), en/de tie
+      (1L, "same text here", "en", "A", 14L),
+      (2L, "same text here", "de", "A", 14L),
+      (3L, "unique one alpha", "en", "A", 16L),
+      (4L, "unique two beta", "de", "A", 15L),
+      // source B: no dups, all fr
+      (5L, "cinq six sept", "fr", "B", 13L),
+      (6L, "huit neuf dix", "fr", "B", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.tmpDir("card")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_dataset_card")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("A")
+    assert(a.getAs[Long]("n_docs") == 4 && a.getAs[Long]("dup_docs") == 2)
+    assert(a.getAs[String]("top_lang") == "de",
+      "2-2 en/de tie breaks to the alphabetically first lang")
+    assert(a.getAs[Long]("top_lang_bp") == 5000)
+    val b = rows("B")
+    assert(b.getAs[Long]("dup_docs") == 0 &&
+      b.getAs[String]("top_lang") == "fr" &&
+      b.getAs[Long]("top_lang_bp") == 10000)
+  }
+
   test("quality calibration: percentiles span 0..10000 within every " +
     "source and are monotone in the raw score") {
     val docs = (1 to 40).map { i =>
