@@ -2444,6 +2444,18 @@ object Pipeline {
         |  count(*) AS cnt
         |FROM documents GROUP BY 1, 2""".stripMargin)),
 
+    // ── Structured Streaming: per-source seen/admitted curation counters
+    //    as documents land — the online half of x_filter_funnel (admit-rate
+    //    collapse alarms MID-crawl). State = two counters per source; the
+    //    admit predicate is the batch oracle verbatim ──────────────────────
+    "stream_quality_gate" -> Q(
+      (s, d) => graft.streaming.StreamingSync.qualityGate(s, d),
+      Some("""SELECT coalesce(source, '') AS source, count(*) AS n_seen,
+        |  CAST(sum(CASE WHEN length(text) BETWEEN 20 AND 5000
+        |    AND len(string_split_regex(lower(text),'\s+')) >= 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+        |FROM documents GROUP BY 1""".stripMargin)),
+
     // ── Structured Streaming: the CDC fold as arriving state — one state
     //    row per key, trailing-delete keys dropped after compaction; the
     //    streaming twin of x_cdc_apply against the SAME oracle ─────────────
@@ -3232,6 +3244,92 @@ object Pipeline {
         |FROM dc_v v JOIN dc_d d ON v.source = d.source
         |JOIN dc_top l ON v.source = l.source
         |JOIN dc_m m ON v.source = m.source
-        |ORDER BY v.source""".stripMargin))
+        |ORDER BY v.source""".stripMargin)),
+
+    // ── Tokenizer design: vocabulary coverage curve — what fraction of
+    //    all corpus tokens (basis points, integer division) the top-k
+    //    most frequent types cover, read at a k ladder from 1 to 10000.
+    //    The curve that sizes a vocab budget before training a tokenizer.
+    //    Scale shape: the corpus collapses to the vocab relation FIRST
+    //    (one (tok) shuffle with map-side partial counts); the global
+    //    rank/cumsum window then runs over vocab-sized data — bounded by
+    //    type count, not corpus size (the same bounded-global-window
+    //    stance as x_mix_epochs, at vocab scale rather than source scale) ──
+    "x_vocab_coverage" -> Q(
+      (s, d) => {
+        val uni = t(s, d, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy().orderBy(desc("c"), asc("tok"))
+        uni
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("cum",
+            sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+          .where(col("rk").isin(1L, 3L, 10L, 30L, 100L, 1000L, 10000L))
+          .select(col("rk").as("k"), col("cum").as("toks_covered"),
+            expr("(cum * 10000) div n").as("coverage_bp"))
+      },
+      Some("""WITH vc_u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split_regex(lower(text),'\s+')) AS tok
+        |        FROM documents) GROUP BY tok),
+        |vc_r AS (SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS rk,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM vc_u)
+        |SELECT CAST(rk AS BIGINT) AS k, cum AS toks_covered,
+        |  (cum * 10000) // n AS coverage_bp
+        |FROM vc_r WHERE rk IN (1, 3, 10, 30, 100, 1000, 10000)""".stripMargin)),
+
+    // ── Bitext mining: blocked cross-lingual nearest neighbor — for every
+    //    non-English document, its best English candidate by exact integer
+    //    dot product, candidates restricted to the SAME sign-LSH cell as
+    //    the query (the default mod-8 quantizer shared with x_ann_ivf).
+    //    The translation-pair mining step of a multilingual pretraining
+    //    pipeline: the cell equi-join keeps the pair space at ~1/cells of
+    //    the en side per query instead of the full en×non-en product;
+    //    recall lost to cell boundaries is the documented trade (the
+    //    multi-probe upgrade path is ivfMultiProbeTopK, same quantizer).
+    //    Queries with an empty en cell yield no row — by design ────────────
+    "x_crosslingual_mine" -> Q(
+      (s, d) => {
+        val v = t(s, d, "embeddings")
+          .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+            col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("lang"),
+            Similarity.quantize(col("embedding")).as("vq"))
+          .withColumn("cell",
+            Similarity.signLshBucket(col("vq"), 0 until 4, 8))
+        val q = v.where(col("lang") =!= "en")
+          .select(col("vec_id").as("qid"), col("lang").as("qlang"),
+            col("vq").as("qv"), col("cell"))
+        val c = v.where(col("lang") === "en")
+          .select(col("vec_id").as("nid"), col("vq").as("nv"), col("cell"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("dot_q"), asc("nid"))
+        q.join(c, "cell")
+          .select(col("qid"), col("qlang"), col("nid"),
+            Similarity.dotQ(col("qv"), col("nv")).as("dot_q"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .drop("rn")
+      },
+      Some(s"""WITH xl_v AS (SELECT e.vec_id, d.lang, $vqSql AS vq
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |xl_p AS (SELECT vec_id, lang, vq, $planeSums8Sql FROM xl_v),
+        |xl_b AS (SELECT vec_id, lang, vq, $bucket8Sql AS cell FROM xl_p),
+        |xl_q AS (SELECT vec_id AS qid, lang AS qlang, vq AS qv, cell
+        |  FROM xl_b WHERE lang <> 'en'),
+        |xl_c AS (SELECT vec_id AS nid, vq AS nv, cell
+        |  FROM xl_b WHERE lang = 'en'),
+        |xl_s AS (SELECT qid, qlang, nid,
+        |    CAST(list_sum(list_transform(list_zip(qv, nv), x -> x[1]*x[2]))
+        |      AS BIGINT) AS dot_q
+        |  FROM xl_q JOIN xl_c USING (cell)),
+        |xl_r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_q DESC, nid) AS rn FROM xl_s)
+        |SELECT qid, qlang, nid, dot_q FROM xl_r WHERE rn = 1""".stripMargin))
   )
 }

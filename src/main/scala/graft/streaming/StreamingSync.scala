@@ -148,6 +148,30 @@ object StreamingSync {
       Seq("source", "bucket"))
   }
 
+  /** Streaming curation gate: per-source seen/admitted counters maintained
+    * as documents land — the online half of the batch curation funnel
+    * (`x_filter_funnel` reports attrition over a FINISHED corpus; this
+    * keeps the admit rate of the in-flight crawl continuously current, so
+    * a source whose admit rate collapses mid-ingest alarms before the
+    * batch report would even run). The admit rule is deliberately
+    * SQL-expressible (char-length band + minimum token count) so the same
+    * predicate is the batch oracle. State is two counters per source —
+    * bounded by the source key domain, never corpus-sized — and the
+    * update-mode changelog compacts last-writer-wins per source.
+    */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "qgate")
+    val admit = length(col("text")).between(20, 5000) &&
+      size(split(lower(col("text")), "\\s+")) >= 5
+    val agg = tableStream(ss, sfDir, "documents", base)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        when(admit, 1L).otherwise(0L).as("ok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seen"), sum(col("ok")).as("n_admitted"))
+    runToChangelog(agg, base, "graft_stream_quality_gate", Seq("source"))
+  }
+
   /** Empty result with the given schema — the no-batches case (empty
     * source) must return cleanly, not throw on a missing sink dir.
     */

@@ -112,6 +112,42 @@ class EmbedToolboxSpec extends AnyFunSuite {
     assert(out(2L) == ((8L, 8L, 24L)), "8 distinct tokens: N·bitlen(N)−N")
   }
 
+  test("vocab coverage: exact basis points on a known Zipf-ish corpus") {
+    val docs = Seq(
+      // "a"×6, "b"×3, "c"×1 → N=10; top-1 covers 6000bp, top-3 10000bp
+      (1L, "a a a b b c", "en", "s", 11L),
+      (2L, "a a a b", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.tmpDir("vocab")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_vocab_coverage")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == ((6L, 6000L)), "top-1 type covers 6/10 tokens")
+    assert(rows(3L) == ((10L, 10000L)), "full 3-type vocab covers all")
+    assert(!rows.contains(10L), "no checkpoint past the vocab size")
+  }
+
+  test("crosslingual mine: picks the max-dot en neighbor within the cell " +
+    "and en docs are never queries") {
+    // all vectors on the same ray → one LSH cell for everyone; dot with
+    // the query then ranks purely by neighbor magnitude
+    def vec(scale: Float) = Seq.tabulate(64)(i => (i % 3 + 1) * scale * 0.01f)
+    val dir = TestSpark.tmpDir("xling")
+    Seq((0L, vec(1f), 0), (1L, vec(2f), 0), (2L, vec(3f), 0), (3L, vec(4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((0L, "bonjour", "fr", "s", 7L), (1L, "hello", "en", "s", 5L),
+      (2L, "hola", "es", "s", 4L), (3L, "hi there", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_crosslingual_mine")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(0L, 2L), "only non-en docs are queries")
+    assert(rows(0L)._2 == 3L && rows(2L)._2 == 3L,
+      "both queries pick the largest-magnitude en vector (max dot)")
+    assert(rows(0L)._1 == "fr" && rows(2L)._1 == "es")
+  }
+
   test("pmi bigrams: an always-co-occurring pair outranks independent pairs") {
     val glued = (1 to 30).map(i => (i.toLong, "alpha beta noise" + (i % 7) +
       " filler" + (i % 11) + " alpha beta", "en", "s", 30L))

@@ -19,7 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
       "stream_range_join", "stream_enrich", "stream_sessionize",
       "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
-      "stream_corpus_hist",
+      "stream_corpus_hist", "stream_quality_gate",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows

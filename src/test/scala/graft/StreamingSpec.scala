@@ -83,6 +83,36 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("quality gate: multi-batch drain keeps per-source admit counters " +
+    "cumulative; null text rejects, never crashes") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("qgatesf")
+    val dir = new java.io.File(s"$sf/documents.parquet")
+    assert(dir.mkdirs())
+    def docs(rows: Seq[(Long, String, String)]) = rows
+      .map { case (id, text, src) => (id, text, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ok = "this document easily clears every admission rule today"
+    val now = System.currentTimeMillis()
+    // batch 1: src a = one admit + one too-short reject
+    stageBatchFile(sf, dir, docs(Seq((1L, ok, "a"), (2L, "tiny", "a"))),
+      "b1", now - 240000)
+    // batch 2: src a admits again (counter must go 1→2 via update-mode
+    // re-emission, not reset); src b = null text (reject, no crash)
+    stageBatchFile(sf, dir, docs(Seq((3L, ok + " again", "a"), (4L, null, "b"))),
+      "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out =
+      try graft.streaming.StreamingSync.qualityGate(spark, sf).collect()
+      finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = out.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((3L, 2L)), "b" -> ((1L, 0L))), s"got $got")
+  }
+
   test("session_window merges at the EXACT gap boundary (oracle contract)") {
     import spark.implicits._
     // Both session oracles (stream_sessionize, stream_sessionize_wm) break
