@@ -23,14 +23,28 @@ object Main {
 
   private val commands =
     Set("init", "list", "listwh", "extract", "load", "sync", "reload", "ddl",
-      "profile", "compact")
+      "profile", "compact", "card")
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = parseArgs(args)
     val command = positional.headOption.getOrElse("")
     if (!commands(command)) {
       System.err.println(
-        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact> " +
+        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact|card> " +
           "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake]")
       sys.exit(2)
     }
@@ -46,18 +60,24 @@ object Main {
       return
     }
 
+    // `card` is config-free: it reads a corpus dir (documents.parquet
+    // inside) and prints the per-source dataset card — the release-readme
+    // numbers — via the SAME oracle-checked query the driver verifies.
+    if (command == "card") {
+      val dir = positional.drop(1).headOption.getOrElse {
+        System.err.println("usage: graft card <corpus-dir>")
+        sys.exit(2); ""
+      }
+      val spark = session()
+      try graft.SparkEntry.queries("x_dataset_card")(spark, dir)
+        .show(200, truncate = false)
+      finally spark.stop()
+      return
+    }
+
     val cfg = GraftConfig.fromYaml(
       Files.readString(Paths.get(configPath)))
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = session()
     // run() RETURNS the exit code rather than calling sys.exit inline —
     // an inline exit would bypass this finally and skip spark.stop()'s
     // graceful shutdown on a real cluster
