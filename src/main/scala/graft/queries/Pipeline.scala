@@ -3330,6 +3330,115 @@ object Pipeline {
         |  FROM xl_q JOIN xl_c USING (cell)),
         |xl_r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY dot_q DESC, nid) AS rn FROM xl_s)
-        |SELECT qid, qlang, nid, dot_q FROM xl_r WHERE rn = 1""".stripMargin))
+        |SELECT qid, qlang, nid, dot_q FROM xl_r WHERE rn = 1""".stripMargin)),
+
+    // ── Denoising-objective prep: T5-style span corruption — an md5 gate
+    //    on (doc_id, position) starts a 3-token masked span at ~5% of
+    //    positions (≈15% tokens masked), maximal masked RUNS collapse to
+    //    one sentinel (the T5 contract: one <M> per span, not per token),
+    //    and the corrupted text ships as a fingerprint + mask accounting.
+    //    Run-collapse needs NO window: a position's mask state is a pure
+    //    function of the three gates behind it, so "is this a run start"
+    //    is scalar arithmetic too — the whole corruption is one explode +
+    //    per-row expressions + one per-doc ordered re-agg ─────────────────
+    "x_span_corruption" -> Q(
+      (s, d) => {
+        // gate(j) = md5(doc_id:j) hex-prefix mod 20 == 0, for j >= 1
+        def gate(j: org.apache.spark.sql.Column) =
+          when(j < 1, lit(false)).otherwise(
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            j.cast("string"))), 1, 4), 16, 10).cast("int") % 20 === 0)
+        def masked(j: org.apache.spark.sql.Column) =
+          gate(j) || gate(j - 1) || gate(j - 2)
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
+            .as(Seq("p0", "tok")))
+          .withColumn("pos", col("p0") + 1)
+          .withColumn("m", masked(col("pos")))
+          .withColumn("start", col("m") && !masked(col("pos") - 1))
+        tok
+          .withColumn("out", when(!col("m"), col("tok"))
+            .when(col("start"), lit("<M>")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+            sum(when(col("start"), 1L).otherwise(0L)).as("n_spans"),
+            md5(array_join(transform(array_sort(collect_list(
+              when(col("out").isNotNull,
+                struct(col("pos"), col("out"))))),
+              x => x.getField("out")), " ")).as("fp"))
+      },
+      Some("""WITH sc_t AS (SELECT doc_id, i AS pos, l[i] AS tok
+        |  FROM (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
+        |        FROM documents),
+        |  LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+        |sc_g AS (SELECT doc_id, pos, tok,
+        |    (pos >= 1 AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(pos AS VARCHAR)), 1, 4) AS INTEGER) % 20 = 0)
+        |      AS g0,
+        |    (pos - 1 >= 1 AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(pos - 1 AS VARCHAR)), 1, 4) AS INTEGER) % 20 = 0)
+        |      AS g1,
+        |    (pos - 2 >= 1 AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(pos - 2 AS VARCHAR)), 1, 4) AS INTEGER) % 20 = 0)
+        |      AS g2,
+        |    (pos - 3 >= 1 AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(pos - 3 AS VARCHAR)), 1, 4) AS INTEGER) % 20 = 0)
+        |      AS g3
+        |  FROM sc_t),
+        |sc_m AS (SELECT doc_id, pos, tok, (g0 OR g1 OR g2) AS m,
+        |    ((g0 OR g1 OR g2) AND NOT (g1 OR g2 OR g3)) AS strt
+        |  FROM sc_g)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(sum(CASE WHEN strt THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |  md5(string_agg(CASE WHEN NOT m THEN tok
+        |    WHEN strt THEN '<M>' END, ' ' ORDER BY pos)
+        |    FILTER (WHERE NOT m OR strt)) AS fp
+        |FROM sc_m GROUP BY doc_id""".stripMargin)),
+
+    // ── Contrastive-retrieval training pairs: hard-negative mining — per
+    //    query vector, the top same-cell neighbor is the positive and
+    //    ranks 4–8 are the negatives (skip ranks 2–3: the standard
+    //    near-positive buffer that keeps likely unlabeled positives out of
+    //    the negative set). Candidates come from the query's sign-LSH
+    //    cell (the x_ann_ivf quantizer) — an equi-join, never a corpus
+    //    cross product; at 100 TB the mined (anchor, pos, neg) triplets
+    //    land directly in the contrastive dataloader ───────────────────────
+    "x_hard_negatives" -> Q(
+      (s, d) => {
+        val v = t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))
+          .withColumn("cell",
+            Similarity.signLshBucket(col("vq"), 0 until 4, 8))
+        val q = v.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vq").as("qv"), col("cell"))
+        val c = v.select(col("vec_id").as("nid"), col("vq").as("nv"),
+          col("cell"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("dot_q"), asc("nid"))
+        q.join(c, "cell").where(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            Similarity.dotQ(col("qv"), col("nv")).as("dot_q"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") === 1 || col("rank").between(4, 8))
+          .withColumn("role",
+            when(col("rank") === 1, "pos").otherwise("neg"))
+          .select("qid", "nid", "role", "rank", "dot_q")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |$lshCellCtesSql,
+        |hn_q AS (SELECT vec_id AS qid, vq AS qv, cell FROM bk
+        |  WHERE vec_id < 10),
+        |hn_s AS (SELECT qid, b.vec_id AS nid,
+        |    CAST(list_sum(list_transform(list_zip(qv, b.vq), x -> x[1]*x[2]))
+        |      AS BIGINT) AS dot_q
+        |  FROM hn_q q JOIN bk b ON b.cell = q.cell AND b.vec_id <> q.qid),
+        |hn_r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_q DESC, nid) AS rank FROM hn_s)
+        |SELECT qid, nid,
+        |  CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role,
+        |  CAST(rank AS BIGINT) AS rank, dot_q
+        |FROM hn_r WHERE rank = 1 OR rank BETWEEN 4 AND 8""".stripMargin))
   )
 }

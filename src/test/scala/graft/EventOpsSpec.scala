@@ -80,6 +80,50 @@ class EventOpsSpec extends AnyFunSuite {
       b.getAs[Long]("top_lang_bp") == 10000)
   }
 
+  test("span corruption: mask accounting is consistent and the rate " +
+    "lands near the 15% design point on the real corpus") {
+    val rows = SparkEntry.queries("x_span_corruption")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var tok = 0L; var masked = 0L
+    rows.foreach { r =>
+      val (n, m, sp) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_spans"))
+      assert(m <= n, "cannot mask more tokens than exist")
+      // a reported span is a MAXIMAL masked run: overlapping/adjacent
+      // 3-token gates merge into one longer span, so m can exceed 3·sp;
+      // only the lower bound is structural (every span masks ≥1 token)
+      assert(sp <= m, s"$sp spans cannot mask only $m tokens")
+      assert((m == 0) == (sp == 0))
+      tok += n; masked += m
+    }
+    val rateBp = masked * 10000 / tok
+    assert(rateBp >= 500 && rateBp <= 3000,
+      s"corpus mask rate ${rateBp}bp should straddle the ~15% design point")
+    // determinism: same gates, same fingerprints
+    val again = SparkEntry.queries("x_span_corruption")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("fp")).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getAs[String]("fp")))
+  }
+
+  test("hard negatives: one rank-1 positive per query, negatives only in " +
+    "the 4..8 band, and the positive dominates every negative") {
+    val rows = SparkEntry.queries("x_hard_negatives")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("role"),
+        r.getAs[Long]("rank"), r.getAs[Long]("dot_q")))
+    assert(rows.nonEmpty)
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val pos = grp.filter(_._2 == "pos")
+      assert(pos.length == 1 && pos.head._3 == 1L)
+      val negs = grp.filter(_._2 == "neg")
+      assert(negs.forall(n => n._3 >= 4 && n._3 <= 8),
+        "ranks 2-3 are the excluded near-positive buffer")
+      assert(negs.forall(_._4 <= pos.head._4))
+    }
+  }
+
   test("quality calibration: percentiles span 0..10000 within every " +
     "source and are monotone in the raw score") {
     val docs = (1 to 40).map { i =>
