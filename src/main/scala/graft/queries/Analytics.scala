@@ -21,6 +21,45 @@ object Analytics {
     */
   private val FunnelWindowUs = 3L * 86400000000L // 3-day conversion window
 
+  /** ONE oracle for the daily-spike alarm, shared by the batch readout
+    * (`x_event_spikes`) and its streaming twin (`stream_event_spikes` in
+    * queries.Pipeline) — the lockstep rule: at drain end the streamed
+    * per-(type, day) counters must equal the batch daily counts, so the
+    * two queries answer to the same SQL.
+    */
+  private[queries] val eventSpikesSql: String =
+    """WITH sp_d AS (SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) AS day_us,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |sp_r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY c, day_us) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM sp_d),
+      |sp_m AS (SELECT event_type,
+      |    max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
+      |  FROM sp_r GROUP BY 1)
+      |SELECT d.event_type, d.day_us, d.c, m.med,
+      |  d.c * 2 > m.med * 5 AS spike
+      |FROM sp_d d JOIN sp_m m ON d.event_type = m.event_type""".stripMargin
+
+  /** ONE oracle for last-touch attribution, shared by the batch window
+    * query (`x_attribution_last_touch`) and its stateful streaming twin
+    * (`stream_attribution` in queries.Pipeline) — the lockstep rule.
+    */
+  private[queries] val attributionSql: String =
+    """WITH at_e AS (SELECT user_id, ts, event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |at_w AS (SELECT *,
+      |    last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+      |  FROM at_e)
+      |SELECT coalesce(attr, '(none)') AS channel,
+      |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM at_w WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val funnelQ = Q(
     (s, d) => {
       val ev = t(s, d, "events")
@@ -693,17 +732,35 @@ object Analytics {
           .select(col("event_type"), col("day_us"), col("c"), col("med"),
             (col("c") * 2 > col("med") * 5).as("spike"))
       },
-      Some("""WITH sp_d AS (SELECT event_type,
-        |    epoch_us(date_trunc('day', ts)) AS day_us,
-        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-        |sp_r AS (SELECT *,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY c, day_us) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n FROM sp_d),
-        |sp_m AS (SELECT event_type,
-        |    max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
-        |  FROM sp_r GROUP BY 1)
-        |SELECT d.event_type, d.day_us, d.c, m.med,
-        |  d.c * 2 > m.med * 5 AS spike
-        |FROM sp_d d JOIN sp_m m ON d.event_type = m.event_type""".stripMargin)))
+      Some(eventSpikesSql)),
+
+    // ── Last-touch attribution: every purchase is credited to the nearest
+    //    STRICTLY-preceding marketing touch (view/click) by the same user;
+    //    purchases with no prior touch land in the '(none)' bucket. One
+    //    ignore-nulls running window over user-partitioned event order —
+    //    a single user_id exchange, no join, no as-of machinery; at 100 TB
+    //    the window state is one carried string per user partition. The
+    //    readout is the marketing-mix table: conversions + revenue cents
+    //    per credited channel ───────────────────────────────────────────────
+    "x_attribution_last_touch" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            when(col("event_type").isin("view", "click"), col("event_type"))
+              .as("touch"))
+          .withColumn("attr", last(col("touch"), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .groupBy(coalesce(col("attr"), lit("(none)")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("cents"))
+          .orderBy("channel")
+      },
+      Some(attributionSql)))
 
 }

@@ -1159,6 +1159,71 @@ object Pipeline {
         |  ORDER BY dist_q, ccell) AS rn FROM sc)
         |SELECT id, seed_cell, ccell AS new_cell, dist_q FROM r WHERE rn = 1""".stripMargin)),
 
+    // ── Cluster labeling: name each embedding cluster by its members' top-3
+    //    integer-tf-idf tokens (tf within the CELL, df across the corpus —
+    //    the "what is this cluster about" readout every curation UI shows
+    //    next to x_cluster_balance's share column). Reuses the one-step
+    //    k-means assignment (ONE definition with x_sample_diverse /
+    //    x_cluster_balance — the lockstep rule). Scale: the token explode
+    //    joins the per-doc assignment on doc_id (equi-join, both sides
+    //    corpus-partitioned), the tf aggregate collapses to cells ×
+    //    cell-vocabulary, and the rank window runs over that bounded
+    //    relation, never the corpus ────────────────────────────────────────
+    "x_cluster_label" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
+        val asg = Similarity.kmeansAssignStep(t(s, d, "embeddings"),
+          "vec_id", "embedding")
+          .select(col("id").as("doc_id"), col("new_cell").as("cell"))
+        val toks = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+          .where(length(col("tok")) >= 3)
+        val tf = toks.join(asg, "doc_id")
+          .groupBy("cell", "tok").agg(count(lit(1)).as("tf"))
+        val df_ = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(df_, "tok")
+          .withColumn("score", expr(s"(tf * CAST($nDocs AS BIGINT)) div df"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(desc("score"), asc("tok")))
+            .cast("long"))
+          .where(col("rk") <= 3)
+          .select(col("cell"), col("rk"), col("tok"), col("tf"), col("score"))
+          .orderBy("cell", "rk")
+      },
+      Some(s"""WITH v0 AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, vq, $planeSumsSql FROM v0),
+        |vc AS (SELECT vec_id, vq, ${bucketSql(0)} AS seed_cell FROM p),
+        |e AS (SELECT seed_cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM vc),
+        |c1 AS (SELECT seed_cell, CAST(z[2] AS BIGINT) AS pos,
+        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT seed_cell AS ccell, list(cx ORDER BY pos) AS cvq
+        |  FROM c1 GROUP BY seed_cell),
+        |sc AS (SELECT vc.vec_id AS id, cent.ccell,
+        |  CAST(list_sum(list_transform(list_zip(vc.vq, cent.cvq),
+        |    x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS dist_q
+        |  FROM vc, cent),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id
+        |  ORDER BY dist_q, ccell) AS rn FROM sc),
+        |cl_a AS (SELECT id AS doc_id, ccell AS cell FROM r WHERE rn = 1),
+        |cl_t AS (SELECT doc_id, tok FROM (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents) WHERE length(tok) >= 3),
+        |cl_tf AS (SELECT a.cell, t.tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM cl_t t JOIN cl_a a USING (doc_id) GROUP BY 1, 2),
+        |cl_df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM cl_t GROUP BY 1),
+        |cl_nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |cl_s AS (SELECT cell, f.tok AS tok, tf,
+        |    CAST(tf * (SELECT n_docs FROM cl_nd) // df AS BIGINT) AS score
+        |  FROM cl_tf f JOIN cl_df d ON f.tok = d.tok),
+        |cl_r AS (SELECT *, row_number() OVER (PARTITION BY cell
+        |    ORDER BY score DESC, tok) AS rk FROM cl_s)
+        |SELECT cell, CAST(rk AS BIGINT) AS rk, tok, tf, score
+        |FROM cl_r WHERE rk <= 3 ORDER BY cell, rk""".stripMargin)),
+
     // ── Curation: diversity-preserving subsample (the SemDeDup/cluster-
     //    balanced shape): ≤8 vectors per trained cell, picked by md5 rank
     //    — keeps every region of embedding space represented instead of
@@ -2456,6 +2521,54 @@ object Pipeline {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ── Structured Streaming: last-touch attribution as arriving state —
+    //    one carried touch per user, purchases credited the micro-batch
+    //    they land (flatMapGroupsWithState, append mode — each purchase
+    //    emits exactly once); the online half of x_attribution_last_touch
+    //    against the SAME oracle ───────────────────────────────────────────
+    "stream_attribution" -> Q(
+      (s, d) => graft.streaming.StreamingSync.statefulAttribution(s, d),
+      Some(Analytics.attributionSql)),
+
+    // ── Structured Streaming: per-(type, day) ingest counters vs the
+    //    static exact median daily volume — the online half of
+    //    x_event_spikes, against the SAME oracle (stream counters at drain
+    //    end = batch daily counts). The runaway-crawl-batch alarm fires
+    //    while the batch is still arriving ─────────────────────────────────
+    "stream_event_spikes" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamEventSpikes(s, d),
+      Some(Analytics.eventSpikesSql)),
+
+    // ── Structured Streaming: decontamination at ingest — train docs
+    //    screened against the static eval 8-gram fingerprint set the
+    //    micro-batch they land (stream-static broadcast join; the online
+    //    half of x_decontaminate, with the df-cap on the EVAL side since
+    //    an unbounded stream can't know train-side df). Output = per
+    //    contaminated doc, its distinct shared discriminative grams ────────
+    "stream_decontaminate" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamDecontaminate(s, d),
+      Some("""WITH sd_s AS (SELECT doc_id,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER)%100 AS h,
+        |    text FROM documents),
+        |sd_ev AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
+        |  FROM sd_s WHERE h >= 95),
+        |sd_tr AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
+        |  FROM sd_s WHERE h < 90),
+        |sd_evfp AS (SELECT doc_id, md5(sh) AS fp FROM (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(l)<8
+        |    THEN [array_to_string(l,' ')]
+        |    ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)]
+        |    END)) AS sh FROM sd_ev)),
+        |sd_cap AS (SELECT fp FROM sd_evfp GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) <= 128),
+        |sd_trfp AS (SELECT doc_id, md5(sh) AS fp FROM (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(l)<8
+        |    THEN [array_to_string(l,' ')]
+        |    ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)]
+        |    END)) AS sh FROM sd_tr))
+        |SELECT t.doc_id, count(*) AS n_hit_grams
+        |FROM sd_trfp t JOIN sd_cap USING (fp) GROUP BY 1""".stripMargin)),
+
     // ── Structured Streaming: the CDC fold as arriving state — one state
     //    row per key, trailing-delete keys dropped after compaction; the
     //    streaming twin of x_cdc_apply against the SAME oracle ─────────────
@@ -3439,6 +3552,155 @@ object Pipeline {
         |SELECT qid, nid,
         |  CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role,
         |  CAST(rank AS BIGINT) AS rank, dot_q
-        |FROM hn_r WHERE rank = 1 OR rank BETWEEN 4 AND 8""".stripMargin))
+        |FROM hn_r WHERE rank = 1 OR rank BETWEEN 4 AND 8""".stripMargin)),
+
+    // ── Preference-pair assembly: per source, the 3 highest-entropy docs
+    //    paired with the 3 lowest-entropy docs (chosen/rejected by matched
+    //    rank) — the reward-model training-pair shape, with the shared
+    //    integer entropy as the stand-in quality signal (ONE entropyPerDoc
+    //    definition, the lockstep rule). Degenerate pairs (tiny sources
+    //    where the ranks collide, or entropy ties) are excluded by the
+    //    strict margin. Scale: ONE corpus pass — both rank windows ride the
+    //    same source exchange, the ≤6 extreme rows per source collapse into
+    //    a source-grouped array (reusing that partitioning, no new
+    //    shuffle), and the rank-matched pairing is a per-row array
+    //    expression over those 6 rows — no self-join, so the entropy
+    //    subtree is never computed twice ───────────────────────────────────
+    "x_preference_pairs" -> Q(
+      (s, d) => {
+        val en = entropyPerDoc(s, d).select("doc_id", "source", "ent_bits")
+        val hi = Window.partitionBy(col("source"))
+          .orderBy(desc("ent_bits"), asc("doc_id"))
+        val lo = Window.partitionBy(col("source"))
+          .orderBy(asc("ent_bits"), asc("doc_id"))
+        // try_element_at: a source with < 3 docs has no row at pair_rank
+        // 2/3 — the lookup must yield NULL (dropped by the margin filter),
+        // not an ANSI INVALID_ARRAY_INDEX crash
+        def pick(rankField: String, pr: org.apache.spark.sql.Column) =
+          try_element_at(filter(col("xs"),
+            x => x.getField(rankField) === pr.cast("long")), lit(1))
+        en
+          .withColumn("rhi", row_number().over(hi).cast("long"))
+          .withColumn("rlo", row_number().over(lo).cast("long"))
+          .where(col("rhi") <= 3 || col("rlo") <= 3)
+          .groupBy("source")
+          .agg(collect_list(struct(col("rhi"), col("rlo"), col("doc_id"),
+            col("ent_bits"))).as("xs"))
+          .select(col("source"),
+            explode(transform(sequence(lit(1), lit(3)), pr => struct(
+              pr.cast("long").as("pair_rank"),
+              pick("rhi", pr).getField("doc_id").as("chosen_id"),
+              pick("rhi", pr).getField("ent_bits").as("chosen_bits"),
+              pick("rlo", pr).getField("doc_id").as("rejected_id"),
+              pick("rlo", pr).getField("ent_bits").as("rejected_bits"))))
+              .as("p"))
+          .where(col("p.chosen_bits") > col("p.rejected_bits"))
+          .select(col("source"), col("p.pair_rank").as("pair_rank"),
+            col("p.chosen_id").as("chosen_id"),
+            col("p.rejected_id").as("rejected_id"),
+            (col("p.chosen_bits") - col("p.rejected_bits")).as("margin_bits"))
+      },
+      Some(s"""WITH $entCtesSql,
+        |pp_r AS (SELECT doc_id, source, ent_bits,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ent_bits DESC, doc_id) AS BIGINT) AS rhi,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ent_bits ASC, doc_id) AS BIGINT) AS rlo
+        |  FROM en_d),
+        |pp_c AS (SELECT source, rhi AS pair_rank, doc_id AS chosen_id,
+        |    ent_bits AS chosen_bits FROM pp_r WHERE rhi <= 3),
+        |pp_j AS (SELECT source, rlo AS pair_rank, doc_id AS rejected_id,
+        |    ent_bits AS rejected_bits FROM pp_r WHERE rlo <= 3)
+        |SELECT c.source, c.pair_rank, c.chosen_id, j.rejected_id,
+        |  CAST(c.chosen_bits - j.rejected_bits AS BIGINT) AS margin_bits
+        |FROM pp_c c JOIN pp_j j
+        |  ON c.source = j.source AND c.pair_rank = j.pair_rank
+        |WHERE c.chosen_bits > j.rejected_bits""".stripMargin)),
+
+    // ── Temperature-weighted subsample materialization: keep
+    //    ceil(sqrt(n_source)) docs per source by stable id-hash rank — the
+    //    sqrt law is temperature τ=2 applied to VOLUME (a source 100× the
+    //    size contributes only 10× the docs), the materialized counterpart
+    //    of x_mix_epochs' epoch plan. IEEE sqrt is correctly rounded, so
+    //    both engines compute the identical cap. Scale: the count and rank
+    //    windows share one source exchange; output is sublinear in the
+    //    hot source's size by construction ─────────────────────────────────
+    "x_sample_weighted" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 5, 8), 16, 10)
+          .cast("long")
+        val bySrc = Window.partitionBy(col("source"))
+        val w = bySrc.orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("cap",
+            ceil(sqrt(count(lit(1)).over(bySrc).cast("double"))).cast("long"))
+          .withColumn("samp_rank", row_number().over(w).cast("long"))
+          .where(col("samp_rank") <= col("cap"))
+          .select("doc_id", "source", "samp_rank", "cap")
+      },
+      Some("""WITH sw_h AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8) AS BIGINT) AS h
+        |  FROM documents),
+        |sw_r AS (SELECT doc_id, source,
+        |    CAST(ceil(sqrt(CAST(count(*) OVER (PARTITION BY source) AS DOUBLE)))
+        |      AS BIGINT) AS cap,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS BIGINT) AS samp_rank
+        |  FROM sw_h)
+        |SELECT doc_id, source, samp_rank, cap
+        |FROM sw_r WHERE samp_rank <= cap""".stripMargin)),
+
+    // ── Shard-rebalance audit: what fraction of the corpus MOVES when the
+    //    shard count grows 8 → 10, under naive mod-N routing vs rendezvous
+    //    (highest-random-weight) hashing. HRW's argmax is a per-row
+    //    ARRAY expression — weigh the doc against all 10 shard ids, take
+    //    the struct max — so the whole audit is a narrow map + one 2-row
+    //    global aggregate: ZERO per-doc shuffle at any corpus size. The
+    //    expected readout (mod moves ~80%, HRW moves ~2/10) is the reason
+    //    incremental corpus re-releases route by HRW ───────────────────────
+    "x_shard_rebalance" -> Q(
+      (s, d) => {
+        def hrw(n: Int) = {
+          val best = array_max(transform(sequence(lit(0), lit(n - 1)),
+            sh => struct(
+              conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit(":"), sh.cast("string"))), 1, 12), 16, 10)
+                .cast("long").as("w"),
+              (-sh).as("ns"))))
+          -best.getField("ns")
+        }
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 8 =!= col("doc_id") % 10).as("mod_moved"),
+            (hrw(8) =!= hrw(10)).as("hrw_moved"))
+          .select(explode(array(
+            struct(lit("mod").as("scheme"),
+              when(col("mod_moved"), 1L).otherwise(0L).as("mv")),
+            struct(lit("hrw").as("scheme"),
+              when(col("hrw_moved"), 1L).otherwise(0L).as("mv"))))
+            .as("r"))
+          .select(col("r.scheme").as("scheme"), col("r.mv").as("mv"))
+          .groupBy("scheme")
+          .agg(count(lit(1)).as("n_docs"), sum(col("mv")).as("n_moved"))
+          .withColumn("moved_bp", expr("n_moved * 10000 div n_docs"))
+          .orderBy("scheme")
+      },
+      Some("""WITH sr_w AS (SELECT doc_id,
+        |    [{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |        || CAST(s AS VARCHAR)), 1, 12) AS BIGINT), 'ns': -s}
+        |      FOR s IN generate_series(0, 9)] AS ws
+        |  FROM documents),
+        |sr_m AS (SELECT doc_id,
+        |    (doc_id % 8 <> doc_id % 10) AS mod_moved,
+        |    (-(list_max(ws[1:8]))['ns'] <> -(list_max(ws))['ns']) AS hrw_moved
+        |  FROM sr_w),
+        |sr_u AS (SELECT 'mod' AS scheme,
+        |    CASE WHEN mod_moved THEN 1 ELSE 0 END AS mv FROM sr_m
+        |  UNION ALL SELECT 'hrw' AS scheme,
+        |    CASE WHEN hrw_moved THEN 1 ELSE 0 END AS mv FROM sr_m)
+        |SELECT scheme, count(*) AS n_docs, CAST(sum(mv) AS BIGINT) AS n_moved,
+        |  CAST((sum(mv) * 10000) // count(*) AS BIGINT) AS moved_bp
+        |FROM sr_u GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -172,6 +172,75 @@ object StreamingSync {
     runToChangelog(agg, base, "graft_stream_quality_gate", Seq("source"))
   }
 
+  /** Streaming ingest-spike alarm: per-(event_type, day) counters
+    * maintained as events land, compared against the STATIC exact
+    * per-type median daily volume — the online half of `x_event_spikes`
+    * (the batch report runs after the day closes; this flags a runaway
+    * crawl batch while it is still arriving). State is one counter per
+    * (type, day) — bounded by types × days, never event-count-sized. The
+    * median baseline comes from the reference history table (at drain end
+    * the streamed counters equal the batch daily counts, so the output
+    * answers to the SAME oracle as x_event_spikes — the lockstep rule);
+    * a continuous deployment would re-join the baseline inside each
+    * micro-batch via foreachBatch instead of at compaction.
+    */
+  def streamEventSpikes(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "spikes")
+    def dailyOf(df: DataFrame): DataFrame = df
+      .select(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .groupBy("event_type", "day_us").agg(count(lit(1)).as("c"))
+    val counts = runToChangelog(dailyOf(eventsStream(ss, sfDir, base)), base,
+      "graft_stream_event_spikes", Seq("event_type", "day_us"))
+    val byType = Window.partitionBy(col("event_type"))
+    val med = dailyOf(graft.io.Tables.table(ss, sfDir, "events"))
+      .withColumn("rn", row_number().over(byType.orderBy(col("c"), col("day_us"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("c"))).as("med"))
+    counts.join(med, "event_type")
+      .select(col("event_type"), col("day_us"), col("c"), col("med"),
+        (col("c") * 2 > col("med") * 5).as("spike"))
+  }
+
+  /** Streaming decontamination: training documents are screened against a
+    * STATIC eval-benchmark 8-gram fingerprint set as they land — the online
+    * half of `Contamination.ngramOverlapPairs` (the batch check runs after
+    * the crawl; this flags a contaminated doc the micro-batch it arrives,
+    * before it ever reaches a training shard). The eval set is fixed by
+    * definition, so its discriminative fingerprints (df ≤ 128 AMONG EVAL
+    * DOCS — the batch twin caps on train-side df, which an unbounded stream
+    * cannot know) build once in batch and broadcast into every micro-batch
+    * as a stream-static inner join. Output: (doc_id, n_hit_grams) for every
+    * train doc sharing ≥1 discriminative eval 8-gram; state is one counter
+    * per CONTAMINATED doc — a vanishing fraction of the corpus — and the
+    * update-mode changelog compacts last-writer-wins per doc.
+    */
+  def streamDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "decon")
+    def slice(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("int") % 100
+    def fps(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), 8)))
+          .as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("fp"))
+    val evalFps = fps(graft.io.Tables.table(ss, sfDir, "documents")
+      .where(slice(col("doc_id")) >= 95))
+    val probes = evalFps.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .where(col("__df") <= 128).select("fp")
+    val agg = fps(tableStream(ss, sfDir, "documents", base)
+      .where(slice(col("doc_id")) < 90))
+      .join(broadcast(probes), "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+    runToChangelog(agg, base, "graft_stream_decontaminate", Seq("doc_id"))
+  }
+
   /** Empty result with the given schema — the no-batches case (empty
     * source) must return cleanly, not throw on a missing sink dir.
     */
@@ -386,6 +455,62 @@ object StreamingSync {
 
   case class UserState(user_id: Long, n_events: Long, sum_cents: Long,
                        last_us: Long)
+
+  case class TouchState(user_id: Long, touch: String, touch_us: Long)
+
+  case class AttrRow(event_id: Long, channel: String, cents: Option[Long])
+
+  /** Streaming last-touch attribution: per-user state carries the most
+    * recent marketing touch (view/click); each purchase is credited the
+    * micro-batch it arrives — the online half of
+    * `x_attribution_last_touch`, against the SAME oracle. Within a batch
+    * the per-user group is sorted by (ts, event_id) before the fold, so
+    * intra-batch order is exact; across batches the carried touch state
+    * preserves order as long as ingest is event-time ordered per user
+    * (the file-source batch order here; a deployment with late
+    * cross-batch touches accepts the usual streaming approximation).
+    * State is ONE touch per user; each purchase emits exactly once
+    * (append mode), keyed by its event_id in the changelog. NULL
+    * handling matches the batch oracle: null user_id/ts rows are
+    * excluded; a null purchase value stays NULL into the final sum.
+    */
+  def statefulAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val base = freshBase(ss, "attr")
+    val rows = eventsStream(ss, sfDir, base)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, String, Option[Long])]
+    val attributed = rows.groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, AttrRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String, Option[Long])],
+         state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(
+            TouchState(uid, null, Long.MinValue))
+          val out = Vector.newBuilder[AttrRow]
+          it.toVector.sortBy(e => (e._2, e._3)).foreach {
+            case (_, ts, eid, tpe, cents) =>
+              if (tpe == "purchase")
+                out += AttrRow(eid, Option(st.touch).getOrElse("(none)"), cents)
+              if (tpe == "view" || tpe == "click")
+                st = TouchState(uid, tpe, ts)
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+    runToChangelog(attributed, base, "graft_stream_attribution",
+      Seq("event_id"), outputMode = "append")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .orderBy("channel")
+  }
 
   case class CdcState(user_id: Long, last_op: String, cents: Option[Long],
                       updated_us: Long, n_ops: Long, last_eid: Long)

@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("stream_window_agg", "stream_user_rollup", "stream_dedup",
       "stream_range_join", "stream_enrich", "stream_sessionize",
       "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
-      "stream_corpus_hist", "stream_quality_gate",
+      "stream_corpus_hist", "stream_quality_gate", "stream_decontaminate",
+      "stream_event_spikes", "stream_attribution",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
@@ -39,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_ann_kmeans_assign" -> 16L, // 16 centroids
     "x_cluster_balance" -> 16L,   // same assign step, 16 centroids
     "x_sample_diverse" -> 16L,    // same assign step, 16 centroids
+    "x_cluster_label" -> 16L,     // same assign step, 16 centroids
     "x_ann_kmeans" -> 16L,
     "x_ann_ivf" -> 16L,
     "x_ann_ivf_multiprobe" -> 16L,
@@ -184,6 +186,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val budget = Map(
       "x_dedup_exact" -> 1, "w1_rownum_dedup" -> 1, "x_cap_per_source" -> 1,
       "x_sample_stratified" -> 1, "x_top_tokens" -> 1,
+      // weighted sample: the count and rank windows share ONE source
+      // exchange; rebalance: HRW argmax is per-row, so only the 2-row
+      // scheme agg + its ORDER BY shuffle; attribution: user_id window +
+      // channel agg + ORDER BY; preference pairs: tok agg + doc agg +
+      // source window (the source groupBy and pairing reuse the window's
+      // partitioning — a 4th exchange means the single-pass shape broke)
+      "x_sample_weighted" -> 1, "x_shard_rebalance" -> 2,
+      "x_attribution_last_touch" -> 3, "x_preference_pairs" -> 3,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,

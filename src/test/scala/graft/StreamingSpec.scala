@@ -113,6 +113,119 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((3L, 2L)), "b" -> ((1L, 0L))), s"got $got")
   }
 
+  test("stream attribution: the carried touch state credits a purchase " +
+    "in a LATER batch; an untouched user lands in (none)") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("attrsf")
+    val dir = new java.io.File(s"$sf/events.parquet")
+    assert(dir.mkdirs())
+    def ev(rows: Seq[(Long, Long, String, String, Double)]) = rows
+      .map { case (eid, uid, tpe, ts, v) =>
+        (eid, java.sql.Timestamp.valueOf(ts), uid, tpe, v, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val now = System.currentTimeMillis()
+    // batch 1: user 1 clicks then purchases (intra-batch attribution needs
+    // the (ts, event_id) sort — the click row is staged AFTER the purchase
+    // row in file order); user 2 purchases untouched
+    stageBatchFile(sf, dir, ev(Seq(
+      (3L, 1L, "purchase", "2000-01-01 10:05:00", 1.0),
+      (1L, 1L, "click", "2000-01-01 10:00:00", 0.0),
+      (2L, 2L, "purchase", "2000-01-01 10:01:00", 2.0))),
+      "b1", now - 240000)
+    // batch 2: user 1 purchases again with NO new touch — the credit must
+    // come from batch 1's carried click state; then a view flips the state
+    // and a third purchase credits view
+    stageBatchFile(sf, dir, ev(Seq(
+      (4L, 1L, "purchase", "2000-01-01 11:00:00", 4.0),
+      (5L, 1L, "view", "2000-01-01 11:30:00", 0.0),
+      (6L, 1L, "purchase", "2000-01-01 11:31:00", 8.0))),
+      "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out =
+      try graft.streaming.StreamingSync.statefulAttribution(spark, sf).collect()
+      finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "click" -> ((2L, 500L)),   // eids 3 (100¢) and 4 (400¢)
+      "view" -> ((1L, 800L)),    // eid 6
+      "(none)" -> ((1L, 200L))), // eid 2
+      s"got $got")
+  }
+
+  test("stream event spikes: multi-batch drain keeps per-(type, day) " +
+    "counters cumulative; flag compares against the static median") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("spikesf")
+    val dir = new java.io.File(s"$sf/events.parquet")
+    assert(dir.mkdirs())
+    def ev(rows: Seq[(Long, String)]) = rows.zipWithIndex
+      .map { case ((dayMs, tpe), i) =>
+        (i.toLong, new java.sql.Timestamp(dayMs), 1L, tpe, 0.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d1 = java.sql.Timestamp.valueOf("2000-01-01 10:00:00").getTime
+    val d2 = java.sql.Timestamp.valueOf("2000-01-02 10:00:00").getTime
+    val now = System.currentTimeMillis()
+    // day 1 gets 1 click in batch 1 and 5 more in batch 2 (counter must go
+    // 1 → 6 via update-mode re-emission); day 2 gets 2 — the per-type
+    // median daily count is then 2, so day 1 flags (6·2 = 12 > 2·5 = 10)
+    // and day 2 does not (the 2.5× test is strict: a day at exactly
+    // 2.5× median, e.g. 5 here, would NOT flag)
+    stageBatchFile(sf, dir, ev(Seq((d1, "click"), (d2, "click"), (d2, "click"))),
+      "b1", now - 240000)
+    stageBatchFile(sf, dir, ev(Seq((d1, "click"), (d1, "click"), (d1, "click"),
+      (d1, "click"), (d1, "click"))), "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out =
+      try graft.streaming.StreamingSync.streamEventSpikes(spark, sf).collect()
+      finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = out.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val day1Us = d1 / 1000 * 1000 / 86400000L * 86400000000L
+    val day2Us = day1Us + 86400000000L
+    assert(got == Map(
+      ("click", day1Us) -> ((6L, 2L, true)),
+      ("click", day2Us) -> ((2L, 2L, false))), s"got $got")
+  }
+
+  test("stream decontaminate: multi-batch drain flags train docs against " +
+    "the static eval 8-gram set; null text never crashes") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("deconsf")
+    val dir = new java.io.File(s"$sf/documents.parquet")
+    assert(dir.mkdirs())
+    def docs(rows: Seq[(Long, String)]) = rows
+      .map { case (id, text) => (id, text, "en", "src", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc_id hash slices (md5 hex prefix % 100): 8 → eval (h >= 95);
+    // 1, 2, 3, 4 → train (h < 90)
+    val nine = (1 to 9).map(i => s"a$i").mkString(" ")   // eval: 2 8-grams
+    val eight = (1 to 8).map(i => s"a$i").mkString(" ")  // matches 1 of them
+    val now = System.currentTimeMillis()
+    // batch 1 also carries the eval doc — the static side reads the whole
+    // staged table; the h-gate keeps it out of the streamed train slice
+    stageBatchFile(sf, dir,
+      docs(Seq((8L, nine), (1L, eight), (2L, "zz yy xx"))), "b1", now - 240000)
+    stageBatchFile(sf, dir,
+      docs(Seq((3L, nine), (4L, null))), "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out =
+      try graft.streaming.StreamingSync.streamDecontaminate(spark, sf).collect()
+      finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L), s"got $got")
+  }
+
   test("session_window merges at the EXACT gap boundary (oracle contract)") {
     import spark.implicits._
     // Both session oracles (stream_sessionize, stream_sessionize_wm) break
