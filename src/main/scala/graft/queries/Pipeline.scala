@@ -73,6 +73,35 @@ object Pipeline {
       "sqrt(CAST(list_sum([y*y FOR y IN b.vq]) AS DOUBLE)))"
   private val toksSql = "list_distinct(string_split_regex(lower(text),'\\s+'))"
 
+  /** ONE DuckDB CASE expression per lang-id classifier (word-marker over
+    * `text`; char-n-gram over the padded alias `t`), shared by the per-doc
+    * readouts (`x_lang_id`, `x_lang_id_ngram`) and the confusion-matrix
+    * rollup (`x_langid_confusion`) — the lockstep rule: a marker-list edit
+    * in TextAnalysis flows into all three oracles from here. */
+  private val langIdCaseSql: String = {
+    def sc(ws: Seq[String]) =
+      s"len(list_intersect($toksSql, [${ws.map(w => s"'$w'").mkString(",")}]))"
+    val en = sc(TextAnalysis.MARKERS("en")); val de = sc(TextAnalysis.MARKERS("de"))
+    val es = sc(TextAnalysis.MARKERS("es")); val fr = sc(TextAnalysis.MARKERS("fr"))
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |     WHEN $de >= $es AND $de >= $fr THEN 'de'
+       |     WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
+  }
+
+  private val langIdNgramCaseSql: String = {
+    def sc(grams: Seq[String]) = grams.map { g =>
+      val e = g.replace("'", "''")
+      s"((len(t) - len(replace(t, '$e', ''))) // ${g.length})"
+    }.mkString(" + ")
+    val en = sc(TextAnalysis.NGRAM_MARKERS("en"))
+    val de = sc(TextAnalysis.NGRAM_MARKERS("de"))
+    val es = sc(TextAnalysis.NGRAM_MARKERS("es"))
+    val fr = sc(TextAnalysis.NGRAM_MARKERS("fr"))
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |     WHEN $de >= $es AND $de >= $fr THEN 'de'
+       |     WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
+  }
+
   /** ONE CTE chain for the rarity scoring (tok → docfreq → per-doc bits²
     * sum), shared by the `x_rarity_score` and `x_curriculum_order`
     * oracles — a per-query copy would let a future scoring change
@@ -1224,6 +1253,76 @@ object Pipeline {
         |SELECT cell, CAST(rk AS BIGINT) AS rk, tok, tf, score
         |FROM cl_r WHERE rk <= 3 ORDER BY cell, rk""".stripMargin)),
 
+    // ── Cluster prototypes: per cell, the member vector CLOSEST to the
+    //    centroid (the medoid-style exemplar a curation UI renders next to
+    //    x_cluster_label's terms — "show me a representative doc"). Reuses
+    //    the shared one-step assignment, whose dist_q column is already the
+    //    member→centroid distance; one rank window + member count riding
+    //    the same cell exchange ────────────────────────────────────────────
+    "x_cluster_medoid" -> Q(
+      (s, d) => {
+        val byCell = Window.partitionBy(col("new_cell"))
+        val asg = Similarity.kmeansAssignStep(t(s, d, "embeddings"),
+          "vec_id", "embedding")
+        asg.withColumn("rn",
+            row_number().over(byCell.orderBy(asc("dist_q"), asc("id"))))
+          .withColumn("n_members", count(lit(1)).over(byCell).cast("long"))
+          .where(col("rn") === 1)
+          .select(col("new_cell").as("cell"), col("id").as("medoid_id"),
+            col("dist_q"), col("n_members"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH v0 AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, vq, $planeSumsSql FROM v0),
+        |vc AS (SELECT vec_id, vq, ${bucketSql(0)} AS seed_cell FROM p),
+        |e AS (SELECT seed_cell, unnest(list_zip(vq, generate_series(1, len(vq)))) AS z FROM vc),
+        |c1 AS (SELECT seed_cell, CAST(z[2] AS BIGINT) AS pos,
+        |  CAST(floor(CAST(sum(z[1]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT seed_cell AS ccell, list(cx ORDER BY pos) AS cvq
+        |  FROM c1 GROUP BY seed_cell),
+        |sc AS (SELECT vc.vec_id AS id, cent.ccell,
+        |  CAST(list_sum(list_transform(list_zip(vc.vq, cent.cvq),
+        |    x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS dist_q
+        |  FROM vc, cent),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id
+        |  ORDER BY dist_q, ccell) AS rn FROM sc),
+        |md_a AS (SELECT id, ccell AS cell, dist_q FROM r WHERE rn = 1),
+        |md_r AS (SELECT *, row_number() OVER (PARTITION BY cell
+        |    ORDER BY dist_q, id) AS mrn,
+        |    count(*) OVER (PARTITION BY cell) AS n_members FROM md_a)
+        |SELECT cell, id AS medoid_id, dist_q,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM md_r WHERE mrn = 1 ORDER BY cell""".stripMargin)),
+
+    // ── Filtered vector search: top-3 neighbors restricted to a metadata
+    //    predicate (lang = 'en') — the "vector search with filters" shape
+    //    every retrieval deployment needs. The predicate prunes the CORPUS
+    //    side BEFORE any distance math (pre-filtering: full recall over
+    //    the filtered set and fewer scored candidates), instead of
+    //    post-filtering a top-k that then under-fills k — at 100 TB the
+    //    lang column rides the same scan as the vectors, so the filter is
+    //    free; an IVF upgrade composes by bucketing the filtered side ──────
+    "x_ann_filtered" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val en = e.join(t(s, d, "documents").where(col("lang") === "en")
+            .select(col("doc_id")), col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        Similarity.bruteForceTopK(e.where(col("vec_id") < 10), en,
+          "vec_id", "embedding", 3)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |fv AS (SELECT v.vec_id, v.vq FROM v
+        |  JOIN documents d ON d.doc_id = v.vec_id AND d.lang = 'en'),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $dotSql AS dot_q,
+        |    $cosSql AS cosine
+        |  FROM v a JOIN fv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |  ORDER BY dot_q DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, dot_q, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // ── Curation: diversity-preserving subsample (the SemDeDup/cluster-
     //    balanced shape): ≤8 vectors per trained cell, picked by md5 rank
     //    — keeps every region of embedding space represented instead of
@@ -1405,17 +1504,8 @@ object Pipeline {
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("predicted")),
-      Some {
-        def sc(ws: Seq[String]) =
-          s"len(list_intersect($toksSql, [${ws.map(w => s"'$w'").mkString(",")}]))"
-        val en = sc(TextAnalysis.MARKERS("en")); val de = sc(TextAnalysis.MARKERS("de"))
-        val es = sc(TextAnalysis.MARKERS("es")); val fr = sc(TextAnalysis.MARKERS("fr"))
-        s"""SELECT doc_id, lang,
-          |CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
-          |     WHEN $de >= $es AND $de >= $fr THEN 'de'
-          |     WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS predicted
-          |FROM documents""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, lang, $langIdCaseSql AS predicted
+        |FROM documents""".stripMargin)),
 
     // ── Text: language ID via character-n-gram profiles — no tokenizer,
     //    pure scalar replace-length counting (works on scripts without
@@ -1424,23 +1514,32 @@ object Pipeline {
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langIdNgram(col("text")).as("predicted")),
-      Some {
-        def sc(grams: Seq[String]) = grams.map { g =>
-          val e = g.replace("'", "''")
-          s"((len(t) - len(replace(t, '$e', ''))) // ${g.length})"
-        }.mkString(" + ")
-        val en = sc(TextAnalysis.NGRAM_MARKERS("en"))
-        val de = sc(TextAnalysis.NGRAM_MARKERS("de"))
-        val es = sc(TextAnalysis.NGRAM_MARKERS("es"))
-        val fr = sc(TextAnalysis.NGRAM_MARKERS("fr"))
-        s"""WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t
-          |  FROM documents)
-          |SELECT doc_id, lang,
-          |CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
-          |     WHEN $de >= $es AND $de >= $fr THEN 'de'
-          |     WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS predicted
-          |FROM p""".stripMargin
-      }),
+      Some(s"""WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t
+        |  FROM documents)
+        |SELECT doc_id, lang, $langIdNgramCaseSql AS predicted
+        |FROM p""".stripMargin)),
+
+    // ── Text: classifier agreement audit — the (label, marker-prediction,
+    //    n-gram-prediction) confusion matrix over the corpus, built from
+    //    the SAME two shared CASE oracles as x_lang_id / x_lang_id_ngram
+    //    (the lockstep rule — a marker-list edit can never silently split
+    //    the per-doc readouts from this rollup). The disagreement cells
+    //    are the docs a curation pipeline routes to the expensive
+    //    classifier; one grouped aggregate over per-row expressions,
+    //    output bounded by langs³ ──────────────────────────────────────────
+    "x_langid_confusion" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_marker"),
+          TextAnalysis.langIdNgram(col("text")).as("pred_ngram"))
+        .groupBy("lang", "pred_marker", "pred_ngram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_marker", "pred_ngram"),
+      Some(s"""WITH p AS (SELECT lang, text, ' ' || lower(text) || ' ' AS t
+        |  FROM documents)
+        |SELECT lang, $langIdCaseSql AS pred_marker,
+        |  $langIdNgramCaseSql AS pred_ngram, count(*) AS n
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     // ── Text: quality facets (exact counts, single-division ratios) ────────
     "x_quality" -> Q(

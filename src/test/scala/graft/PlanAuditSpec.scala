@@ -41,6 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_cluster_balance" -> 16L,   // same assign step, 16 centroids
     "x_sample_diverse" -> 16L,    // same assign step, 16 centroids
     "x_cluster_label" -> 16L,     // same assign step, 16 centroids
+    "x_cluster_medoid" -> 16L,    // same assign step, 16 centroids
+    "x_ann_filtered" -> 16L,      // 10 probe vectors vs the filtered corpus
     "x_ann_kmeans" -> 16L,
     "x_ann_ivf" -> 16L,
     "x_ann_ivf_multiprobe" -> 16L,
@@ -194,6 +196,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // partitioning — a 4th exchange means the single-pass shape broke)
       "x_sample_weighted" -> 1, "x_shard_rebalance" -> 2,
       "x_attribution_last_touch" -> 3, "x_preference_pairs" -> 3,
+      // confusion: per-row predictions + ONE (lang, pred, pred) agg + ORDER BY
+      "x_langid_confusion" -> 2,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
