@@ -26,6 +26,13 @@ object LocalSession {
       // (the reference is deliberately flavor-lenient — clickhouse_backend
       // .py:134-138 parseDateTimeBestEffortOrNull; duckdb_backend.py:107).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // gzip interchange chunks compress at BEST_SPEED: the reference's
+      // gzip role is transport framing, not archival (pgwarehouse.py:259
+      // just wants warehouse loaders to accept the chunk), and deflate
+      // level 1 emits the same standard gzip stream every reader accepts
+      // at a fraction of the CPU — the difference is the bulk of the
+      // extract path's runtime on wide tables
+      .config("spark.hadoop.zlib.compress.level", "BEST_SPEED")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark

@@ -2169,6 +2169,40 @@ object Pipeline {
         |  epochs_e4, epochs_e4 > 40000 AS over_cap
         |FROM me_e ORDER BY source""".stripMargin)),
 
+    // ── Safety: wordlist content filter — occurrence count of blocklisted
+    //    tokens per doc and the keep verdict (bad-token share < 5%), the
+    //    standard unsafe-content screen run before any model sees a crawl.
+    //    The list here is a corpus-derivable stand-in (a real deployment
+    //    swaps in its safety list — the shape is identical); occurrences,
+    //    not distinct hits, so a doc saturated with one bad term still
+    //    trips the ratio. Pure per-row array expressions, zero shuffle ──────
+    "x_filter_blocklist" -> Q(
+      (s, d) => {
+        val bad = Seq("slow", "dup", "stale")
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(filter(col("toks"), x => x.isin(bad: _*)))
+              .cast("long").as("n_bad"))
+          .withColumn("bad_bp",
+            when(col("n_tokens") > 0,
+              expr("n_bad * 10000 div n_tokens")).otherwise(0L))
+          .withColumn("keep", col("bad_bp") < 500)
+      },
+      Some("""WITH bl AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS l FROM documents),
+        |bl_c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(l, x -> x IN ('slow', 'dup', 'stale')))
+        |      AS BIGINT) AS n_bad
+        |  FROM bl)
+        |SELECT doc_id, n_tokens, n_bad,
+        |  CASE WHEN n_tokens > 0 THEN (n_bad * 10000) // n_tokens
+        |       ELSE 0 END AS bad_bp,
+        |  (CASE WHEN n_tokens > 0 THEN (n_bad * 10000) // n_tokens
+        |        ELSE 0 END) < 500 AS keep
+        |FROM bl_c""".stripMargin)),
+
     // ── Safety: PII redaction (emails + long digit runs), reported as the
     //    redacted-text fingerprint + counts so outputs stay compact ─────────
     "x_redact_pii" -> Q(

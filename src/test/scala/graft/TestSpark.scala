@@ -16,6 +16,8 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // mirror LocalSession: naive parquet timestamps read as TimestampType
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // mirror LocalSession: interchange gzip at BEST_SPEED
+      .config("spark.hadoop.zlib.compress.level", "BEST_SPEED")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
