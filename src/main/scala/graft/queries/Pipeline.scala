@@ -2043,6 +2043,53 @@ object Pipeline {
         |    CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))""".stripMargin)),
 
+    // ── Packing: the per-bin ATTENTION-BOUNDARY layout trainers actually
+    //    consume — for every (lang, shard, bin) of the greedy pack, the
+    //    in-order list of intra-bin start offsets where a new document
+    //    begins (straddling docs clip to offset 0), fingerprinted
+    //    order-exact. Cross-document attention masking is built from
+    //    exactly these boundaries; without them a packed bin silently
+    //    lets doc N attend into doc N-1. Same single window as
+    //    x_pack_greedy plus one per-bin re-agg riding its partitioning ─────
+    "x_pack_masked" -> Q(
+      (s, d) => {
+        val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") % Pipeline.PackShards
+        val w = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard", shard)
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("bin", expr("(cum - 1) div 4096"))
+          .withColumn("off", greatest(
+            col("cum") - col("n_tokens") - col("bin") * 4096L, lit(0L)))
+          .groupBy("lang", "shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("off")))),
+              x => x.getField("off").cast("string")), ",")).as("bounds_fp"))
+      },
+      Some(s"""WITH pm_c AS (SELECT doc_id, lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+        |      % ${Pipeline.PackShards} AS shard,
+        |    CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents)),
+        |pm_o AS (SELECT doc_id, lang, shard, n_tokens,
+        |    CAST((cum - 1) // 4096 AS BIGINT) AS bin,
+        |    greatest(cum - n_tokens - ((cum - 1) // 4096) * 4096, 0) AS off
+        |  FROM pm_c)
+        |SELECT lang, shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  md5(string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)) AS bounds_fp
+        |FROM pm_o GROUP BY 1, 2, 3""".stripMargin)),
+
     // ── Full curation pipeline composed end-to-end: quality gate →
     //    exact-dedup survivors → train-split gate → per-shard token-budget
     //    packing. One declarative plan: Catalyst fuses the narrow stages

@@ -199,6 +199,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_attribution_last_touch" -> 3, "x_preference_pairs" -> 3,
       // confusion: per-row predictions + ONE (lang, pred, pred) agg + ORDER BY
       "x_langid_confusion" -> 2,
+      // masked packing: the bin re-agg MUST ride the pack window's
+      // (lang, shard) exchange — a 2nd exchange means that reuse broke
+      "x_pack_masked" -> 1,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
