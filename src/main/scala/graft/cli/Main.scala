@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   *   graft load    <table|all> ...   CSV chunks → warehouse table
   *   graft sync    <table|all> ...   incremental sync per strategy
   *   graft reload  <table|all> ...   drop + full reload
+  *   graft watch   <table|all> ...   drain newly landed source files
+  *                                   (checkpointed streaming append)
   *
   * `all` iterates the configured tables with per-table error isolation
   * (pgwarehouse.py:97-110). Run via `sbt "runMain graft.cli.Main sync all
@@ -23,7 +25,7 @@ object Main {
 
   private val commands =
     Set("init", "list", "listwh", "extract", "load", "sync", "reload", "ddl",
-      "profile", "compact", "card")
+      "profile", "compact", "card", "watch")
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -44,7 +46,7 @@ object Main {
     val command = positional.headOption.getOrElse("")
     if (!commands(command)) {
       System.err.println(
-        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact|card> " +
+        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact|card|watch> " +
           "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake]")
       sys.exit(2)
     }
@@ -127,6 +129,9 @@ object Main {
       case "compact" => each { t =>
         val (before, after, rows) = wh.compact(t)
         println(s"$t: compacted $before files -> $after ($rows rows)")
+      }
+      case "watch" => each { t =>
+        println(s"$t: watched ${wh.watch(t)} new rows")
       }
       case other => throw new IllegalArgumentException(other)
     }

@@ -243,6 +243,27 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     (before.length.toLong, dataFiles.length.toLong, rows)
   }
 
+  /** `watch`: the reference's cron-poll incremental loop (README.md:217-225
+    * tells users to re-run `sync` on a schedule) as ONE checkpointed
+    * streaming query — newly landed source files since the last invocation
+    * append to the warehouse table exactly once, with the stream
+    * checkpoint replacing the reference's high-watermark bookkeeping (file
+    * progress survives restarts; a re-run after no new files syncs 0
+    * rows). AvailableNow drains-and-stops, so the command composes with
+    * any scheduler; a continuous deployment strips the trigger. Covers the
+    * append-only file-landing shape — keyed upsert streams go through
+    * `sync`'s merge strategies.
+    */
+  def watch(name: String): Long = {
+    val src = s"${cfg.sourceDir}/$name.parquet"
+    val p = new Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+      s"watch needs a directory source (a landing zone): $src")
+    graft.streaming.StreamingSync.incrementalFileSync(spark, src,
+      warehousePath(name), s"${cfg.dataDir}/${name}_watch_ckpt")
+  }
+
   private def writeAtomic(df: DataFrame, path: String): Unit = {
     val tmp = path + ".__tmp"
     df.write.mode("overwrite").parquet(tmp)

@@ -316,6 +316,29 @@ class SyncE2ESpec extends AnyFunSuite {
     assert(back.count() == 200, "values survive the rewrite")
   }
 
+  test("t15 watch drains only files landed since the checkpoint; " +
+    "a no-news re-run syncs 0 rows") {
+    // a directory-source landing zone (watch rejects single-file tables)
+    val landing = new java.io.File(s"$sourceDir/feed.parquet")
+    assert(landing.mkdirs())
+    def land(name: String, df: DataFrame): Unit = {
+      val stage = TestSpark.tmpDir(s"watchstage_$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, s"$name.parquet").toPath)
+    }
+    val w = wh()
+    land("f1", users(4))
+    assert(w.watch("feed") == 4L, "first drain syncs the landed file")
+    assert(w.watch("feed") == 0L, "no new files → 0 rows, no re-sync")
+    land("f2", users(3, from = 100))
+    assert(w.watch("feed") == 3L, "second drain syncs ONLY the new file")
+    val total = spark.read.parquet(s"$warehouseDir/feed.parquet").count()
+    assert(total == 7L, s"warehouse holds the union, got $total")
+  }
+
   test("all loop isolates a failing table and reports it") {
     setupSources()
     val broken = cfg().copy(tables = scala.collection.immutable.ListMap(
