@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductLongFn)
     ext.injectFunction(GraftExtensions.squaredDistanceLongFn)
+    ext.injectFunction(GraftExtensions.deflateLengthFn)
     ext.injectOptimizerRule(_ => VectorLoopRewrite)
   }
 }
@@ -57,6 +58,19 @@ object GraftExtensions {
     classOf[SquaredDistanceLong],
     (a, b) => SquaredDistanceLong(a, b,
       org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
+
+  /** `deflate_length(string) -> bigint` — zlib-deflated byte count, the
+    * compressibility-filter primitive (graft.functions.DeflateLength). */
+  val deflateLengthFn
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("deflate_length"),
+      new ExpressionInfo(classOf[graft.functions.DeflateLength].getName,
+        "deflate_length"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"deflate_length expects exactly 1 argument, got ${children.length}")
+        graft.functions.DeflateLength(children.head)
+      })
 
   /** Conf key gating [[VectorLoopRewrite]] (default on). */
   val RewriteConfKey = "spark.graft.rewriteVectorLoop"

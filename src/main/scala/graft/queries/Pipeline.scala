@@ -2216,6 +2216,27 @@ object Pipeline {
         |  epochs_e4, epochs_e4 > 40000 AS over_cap
         |FROM me_e ORDER BY source""".stripMargin)),
 
+    // ── Quality: compression-ratio screen — zlib-deflated bytes over raw
+    //    UTF-8 bytes per doc (×10⁴), via the native DeflateLength codegen
+    //    expression. Templated/repetitive text deflates far below natural
+    //    prose (corpus band ≈ 4000–10000 bp), so `repetitive` flags the
+    //    low tail — the compressibility heuristic large-corpus curation
+    //    runs beside the n-gram repetition ops, catching long-range
+    //    structure n-gram windows miss. Rows-only by design: the deflated
+    //    length is implementation-defined, not portable SQL — CompressSpec
+    //    pins a plain-Scala recompute and the SQL-function twin instead.
+    //    Pure per-row work, zero shuffle ───────────────────────────────────
+    "x_compressibility" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.GraftCompress.deflateLen(col("text"))
+            .as("deflate_bytes"))
+        .withColumn("ratio_bp", when(col("n_bytes") > 0,
+          expr("deflate_bytes * 10000 div n_bytes")))
+        .withColumn("repetitive", col("ratio_bp") < 4500),
+      None),
+
     // ── Safety: wordlist content filter — occurrence count of blocklisted
     //    tokens per doc and the keep verdict (bad-token share < 5%), the
     //    standard unsafe-content screen run before any model sees a crawl.

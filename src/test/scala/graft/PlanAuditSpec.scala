@@ -166,7 +166,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_token_count",
       "x_repetition", "x_repetition_ratio", "x_fingerprint",
       "x_normalize_text", "x_redact_pii", "x_filter_blocklist",
-      "x_chunk_docs", "x_split_assign",
+      "x_compressibility", "x_chunk_docs", "x_split_assign",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
       "x_multimodal_frames", "x_embed_rp_reduce", "x_embed_int8")
     val shuffling = narrowByDesign.filter { name =>
