@@ -313,6 +313,44 @@ object Dedup {
           .as("sim_e4"))
   }
 
+  /** Compression-distance verify over LSH candidates: normalized
+    * compression distance NCD(a,b) = (C(a⧺b) − min(C(a),C(b))) /
+    * max(C(a),C(b)) in ×10⁴ integer form, with C = the native zlib
+    * [[graft.functions.GraftCompress.deflateLen]]. Near-duplicate pairs
+    * score LOW (the concatenation adds almost no new information for the
+    * compressor to encode) — a third verify signal orthogonal to both
+    * set-overlap (Jaccard/containment) and edit distance: it sees
+    * long-range shared structure (reordered paragraphs, interleaved
+    * boilerplate) that a 200-char edit prefix and shingle sets both miss.
+    * Cost discipline matches editVerifyPairs: only LSH candidates pay,
+    * texts capped to `prefixLen` so each pair deflates ≤ 3 bounded
+    * buffers. Like every deflate-based readout, rows-only (the length is
+    * implementation-defined); DedupSpec pins the identical-pair ≈ 0 /
+    * unrelated-pair ≫ 0 ordering instead.
+    */
+  def ncdVerifyPairs(df: DataFrame, idCol: String, textCol: String,
+                     prefixLen: Int = 2000, numHashes: Int = 16,
+                     bandSize: Int = 4,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.functions.GraftCompress.deflateLen
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
+      maxBucket)
+    val pfx = df.select(col(idCol).as("id"),
+      substring(coalesce(col(textCol), lit("")), 1, prefixLen).as("pfx"))
+    cands
+      .join(pfx.select(col("id").as("a"), col("pfx").as("a_pfx")), Seq("a"))
+      .join(pfx.select(col("id").as("b"), col("pfx").as("b_pfx")), Seq("b"))
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        deflateLen(col("a_pfx")).as("ca"),
+        deflateLen(col("b_pfx")).as("cb"),
+        deflateLen(concat(col("a_pfx"), col("b_pfx"))).as("cab"))
+      .withColumn("ncd_e4",
+        when(greatest(col("ca"), col("cb")) === 0, 0L)
+          .otherwise(expr(
+            "(cab - least(ca, cb)) * 10000 div greatest(ca, cb)")))
+      .select("a_id", "b_id", "ca", "cb", "cab", "ncd_e4")
+  }
+
   /** Duplication report: how many exact-dup clusters exist at each copy
     * count. The report every curation run ships next to its output — it is
     * the one-page answer to "how duplicated was this crawl". Two grouped

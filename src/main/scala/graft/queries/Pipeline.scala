@@ -703,6 +703,16 @@ object Pipeline {
         |FROM cand c JOIN ep pa ON pa.doc_id = c.a JOIN ep pb ON pb.doc_id = c.b
         |ORDER BY a_id, b_id""".stripMargin)),
 
+    // ── Dedup: compression-distance verify — integer NCD over the SAME
+    //    LSH candidates (near-dups score low because the concatenation
+    //    gives the compressor nothing new to encode); the long-range
+    //    third signal beside Jaccard and edit distance. Rows-only like
+    //    every deflate readout; DedupSpec pins the ordering law ────────────
+    "x_dedup_ncd_verify" -> Q(
+      (s, d) => Dedup.ncdVerifyPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id"),
+      None),
+
     // ── Dedup: the duplication report — clusters per copy count, the
     //    one-page "how duplicated was this crawl" answer shipped next to
     //    every curation run ────────────────────────────────────────────────

@@ -552,4 +552,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L)),
       "only the same-cell identical pair qualifies (cells are hard shards)")
   }
+
+  test("NCD verify: identical pair scores near zero, a diverged near-dup " +
+    "scores strictly higher; values equal the plain-Scala recompute") {
+    import spark.implicits._
+    import graft.functions.GraftCompress.deflatedLength
+    val base = (0 until 60).map(i => s"w$i common body token").mkString(" ")
+    // ids 1/2: byte-identical; ids 3/4: share the shingle set (candidates)
+    // but 4 carries a large diverged tail the compressor must encode anew
+    // 20 tokens keeps Jaccard ≈ 0.92 so the pair stays an LSH candidate
+    val tail4 = (0 until 20).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+    ).mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, base),
+      (4L, base + " " + tail4)).toDF("doc_id", "text")
+    val out = Dedup.ncdVerifyPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // every reported value must equal the driver-side recompute
+    val texts = Map(1L -> base, 2L -> base, 3L -> base,
+      4L -> (base + " " + tail4))
+    out.foreach { case ((a, b), (ca, cb, cab, ncd)) =>
+      def c(s: String) = deflatedLength(s.getBytes("UTF-8"))
+      assert(ca == c(texts(a).take(2000)) && cb == c(texts(b).take(2000)) &&
+        cab == c(texts(a).take(2000) + texts(b).take(2000)),
+        s"recompute mismatch on ($a,$b)")
+      assert(ncd == (cab - math.min(ca, cb)) * 10000 / math.max(ca, cb))
+    }
+    val identical = out((1L, 2L))._4
+    val diverged = out.collectFirst {
+      case ((a, 4L), v) if a < 4L => v._4
+      case ((4L, b), v) if b < 4L => v._4
+    }.getOrElse(fail("no candidate pair with the diverged doc"))
+    // short texts carry fixed deflate-block overhead, so "near zero" is
+    // ~0.11 in e4 units here, not literally 0 — the law is the ORDER
+    assert(identical < 2000,
+      s"identical docs must score low NCD, got $identical")
+    assert(diverged > identical + 1000,
+      s"diverged tail must raise NCD: $diverged vs $identical")
+  }
 }
