@@ -52,7 +52,9 @@ object Bench {
     "x_token_count", "stream_window_agg", "stream_dedup",
     "x_multimodal_decode", "x_pagerank_trade", "x_fuzzy_join",
     "x_dedup_semantic", "stream_cdc_apply", "x_bpe_merges",
-    "x_dedup_substring")
+    "x_dedup_substring",
+    "x_preference_pairs", "x_shard_rebalance", "x_ann_filtered",
+    "x_compressibility", "stream_attribution", "x_pack_masked")
 
   /** Lower median: exact middle for odd n (the common n=3 case), the lower
     * of the two middles for even n — never interpolates a time that was
