@@ -2750,6 +2750,17 @@ object Pipeline {
       (s, d) => graft.streaming.StreamingSync.streamEventSpikes(s, d),
       Some(Analytics.eventSpikesSql)),
 
+    // ── Structured Streaming: ANN shard monitor — per-cell vector counts
+    //    under the x_ann_ivf quantizer as embeddings land (the streamable
+    //    seed-cell half of x_cluster_balance; a runaway cell degrades
+    //    probe cost/recall and should alarm before the next rebuild).
+    //    Same quantizer oracle fragment as every x_ann_* query ─────────────
+    "stream_cell_occupancy" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamCellOccupancy(s, d),
+      Some(s"""WITH v AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |$lshCellCtesSql
+        |SELECT cell, count(*) AS n_vecs FROM bk GROUP BY 1""".stripMargin)),
+
     // ── Structured Streaming: decontamination at ingest — train docs
     //    screened against the static eval 8-gram fingerprint set the
     //    micro-batch they land (stream-static broadcast join; the online

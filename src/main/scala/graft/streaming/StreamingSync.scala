@@ -204,6 +204,27 @@ object StreamingSync {
         (col("c") * 2 > col("med") * 5).as("spike"))
   }
 
+  /** Streaming ANN shard monitor: per-cell vector counts under the
+    * x_ann_ivf coarse quantizer (4-plane mod-8 sign-LSH), maintained as
+    * embeddings land — the online half of `x_cluster_balance` restricted
+    * to the STREAMABLE half of the assignment (the seed cell is a pure
+    * per-row function of the vector; the centroid refinement step needs
+    * the finished corpus and stays batch). The ops readout an ANN
+    * deployment alarms on: a cell whose occupancy runs away mid-ingest
+    * means probe costs and recall are about to degrade, BEFORE the next
+    * index rebuild would notice. State is one counter per cell (≤ 16).
+    */
+  def streamCellOccupancy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Similarity
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "cells")
+    val agg = tableStream(ss, sfDir, "embeddings", base)
+      .select(Similarity.signLshBucket(
+        Similarity.quantize(col("embedding")), 0 until 4, 8).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    runToChangelog(agg, base, "graft_stream_cell_occupancy", Seq("cell"))
+  }
+
   /** Streaming decontamination: training documents are screened against a
     * STATIC eval-benchmark 8-gram fingerprint set as they land — the online
     * half of `Contamination.ngramOverlapPairs` (the batch check runs after

@@ -20,7 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_range_join", "stream_enrich", "stream_sessionize",
       "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
       "stream_corpus_hist", "stream_quality_gate", "stream_decontaminate",
-      "stream_event_spikes", "stream_attribution",
+      "stream_event_spikes", "stream_attribution", "stream_cell_occupancy",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows

@@ -113,6 +113,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((3L, 2L)), "b" -> ((1L, 0L))), s"got $got")
   }
 
+  test("stream cell occupancy: multi-batch drain equals the batch cell " +
+    "histogram over the union of landed files") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("cellsf")
+    val dir = new java.io.File(s"$sf/embeddings.parquet")
+    assert(dir.mkdirs())
+    def vecs(from: Int, n: Int) = (from until from + n)
+      .map(i => (i.toLong,
+        Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6) / 10.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val now = System.currentTimeMillis()
+    stageBatchFile(sf, dir, vecs(0, 20), "b1", now - 240000)
+    stageBatchFile(sf, dir, vecs(20, 20), "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out =
+      try graft.streaming.StreamingSync.streamCellOccupancy(spark, sf).collect()
+      finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.io.Tables.table(spark, sf, "embeddings")
+      .select(graft.operators.Similarity.signLshBucket(
+        graft.operators.Similarity.quantize(col("embedding")), 0 until 4, 8)
+        .as("cell"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("stream attribution: the carried touch state credits a purchase " +
     "in a LATER batch; an untouched user lands in (none)") {
     import spark.implicits._
