@@ -2226,6 +2226,114 @@ object Pipeline {
         |  epochs_e4, epochs_e4 > 40000 AS over_cap
         |FROM me_e ORDER BY source""".stripMargin)),
 
+    // ── Dedup: WITHIN-document passage dedup — drop repeated 8-token
+    //    passages inside the same doc (the nav-menu/boilerplate scrubber
+    //    that runs before any cross-corpus dedup; x_dedup_passage finds
+    //    passages repeated ACROSS docs, this collapses them within one).
+    //    First occurrence wins by position; the kept sequence ships as an
+    //    order-exact fingerprint. One (doc, passage-hash) window — state
+    //    bounded per doc, no cross-doc shuffle beyond the hash partition ───
+    "x_dedup_within_doc" -> Q(
+      (s, d) => {
+        val pas = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(1),
+              ceil(size(col("toks")) / lit(8.0)).cast("int")),
+              i => concat_ws(" ", slice(col("toks"), (i - 1) * 8 + 1, lit(8)))))
+            .as(Seq("p0", "passage")))
+          .withColumn("pos", col("p0") + 1)
+        val w = Window.partitionBy(col("doc_id"), md5(col("passage")))
+          .orderBy(col("pos"))
+        pas.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_passages"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique"),
+            md5(array_join(transform(array_sort(collect_list(
+              when(col("rn") === 1, struct(col("pos"), col("passage"))))),
+              x => x.getField("passage")), " ")).as("kept_fp"))
+      },
+      Some("""WITH wd_t AS (SELECT doc_id,
+        |    string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |wd_p AS (SELECT doc_id, i AS pos,
+        |    array_to_string(l[(i-1)*8+1:(i-1)*8+8], ' ') AS passage
+        |  FROM wd_t, LATERAL (SELECT unnest(generate_series(1,
+        |    CAST(ceil(len(l)/8.0) AS INTEGER))) AS i)),
+        |wd_r AS (SELECT *, row_number() OVER (PARTITION BY doc_id,
+        |    md5(passage) ORDER BY pos) AS rn FROM wd_p)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  md5(string_agg(passage, ' ' ORDER BY pos) FILTER (WHERE rn = 1))
+        |    AS kept_fp
+        |FROM wd_r GROUP BY doc_id""".stripMargin)),
+
+    // ── Quality: the Gopher-style rule battery — the named document-level
+    //    heuristics of the Gopher/MassiveText curation recipe, each as an
+    //    integer-exact per-doc boolean (cross-multiplied thresholds, no
+    //    float division): word count in [50, 100k], mean word length in
+    //    [3, 10], symbol-to-word caps (# ≤ 0.1/word, … ≤ 0.3/word),
+    //    ≥80% words containing a letter, ≥2 stopwords. `keep` = all pass.
+    //    Pure per-row expressions over one tokens projection ───────────────
+    "x_filter_gopher" -> Q(
+      (s, d) => {
+        val stop = TextAnalysis.STOPWORDS_EN.map(w => lit(w))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            (length(col("text")) - (size(col("toks")) - 1)).cast("long")
+              .as("n_wchars"),
+            ((length(col("text")) -
+              length(regexp_replace(col("text"), "#", ""))))
+              .cast("long").as("n_hash"),
+            (size(split(col("text"), "\\.\\.\\.", -1)) - 1).cast("long")
+              .as("n_ellipsis"),
+            size(filter(col("toks"), x => x.rlike("[a-z]")))
+              .cast("long").as("n_alpha"),
+            size(array_intersect(array_distinct(col("toks")),
+              array(stop: _*))).cast("long").as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            col("n_words").between(50L, 100000L).as("ok_word_count"),
+            (col("n_wchars") >= col("n_words") * 3 &&
+              col("n_wchars") <= col("n_words") * 10).as("ok_mean_len"),
+            (col("n_hash") * 10 <= col("n_words")).as("ok_hash"),
+            (col("n_ellipsis") * 10 <= col("n_words") * 3).as("ok_ellipsis"),
+            (col("n_alpha") * 5 >= col("n_words") * 4).as("ok_alpha"),
+            (col("n_stop") >= 2).as("ok_stop"))
+          .withColumn("keep",
+            col("ok_word_count") && col("ok_mean_len") && col("ok_hash") &&
+              col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
+      },
+      Some(s"""WITH gf AS (SELECT doc_id, text,
+        |    string_split_regex(lower(text),'\\s+') AS l FROM documents),
+        |gm AS (SELECT doc_id,
+        |    CAST(len(l) AS BIGINT) AS n_words,
+        |    CAST(length(text) - (len(l) - 1) AS BIGINT) AS n_wchars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(l),
+        |      [${TextAnalysis.STOPWORDS_EN.map(w => s"'$w'").mkString(",")}]))
+        |      AS BIGINT) AS n_stop
+        |  FROM gf)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+        |  (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10) AS ok_mean_len,
+        |  n_hash * 10 <= n_words AS ok_hash,
+        |  n_ellipsis * 10 <= n_words * 3 AS ok_ellipsis,
+        |  n_alpha * 5 >= n_words * 4 AS ok_alpha,
+        |  n_stop >= 2 AS ok_stop,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND n_wchars >= n_words * 3 AND n_wchars <= n_words * 10
+        |    AND n_hash * 10 <= n_words
+        |    AND n_ellipsis * 10 <= n_words * 3
+        |    AND n_alpha * 5 >= n_words * 4
+        |    AND n_stop >= 2) AS keep
+        |FROM gm""".stripMargin)),
+
     // ── Quality: compression-ratio screen — zlib-deflated bytes over raw
     //    UTF-8 bytes per doc (×10⁴), via the native DeflateLength codegen
     //    expression. Templated/repetitive text deflates far below natural

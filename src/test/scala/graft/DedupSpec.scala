@@ -553,6 +553,29 @@ class DedupSpec extends AnyFunSuite {
       "only the same-cell identical pair qualifies (cells are hard shards)")
   }
 
+  test("within-doc passage dedup: a repeated 8-token passage collapses to " +
+    "its first occurrence; the kept fingerprint is the deduped sequence") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("wdsf")
+    val p1 = (1 to 8).map(i => s"a$i").mkString(" ")  // passage 1
+    val p2 = (1 to 8).map(i => s"b$i").mkString(" ")  // passage 2
+    // doc 1: p1 p2 p1 — the third passage repeats the first verbatim;
+    // doc 2: all distinct
+    Seq((1L, s"$p1 $p2 $p1", "en", "s", 0L),
+      (2L, s"$p1 $p2", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x_dedup_within_doc")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L,
+      s"repeat must collapse: ${out(1L)}")
+    assert(out(2L)._1 == 2L && out(2L)._2 == 2L)
+    // doc 1's kept sequence == doc 2's full sequence (p1 p2)
+    assert(out(1L)._3 == out(2L)._3,
+      "kept fingerprint must equal the first-occurrence sequence")
+  }
+
   test("NCD verify: identical pair scores near zero, a diverged near-dup " +
     "scores strictly higher; values equal the plain-Scala recompute") {
     import spark.implicits._

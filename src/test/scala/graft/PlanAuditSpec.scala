@@ -166,7 +166,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_token_count",
       "x_repetition", "x_repetition_ratio", "x_fingerprint",
       "x_normalize_text", "x_redact_pii", "x_filter_blocklist",
-      "x_compressibility", "x_chunk_docs", "x_split_assign",
+      "x_compressibility", "x_filter_gopher", "x_chunk_docs", "x_split_assign",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
       "x_multimodal_frames", "x_embed_rp_reduce", "x_embed_int8")
     val shuffling = narrowByDesign.filter { name =>
@@ -202,6 +202,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // masked packing: the bin re-agg MUST ride the pack window's
       // (lang, shard) exchange — a 2nd exchange means that reuse broke
       "x_pack_masked" -> 1,
+      // within-doc dedup: the (doc, passage-hash) window + the per-doc
+      // re-agg (doc_id is a SUBSET of the window keys, so it genuinely
+      // re-shuffles — unlike pack_masked's superset grouping)
+      "x_dedup_within_doc" -> 2,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
