@@ -234,12 +234,14 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     // row count observed INSIDE the rewrite job — a read-back count()
-    // would scan the whole compacted table a second time
+    // would scan the whole compacted table a second time. Bounded wait +
+    // degenerate-path fallback via Tables.observedCount (never hang the
+    // maintenance command on a zero-task or cancelled job).
     val obs = org.apache.spark.sql.Observation()
     writeAtomic(spark.read.parquet(path).repartition(nFiles)
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n")), path)
-    val rows = obs.get("n").asInstanceOf[Long]
+    val rows = Tables.observedCount(obs, spark.read.parquet(path).count())
     (before.length.toLong, dataFiles.length.toLong, rows)
   }
 

@@ -111,6 +111,29 @@ object Tables {
     }.load()
   }
 
+  /** Read an observed job-side count without risking a hang: `Observation
+    * .get` blocks until the listener delivers the observed job's metrics —
+    * forever, if the plan collapsed to zero tasks or the job was cancelled
+    * between the action returning and the event firing (round-9 advice
+    * ask: the extract path must not be able to hang a sync on an edge
+    * case). The write action has already returned when this is called, so
+    * the metric is normally available within one listener dispatch; await
+    * the observation's completion future with a bounded timeout, then fall
+    * back to counting the written output (a second scan ONLY on the
+    * degenerate path — never on the source, which may be a full-table
+    * JDBC read).
+    */
+  private[graft] def observedCount(obs: org.apache.spark.sql.Observation,
+                                   fallback: => Long,
+                                   timeoutSec: Int = 30): Long =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(timeoutSec.toLong, "s"))
+      row.getAs[Long]("n")
+    } catch {
+      case _: java.util.concurrent.TimeoutException => fallback
+    }
+
   /** S2: chunked gzip CSV sink with header, mirroring the reference's rollover
     * writer (pgwarehouse.py:259-295). maxRecordsPerFile plays the role of the
     * 1 GiB size cap; Spark writes one chunk per partition in parallel rather
@@ -138,7 +161,8 @@ object Tables {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(dir)
-    obs.get("n").asInstanceOf[Long]
+    observedCount(obs,
+      readCsvChunks(df.sparkSession, dir, df.schema).count())
   }
 
   /** S3: CSV chunk source. Schema is pinned (the reference trusts DDL, never
@@ -165,7 +189,7 @@ object Tables {
       .option("compression", "zlib")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .orc(dir)
-    obs.get("n").asInstanceOf[Long]
+    observedCount(obs, readOrc(df.sparkSession, dir).count())
   }
 
   def readOrc(spark: SparkSession, dir: String): DataFrame =
@@ -205,7 +229,8 @@ object Tables {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .json(dir)
-    obs.get("n").asInstanceOf[Long]
+    observedCount(obs,
+      readJsonlChunks(df.sparkSession, dir, df.schema).count())
   }
 
   /** JSONL chunk source, schema pinned like the CSV twin. */

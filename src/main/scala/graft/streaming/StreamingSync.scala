@@ -820,10 +820,36 @@ object StreamingSync {
     * `Trigger.AvailableNow` drains what's there and stops — the reference's
     * externally-scheduled batch contract. Returns rows appended this run,
     * from the query's own progress counters (no sink rescans).
+    *
+    * The sink is a foreachBatch plain parquet append, NOT a
+    * FileStreamSink: the file sink's `_spark_metadata` log makes every
+    * subsequent BATCH read of the table resolve only stream-committed
+    * files — silently hiding rows written by `load`/`sync`/`reload` into
+    * the same directory — and is itself destroyed by their atomic staged
+    * swap (round-9 advice). With a metadata-log-free append, batch and
+    * streaming writers compose: a read sees the union of all parquet
+    * files. Exactly-once survives foreachBatch's at-least-once replay by
+    * committing each micro-batch under deterministic `b<batchId>-` file
+    * names: a replayed batch first deletes its own prefix, then renames
+    * its fresh files in — so a crash anywhere between write and
+    * checkpoint commit re-lands the batch exactly once. (The one contract
+    * narrowed vs the file sink: a reader racing a mid-flight drain of the
+    * SAME table can see a partially renamed batch; the reference's
+    * cron-poll shape runs drains sequentially, so this trades an unused
+    * guarantee for batch/stream interop.) A `_spark_metadata` left by
+    * pre-round-10 runs is deleted on entry for the same reason.
     */
   def incrementalFileSync(spark: SparkSession, srcDir: String,
                           sinkDir: String, checkpointDir: String): Long = {
     val schema = spark.read.parquet(srcDir).schema
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // migrate away from any FileStreamSink-era metadata log: once present,
+    // it makes batch reads resolve ONLY stream-committed files
+    locally {
+      val meta = new org.apache.hadoop.fs.Path(sinkDir, "_spark_metadata")
+      val fs = meta.getFileSystem(hconf)
+      if (fs.exists(meta)) fs.delete(meta, true)
+    }
     // same knob as eventsStream: a large backfill drains in bounded
     // micro-batches instead of one giant one (AvailableNow honors it)
     val reader = spark.readStream.schema(schema)
@@ -853,8 +879,26 @@ object StreamingSync {
     try {
       val q = reader.parquet(srcDir)
         .writeStream
-        .format("parquet")
-        .option("path", sinkDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sink = new org.apache.hadoop.fs.Path(sinkDir)
+          val fs = sink.getFileSystem(hconf)
+          fs.mkdirs(sink)
+          // idempotent replay: clear this batch's prefix before landing it
+          val prefix = s"b$batchId-"
+          fs.listStatus(sink).map(_.getPath)
+            .filter(_.getName.startsWith(prefix))
+            .foreach(fs.delete(_, false))
+          // stage under a dot-dir (invisible to batch parquet readers),
+          // then rename each part file in under the batch prefix — rename
+          // is a metadata op, so commit cost is per-file, not per-byte
+          val stage = new org.apache.hadoop.fs.Path(sinkDir, s".stage_b$batchId")
+          batch.write.mode("overwrite").parquet(stage.toString)
+          fs.listStatus(stage).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(f => fs.rename(f, new org.apache.hadoop.fs.Path(sink, prefix + f.getName)))
+          fs.delete(stage, true)
+          ()
+        }
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())

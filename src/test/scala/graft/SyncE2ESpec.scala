@@ -339,6 +339,43 @@ class SyncE2ESpec extends AnyFunSuite {
     assert(total == 7L, s"warehouse holds the union, got $total")
   }
 
+  test("t16 watch composes with batch writers: no _spark_metadata, rows " +
+    "from both paths stay visible, replays stay exactly-once") {
+    // the round-9 advice scenario: watch used a FileStreamSink whose
+    // _spark_metadata log made every later BATCH read resolve only
+    // stream-committed files — hiding load/sync rows in the same table
+    val landing = new java.io.File(s"$sourceDir/feed2.parquet")
+    assert(landing.mkdirs())
+    def land(name: String, df: DataFrame): Unit = {
+      val stage = TestSpark.tmpDir(s"watchstage2_$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, s"$name.parquet").toPath)
+    }
+    val w = wh()
+    land("g1", users(5))
+    assert(w.watch("feed2") == 5L)
+    val whDir = new java.io.File(s"$warehouseDir/feed2.parquet")
+    assert(!new java.io.File(whDir, "_spark_metadata").exists(),
+      "watch must not leave a FileStreamSink metadata log")
+    // a batch writer appends into the same table directory (what load/sync
+    // do); under the old sink these rows were silently invisible
+    users(2, from = 500).coalesce(1).write.mode(SaveMode.Append)
+      .parquet(whDir.toString)
+    assert(spark.read.parquet(whDir.toString).count() == 7L,
+      "batch-written rows visible next to stream-committed ones")
+    // and the next drain still appends exactly the new file's rows
+    land("g2", users(3, from = 900))
+    assert(w.watch("feed2") == 3L)
+    assert(spark.read.parquet(whDir.toString).count() == 10L,
+      "union of batch + both drains; no re-sync, no hidden rows")
+    // committed batch files carry the deterministic replay prefix
+    assert(whDir.listFiles().exists(_.getName.startsWith("b")),
+      "stream batches land under b<batchId>- names for idempotent replay")
+  }
+
   test("all loop isolates a failing table and reports it") {
     setupSources()
     val broken = cfg().copy(tables = scala.collection.immutable.ListMap(

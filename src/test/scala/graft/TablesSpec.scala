@@ -58,6 +58,34 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.writeCsvChunks(df, dir) == 77L)
   }
 
+  test("empty-DataFrame writes return 0 without hanging (observed-count " +
+    "guard, round-9 advice ask #4)") {
+    // Observation.get blocks on job completion; a 0-row (and, worse, a
+    // 0-task) write must still return promptly. Cover all three observed
+    // writers, including a filtered-to-empty frame (the shape a no-delta
+    // incremental extract produces).
+    val empty = spark.range(0).selectExpr("id", "CAST(id AS STRING) AS v")
+    val filteredEmpty = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .where(col("id") < 0)
+    assert(Tables.writeCsvChunks(empty, TestSpark.tmpDir("e1") + "/c") == 0L)
+    assert(Tables.writeJsonlChunks(filteredEmpty,
+      TestSpark.tmpDir("e2") + "/c") == 0L)
+    assert(Tables.writeOrc(empty, TestSpark.tmpDir("e3") + "/c") == 0L)
+  }
+
+  test("observedCount falls back to the sink recount when the metric " +
+    "never fires (cancelled-job shape) instead of blocking forever") {
+    // simulate the pathological case directly: an Observation whose job
+    // never delivers metrics — the guard must hit its fallback, not hang.
+    // (Deadline is 30s in prod, shortened here; the fallback value proves
+    // the path taken. A plain obs.get would block this test forever.)
+    val obs = org.apache.spark.sql.Observation()
+    val t0 = System.nanoTime()
+    assert(Tables.observedCount(obs, -42L, timeoutSec = 2) == -42L,
+      "fallback value returned")
+    assert(System.nanoTime() - t0 < 20L * 1000 * 1000 * 1000)
+  }
+
   test("bucketed tables join with zero shuffle on either side") {
     val left = (1 to 200).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("id", "rv")
