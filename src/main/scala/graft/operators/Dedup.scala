@@ -324,9 +324,15 @@ object Dedup {
     * boilerplate) that a 200-char edit prefix and shingle sets both miss.
     * Cost discipline matches editVerifyPairs: only LSH candidates pay,
     * texts capped to `prefixLen` so each pair deflates ≤ 3 bounded
-    * buffers. Like every deflate-based readout, rows-only (the length is
-    * implementation-defined); DedupSpec pins the identical-pair ≈ 0 /
-    * unrelated-pair ≫ 0 ordering instead.
+    * buffers.
+    *
+    * Output splits into a deterministic half and a readout half
+    * (round-9 ask #1): the candidate pair list plus the byte sizes the
+    * compressor sees (`n_a_pfx`/`n_b_pfx`) are engine-portable and
+    * DuckDB-oracle-checked by `x_dedup_ncd_verify`; the deflate readouts
+    * (`ca`/`cb`/`cab`/`ncd_e4`) are implementation-defined lengths, so
+    * they stay out of the driver-hashed surface — DedupSpec pins their
+    * identical-pair ≈ 0 / unrelated-pair ≫ 0 ordering law instead.
     */
   def ncdVerifyPairs(df: DataFrame, idCol: String, textCol: String,
                      prefixLen: Int = 2000, numHashes: Int = 16,
@@ -341,6 +347,8 @@ object Dedup {
       .join(pfx.select(col("id").as("a"), col("pfx").as("a_pfx")), Seq("a"))
       .join(pfx.select(col("id").as("b"), col("pfx").as("b_pfx")), Seq("b"))
       .select(col("a").as("a_id"), col("b").as("b_id"),
+        octet_length(col("a_pfx")).cast("long").as("n_a_pfx"),
+        octet_length(col("b_pfx")).cast("long").as("n_b_pfx"),
         deflateLen(col("a_pfx")).as("ca"),
         deflateLen(col("b_pfx")).as("cb"),
         deflateLen(concat(col("a_pfx"), col("b_pfx"))).as("cab"))
@@ -348,7 +356,61 @@ object Dedup {
         when(greatest(col("ca"), col("cb")) === 0, 0L)
           .otherwise(expr(
             "(cab - least(ca, cb)) * 10000 div greatest(ca, cb)")))
-      .select("a_id", "b_id", "ca", "cb", "cab", "ncd_e4")
+      .select("a_id", "b_id", "n_a_pfx", "n_b_pfx", "ca", "cb", "cab",
+        "ncd_e4")
+  }
+
+  /** Canonical form of a URL — the normalization every web corpus applies
+    * BEFORE content dedup (two crawls of the same page differ by case,
+    * tracking params, fragments, and trailing slashes long before their
+    * bodies differ). Rules, in order:
+    *
+    *   1. drop the fragment (`#...` — client-side only, never a distinct
+    *      resource);
+    *   2. lowercase scheme + authority ONLY (paths are case-sensitive per
+    *      RFC 3986; hosts are not) and strip a leading `www.`;
+    *   3. drop tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`),
+    *      keeping the rest in their original order;
+    *   4. strip trailing slashes from the path.
+    *
+    * Built from regex/array expressions available identically in Spark and
+    * the DuckDB oracle — no engine-private URL parser — and idempotent
+    * (canonical(canonical(u)) = canonical(u), the DedupSpec law). Pure
+    * per-row codegen work: zero shuffle, zero UDF.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val schemeHost = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    val path = regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    val canonHost =
+      regexp_replace(lower(schemeHost), "^([a-z0-9+.-]+://)www\\.", "$1")
+    val canonPath = regexp_replace(path, "/+$", "")
+    val keptParams = filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= lit(""))
+    val keptQuery = array_join(keptParams, "&")
+    concat(canonHost, canonPath,
+      when(keptQuery =!= "", concat(lit("?"), keptQuery)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup: keep-first (min id) per canonical URL — the first
+    * curation stage of a web pipeline, run before any content hashing
+    * because it needs no document bytes at all. Output is the per-doc
+    * verdict: (id, url, url_canon, n_copies, keep).
+    *
+    * Scale (100 TB): ONE hash shuffle on the canonical-URL string (the
+    * window's partition key); the canonicalization itself is a narrow
+    * per-row map. At crawl scale the canonical URL is the natural
+    * pre-partitioning key for everything downstream, so this exchange is
+    * typically reused, not added.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val w = Window.partitionBy(col("url_canon"))
+    df.select(col(idCol).as("id"), col(urlCol).as("url"),
+        canonicalUrl(col(urlCol)).as("url_canon"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", col("id") === min(col("id")).over(w))
   }
 
   /** Duplication report: how many exact-dup clusters exist at each copy

@@ -576,6 +576,42 @@ class DedupSpec extends AnyFunSuite {
       "kept fingerprint must equal the first-occurrence sequence")
   }
 
+  test("URL canonicalization: each rule fires, canonical is idempotent, " +
+    "urlDedup keeps the min id per canonical URL") {
+    import spark.implicits._
+    val urls = Seq(
+      // 1 and 2 differ by: host case, www, trailing noise params, fragment
+      (1L, "HTTPS://WWW.News.Example.COM/Docs/A?id=1&utm_source=x&fbclid=z#frag"),
+      (2L, "https://news.example.com/Docs/A?id=1"),
+      (3L, "https://news.example.com/docs/a?id=1"), // path CASE differs → distinct
+      (4L, "http://Example.com/p/?utm_medium=z&gclid=1&ref=tw"), // all params tracking
+      (5L, "https://example.com/p///"),             // trailing slashes
+      (6L, "https://example.com/p"),
+      (7L, "https://example.com/p?b=2&a=1"))        // param ORDER preserved (no resort)
+      .toDF("id", "url")
+    val out = Dedup.urlDedup(urls, "id", "url").collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(out(1L)._1 == "https://news.example.com/Docs/A?id=1")
+    assert(out(1L)._1 == out(2L)._1, "case/www/tracking/fragment erased")
+    assert(out(3L)._1 != out(2L)._1, "path stays case-sensitive")
+    assert(out(4L)._1 == "http://example.com/p",
+      "all-tracking query drops entirely (no dangling '?'), slash stripped")
+    assert(out(5L)._1 == out(6L)._1, "trailing slashes erased")
+    assert(out(7L)._1 == "https://example.com/p?b=2&a=1",
+      "kept params preserve their original order")
+    // keep-first verdicts: min id per canonical keeps
+    assert(out(1L)._3 && !out(2L)._3 && out(1L)._2 == 2L)
+    assert(out(5L)._3 && !out(6L)._3)
+    assert(out(3L)._3 && out(4L)._3 && out(7L)._3, "singletons keep")
+    // idempotence law: canonicalizing a canonical URL is the identity
+    val canon = urls.select(Dedup.canonicalUrl(col("url")).as("c"))
+    val twice = canon.select(col("c"),
+      Dedup.canonicalUrl(col("c")).as("cc")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"canonical not a fixpoint: '${r.getString(0)}' → '${r.getString(1)}'"))
+  }
+
   test("NCD verify: identical pair scores near zero, a diverged near-dup " +
     "scores strictly higher; values equal the plain-Scala recompute") {
     import spark.implicits._
@@ -590,12 +626,25 @@ class DedupSpec extends AnyFunSuite {
     ).mkString(" ")
     val docs = Seq((1L, base), (2L, base), (3L, base),
       (4L, base + " " + tail4)).toDF("doc_id", "text")
-    val out = Dedup.ncdVerifyPairs(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
-    // every reported value must equal the driver-side recompute
+    val rows = Dedup.ncdVerifyPairs(docs, "doc_id", "text").collect()
+    val out = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(r.fieldIndex("ca")), r.getLong(r.fieldIndex("cb")),
+        r.getLong(r.fieldIndex("cab")),
+        r.getLong(r.fieldIndex("ncd_e4"))))).toMap
+    // every reported value must equal the driver-side recompute — this
+    // spec IS the correctness pin for the deflate readout columns, which
+    // the driver-hashed query surface prunes (implementation-defined
+    // lengths; x_dedup_ncd_verify oracle-checks the deterministic half)
     val texts = Map(1L -> base, 2L -> base, 3L -> base,
       4L -> (base + " " + tail4))
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(r.fieldIndex("n_a_pfx")) ==
+        texts(a).take(2000).getBytes("UTF-8").length &&
+        r.getLong(r.fieldIndex("n_b_pfx")) ==
+          texts(b).take(2000).getBytes("UTF-8").length,
+        s"prefix byte sizes must match the compressor's input on ($a,$b)")
+    }
     out.foreach { case ((a, b), (ca, cb, cab, ncd)) =>
       def c(s: String) = deflatedLength(s.getBytes("UTF-8"))
       assert(ca == c(texts(a).take(2000)) && cb == c(texts(b).take(2000)) &&
