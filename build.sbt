@@ -9,6 +9,18 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DuckDB JDBC driver on the TEST classpath only, taken straight from the
+// pre-warmed local cache when present (no new libraryDependencies — the
+// main engine is written against plain java.sql and never links the
+// driver; DuckDbSyncE2ESpec self-cancels when the jar is absent). This
+// lets the warehouse-backend e2e suite exercise a real engine instead of
+// Derby while leaving the production classpath untouched.
+Test / unmanagedJars ++= {
+  val cached = file(sys.props("user.home")) / ".cache" / "coursier" / "v1" /
+    "https" / "internal-mirror(redacted)" / "artifactory" / "maven-all" /
+    "org" / "duckdb" / "duckdb_jdbc" / "1.0.0" / "duckdb_jdbc-1.0.0.jar"
+  if (cached.exists) Seq(Attributed.blank(cached)) else Seq.empty
+}
 Test / fork := true
 run / fork := true
 // Forked run inherits stdout directly (no "[info] " log prefix) so the

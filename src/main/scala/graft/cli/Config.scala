@@ -22,7 +22,12 @@ case class GraftConfig(sourceDir: String,
                        warehouseDir: String,
                        dataDir: String,
                        maxRecords: Option[Long],
-                       tables: ListMap[String, TableOpts])
+                       tables: ListMap[String, TableOpts],
+                       /** `warehouse.duckdb_path`: file for the in-process
+                         * DuckDB backend (reference duckdb_backend.py:27
+                         * `duckdb_path`, default ./duck.db under the
+                         * warehouse dir). Used when `--backend duckdb`. */
+                       duckdbPath: Option[String] = None)
 
 object GraftConfig {
 
@@ -121,7 +126,8 @@ object GraftConfig {
       name -> opts
     }
     GraftConfig(sourceDir, warehouseDir, dataDir, maxRecords,
-      ListMap(tables.toSeq: _*))
+      ListMap(tables.toSeq: _*),
+      str(wh, "duckdb_path").orElse(env.get("GRAFT_DUCKDB_PATH")))
   }
 
   /** `init` template (reference writes one too, pgwarehouse.py:130-160). */

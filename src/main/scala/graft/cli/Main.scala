@@ -47,7 +47,8 @@ object Main {
     if (!commands(command)) {
       System.err.println(
         "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact|card|watch> " +
-          "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake]")
+          "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake] " +
+          "[--backend duckdb]")
       sys.exit(2)
     }
     val configPath = flags.getOrElse("config", "graft_config.yaml")
@@ -86,13 +87,26 @@ object Main {
     val code =
       try run(new Warehouse(spark, cfg), cfg, command,
         positional.drop(1).headOption.getOrElse("all"),
-        flags.getOrElse("dialect", "duckdb"))
+        flags.getOrElse("dialect", "duckdb"),
+        flags.get("backend"))
       finally spark.stop()
     if (code != 0) sys.exit(code)
   }
 
   private def run(wh: Warehouse, cfg: GraftConfig, command: String,
-                  table: String, dialect: String): Int = {
+                  table: String, dialect: String,
+                  backend: Option[String] = None): Int = {
+    // `--backend duckdb`: warehouse side executed by the in-process
+    // DuckDB engine (reference duckdb_backend.py), db file from
+    // `warehouse.duckdb_path` (default duck.db beside the warehouse dir).
+    // The JDBC driver jar must be on the classpath; DriverManager
+    // discovers it, the engine never links it at compile time.
+    val duck = backend.map {
+      case "duckdb" => new graft.warehouse.DuckDbBackend(
+        cfg.duckdbPath.getOrElse(s"${cfg.warehouseDir}/duck.db"))
+      case other => throw new IllegalArgumentException(
+        s"unknown --backend '$other' (expected: duckdb)")
+    }
     var exitCode = 0
     def each(f: String => Unit): Unit =
       if (table == "all") {
@@ -105,19 +119,25 @@ object Main {
 
     command match {
       case "list"   => wh.list().show(100, truncate = false)
+      case "listwh" if duck.isDefined =>
+        duck.get.listTables().foreach(t =>
+          println(s"$t ${duck.get.count(t)} rows"))
       case "listwh" => wh.listwh().show(100, truncate = false)
       case "extract" => each { t =>
         val (files, records) = wh.extract(t)
         println(s"$t: extracted $records records into $files chunks")
       }
       case "load" => each { t =>
-        println(s"$t: loaded ${wh.load(t)} rows")
+        val n = duck.fold(wh.load(t))(d => wh.loadDuck(t, d))
+        println(s"$t: loaded $n rows")
       }
       case "sync" => each { t =>
-        println(s"$t: sync action=${wh.sync(t)}")
+        val action = duck.fold(wh.sync(t))(d => wh.syncDuck(t, d))
+        println(s"$t: sync action=$action")
       }
       case "reload" => each { t =>
-        println(s"$t: reloaded ${wh.reload(t)} rows")
+        val n = duck.fold(wh.reload(t))(d => wh.reloadDuck(t, d))
+        println(s"$t: reloaded $n rows")
       }
       case "ddl" => each { t =>
         println(wh.ddl(t, dialect))

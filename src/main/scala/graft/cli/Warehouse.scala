@@ -54,8 +54,16 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
   /** `extract`: source table → chunked gzip CSV under the data dir
     * (pgwarehouse.py:254-303). Returns (chunk files, records extracted).
     */
-  def extract(name: String): (Long, Long) = {
-    val src = sourceTable(name)
+  def extract(name: String): (Long, Long) = extractFiltered(name, None)
+
+  /** Filtered extract — the incremental-delta path: the predicate lands
+    * in the source scan exactly like the reference injects its watermark
+    * into `\copy (select * from t where ...)` (duckdb_backend.py:157,167;
+    * pgwarehouse.py:275), so only the delta crosses the wire.
+    */
+  def extractFiltered(name: String,
+                      filter: Option[org.apache.spark.sql.Column]): (Long, Long) = {
+    val src = filter.foldLeft(sourceTable(name))(_ where _)
     // records written comes from an observed metric inside the write job
     // (Tables.writeCsvChunks) — ONE source scan per extract; a separate
     // count() would be a second full read on a JDBC source
@@ -264,6 +272,88 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
       s"watch needs a directory source (a landing zone): $src")
     graft.streaming.StreamingSync.incrementalFileSync(spark, src,
       warehousePath(name), s"${cfg.dataDir}/${name}_watch_ckpt")
+  }
+
+  // ───────────────────────── DuckDB warehouse ─────────────────────────
+  // The reference's in-process warehouse (duckdb_backend.py) driven end
+  // to end: the SAME extract/chunk/schema plumbing as the parquet path,
+  // with the warehouse side executed by a real engine. Enabled via
+  // `--backend duckdb` (or `warehouse.duckdb_path` in the config).
+
+  private def pksFor(name: String): Seq[String] =
+    cfg.tables.get(name).flatMap(_.primaryKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** `load --backend duckdb`: replay pending chunks into the DuckDB
+    * table (create-if-missing from the captured schema), archive them,
+    * return the table's row count (duckdb_backend.py:78-110).
+    */
+  def loadDuck(name: String, duck: graft.warehouse.DuckDbBackend,
+               dropTable: Boolean = false): Long = {
+    if (pendingChunks(name).isEmpty)
+      return if (duck.tableExists(name)) duck.count(name) else 0L
+    if (dropTable) duck.dropTable(name)
+    val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
+    duck.createTable(name, schema, pksFor(name))
+    duck.loadChunks(name, chunkDir(name))
+    archiveChunks(name)
+    duck.count(name)
+  }
+
+  /** `reload --backend duckdb`: drop + full extract/load. */
+  def reloadDuck(name: String, duck: graft.warehouse.DuckDbBackend): Long = {
+    extract(name)
+    loadDuck(name, duck, dropTable = true)
+  }
+
+  /** `sync --backend duckdb`: the reference's `update_table` control flow
+    * (duckdb_backend.py:129-197) — bootstrap-on-missing, watermark read
+    * from the WAREHOUSE side, delta-only extract, then COPY-append or
+    * `INSERT OR REPLACE` merge. Returns the action taken.
+    */
+  def syncDuck(name: String, duck: graft.warehouse.DuckDbBackend): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
+    def fullLoad(drop: Boolean): Unit = {
+      extract(name)
+      if (drop) duck.dropTable(name)
+      duck.createTable(name, schema, pksFor(name))
+      duck.loadChunks(name, chunkDir(name))
+      archiveChunks(name)
+    }
+    strategyFor(name) match {
+      case SyncStrategy.Skip => "skip"
+      case SyncStrategy.Reload => fullLoad(drop = true); "reload"
+      case _ if !duck.tableExists(name) => fullLoad(drop = false); "bootstrap"
+      case SyncStrategy.AppendOnly(pks) =>
+        // watermark needs ONE monotone key, like the reference
+        // (duckdb_backend.py:143-144); the parquet engine's composite
+        // anti-join delta has no warehouse-side analog without reading
+        // the whole duck table back out
+        require(pks.size == 1,
+          s"duckdb append-only sync needs a single-column pk, got " +
+            s"${pks.mkString(",")} (reference parity, duckdb_backend.py:143-144)")
+        val wm = duck.maxScalar(name, pks.head)
+        val (_, n) =
+          extractFiltered(name, wm.map(v => col(pks.head) > lit(v)))
+        if (n == 0) "noop"
+        else {
+          duck.loadChunks(name, chunkDir(name)); archiveChunks(name)
+          "append"
+        }
+      case SyncStrategy.Upsert(_, lm) =>
+        // `>=` watermark: boundary-instant rows re-extract and the keyed
+        // INSERT OR REPLACE dedups them — same idempotence argument as
+        // the parquet merge path (duckdb_backend.py:167,190-197)
+        val wm = duck.maxScalar(name, lm)
+        val (_, n) = extractFiltered(name, wm.map(v => col(lm) >= lit(v)))
+        if (n == 0) "noop"
+        else {
+          duck.mergeChunks(name, chunkDir(name), schema)
+          archiveChunks(name)
+          "merge"
+        }
+    }
   }
 
   private def writeAtomic(df: DataFrame, path: String): Unit = {

@@ -1,0 +1,178 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.{GraftConfig, TableOpts, Warehouse}
+import graft.warehouse.DuckDbBackend
+
+/** The reference's e2e pytest shapes (test_postgres.py:88-187) against a
+  * REAL warehouse engine: the in-process DuckDB backend
+  * (duckdb_backend.py), not Derby. Proves count parity for
+  * extract/load/reload/sync, warehouse-side watermarks, cell-level
+  * `INSERT OR REPLACE` upserts, and the no-PK reload-only degraded path —
+  * through the CLI controller's actual chunk plumbing (gzip CSV + schema
+  * capture files), exactly as a user would run `graft sync --backend
+  * duckdb`.
+  *
+  * The DuckDB JDBC driver lives on the TEST classpath only (build.sbt
+  * pulls it from the local cache when present); the whole suite
+  * self-cancels if the driver is absent so `sbt test` stays green on a
+  * driverless classpath.
+  */
+class DuckDbSyncE2ESpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val driverPresent =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private val sourceDir = TestSpark.tmpDir("ducksrc")
+  private val dataDir = TestSpark.tmpDir("duckdata")
+  private val warehouseDir = TestSpark.tmpDir("duckwh")
+  private val dbPath = s"$warehouseDir/duck.db"
+
+  private def cfg() = GraftConfig(
+    sourceDir, warehouseDir, dataDir, None,
+    scala.collection.immutable.ListMap(
+      "dusers" -> TableOpts(primaryKey = Some("id")),
+      "dorders" -> TableOpts(primaryKey = Some("id"),
+        lastModified = Some("order_updated")),
+      "dparks" -> TableOpts(reload = true),
+      "devents" -> TableOpts(primaryKey = Some("site,seq"),
+        lastModified = Some("updated"))),
+    duckdbPath = Some(dbPath))
+
+  private def wh() = new Warehouse(spark, cfg())
+  private def duck() = new DuckDbBackend(dbPath)
+
+  private def writeSource(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$sourceDir/$name.parquet")
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def users(n: Int, from: Int = 1): DataFrame =
+    (from until from + n).map(i =>
+      (i.toLong, s"user$i", s"u$i@example.com", 20 + i % 50))
+      .toDF("id", "name", "email", "age")
+
+  private def orders(rows: Seq[(Long, Double, String)]): DataFrame =
+    rows.map { case (id, amount, upd) => (id, amount, ts(upd)) }
+      .toDF("id", "order_amount", "order_updated")
+
+  private val baseOrders: Seq[(Long, Double, String)] =
+    (1L to 30L).map(i =>
+      (i, 10.0 * i, s"2022-11-0${1 + i % 9} 08:00:00.00000${i % 10}"))
+
+  test("d1 basic sync bootstraps all strategies to count parity in DuckDB") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    writeSource("dusers", users(20))
+    writeSource("dorders", orders(baseOrders))
+    writeSource("dparks", Seq(("Golden Gate", 1017), ("Central", 843))
+      .toDF("park_name", "park_size"))
+    val w = wh()
+    val d = duck()
+    assert(w.syncDuck("dusers", d) == "bootstrap")
+    assert(w.syncDuck("dorders", d) == "bootstrap")
+    assert(w.syncDuck("dparks", d) == "reload")
+    assert(d.count("dusers") == 20L)
+    assert(d.count("dorders") == 30L)
+    assert(d.count("dparks") == 2L)
+    assert(d.listTables() == Seq("dorders", "dparks", "dusers"))
+  }
+
+  test("d2 incremental pk sync appends ONLY rows above the warehouse-side " +
+    "watermark; a no-news resync is a noop") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val w = wh()
+    val d = duck()
+    assert(w.syncDuck("dusers", d) == "noop", "nothing new after d1")
+    writeSource("dusers", users(22)) // ids 1..22: 2 new past the max(id)=20
+    assert(w.syncDuck("dusers", d) == "append")
+    assert(d.count("dusers") == 22L)
+    // the delta extract must carry ONLY the 2 new rows (watermark filter
+    // pushed to the source), visible in the archived chunk row count via
+    // the warehouse count delta asserted above; re-running is a noop again
+    assert(w.syncDuck("dusers", d) == "noop")
+    assert(d.count("dusers") == 22L)
+  }
+
+  test("d3 last-modified sync upserts changed CELLS via INSERT OR REPLACE " +
+    "and appends the new row (reference test_last_modified_sync)") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val w = wh()
+    val d = duck()
+    // mutate rows 18/19 (amount := id, bumped order_updated) + 1 new row,
+    // exactly the reference's update shape
+    val mutated = baseOrders.map {
+      case (id, _, _) if id == 18L || id == 19L =>
+        (id, id.toDouble, "2022-12-01 09:00:00.000000")
+      case other => other
+    } :+ (31L, 9999.9, "2022-12-01 09:00:00.000000")
+    writeSource("dorders", orders(mutated))
+    assert(w.syncDuck("dorders", d) == "merge")
+    assert(d.count("dorders") == 31L, "30 + the inserted row")
+    val byId = d.selectAll("dorders", "id")
+      .map(r => r.head.asInstanceOf[java.lang.Number].longValue() ->
+        r(1).asInstanceOf[java.lang.Number].doubleValue()).toMap
+    assert(byId(18L) == 18.0 && byId(19L) == 19.0,
+      "updated cells replaced in place, not duplicated")
+    assert(byId(17L) == 170.0, "untouched rows keep their values")
+    assert(byId(31L) == 9999.9, "new row landed")
+  }
+
+  test("d4 reload drops and fully reloads; load replays pending chunks " +
+    "with schema pinned from the capture file") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val w = wh()
+    val d = duck()
+    assert(w.reloadDuck("dusers", d) == 22L, "reload keeps count parity")
+    // two-phase extract → load, warehouse table dropped in between
+    // (reference test_extract_load drops via the backend, then loads)
+    w.extract("dorders")
+    d.dropTable("dorders")
+    assert(w.loadDuck("dorders", d) == 31L)
+    // replaying load with zero pending chunks is a no-op, not a wipe
+    assert(w.loadDuck("dorders", d) == 31L)
+  }
+
+  test("d5 composite-key upsert round-trips through a table-level PRIMARY " +
+    "KEY (an upgrade the reference rejects, duckdb_backend.py:143-144)") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val w = wh()
+    val d = duck()
+    def ev(rows: Seq[(String, Long, Double, String)]): DataFrame =
+      rows.map { case (s, q, v, u) => (s, q, v, ts(u)) }
+        .toDF("site", "seq", "value", "updated")
+    writeSource("devents", ev(Seq(
+      ("a", 1L, 1.0, "2023-01-01 00:00:00.000000"),
+      ("a", 2L, 2.0, "2023-01-01 00:00:00.000000"),
+      ("b", 1L, 3.0, "2023-01-01 00:00:00.000000"))))
+    assert(w.syncDuck("devents", d) == "bootstrap")
+    assert(d.count("devents") == 3L)
+    writeSource("devents", ev(Seq(
+      ("a", 1L, 10.0, "2023-02-01 00:00:00.000000"), // updated cell
+      ("a", 2L, 2.0, "2023-01-01 00:00:00.000000"),
+      ("b", 1L, 3.0, "2023-01-01 00:00:00.000000"),
+      ("b", 2L, 4.0, "2023-02-01 00:00:00.000000")))) // new key
+    assert(w.syncDuck("devents", d) == "merge")
+    assert(d.count("devents") == 4L)
+    val cells = d.selectAll("devents", "site").map(r =>
+      (r.head.toString, r(1).asInstanceOf[java.lang.Number].longValue()) ->
+        r(2).asInstanceOf[java.lang.Number].doubleValue()).toMap
+    assert(cells(("a", 1L)) == 10.0, "composite-keyed cell replaced")
+    assert(cells(("b", 2L)) == 4.0, "new composite key inserted")
+  }
+
+  test("d6 catalog surface: exists/count/drop against the live engine") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val d = duck()
+    assert(d.tableExists("dusers") && !d.tableExists("no_such"))
+    intercept[IllegalArgumentException] { d.count("bad-name; drop") }
+    d.dropTable("dparks")
+    assert(!d.tableExists("dparks"))
+  }
+}
