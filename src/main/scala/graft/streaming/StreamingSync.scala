@@ -298,6 +298,8 @@ object StreamingSync {
       .start()
     q.awaitTermination()
     _lastRunProgress.set(q.recentProgress)
+    _lastRunPlan.set(
+      org.apache.spark.sql.graft.StreamingBridge.lastExecutedPlan(q))
     if (!sinkExists(spark, sinkDir)) emptyLike(spark, agg.schema)
     else if (outputMode == "complete") {
       // complete re-emits the WHOLE state per batch, so only the final
@@ -673,6 +675,8 @@ object StreamingSync {
       .start()
     q.awaitTermination()
     _lastRunProgress.set(q.recentProgress)
+    _lastRunPlan.set(
+      org.apache.spark.sql.graft.StreamingBridge.lastExecutedPlan(q))
     // a started query that emitted ZERO rows (normal under the watermarked
     // session path: every session still open at end of drain) leaves a
     // _spark_metadata dir but no data files — read.parquet then fails
@@ -707,6 +711,19 @@ object StreamingSync {
   def lastRunProgress:
       Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
     _lastRunProgress.get()
+
+  private val _lastRunPlan = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  /** The EXECUTED physical plan of the final micro-batch of the most
+    * recent run on this thread (`IncrementalExecution.executedPlan` via
+    * the StreamingBridge) — the streaming analog of
+    * `queryExecution.executedPlan` that lets PlanAuditSpec put the
+    * streaming twins under the same shuffle budgets as the batch queries
+    * (round-9 ask #8). Same thread-local discipline as lastRunProgress.
+    */
+  def lastRunPlan: Option[String] = _lastRunPlan.get()
 
   /** Streaming exact dedup. Batch-parity runs (no `graft.stream.watermark`)
     * keep one state entry per distinct key forever — correct for an

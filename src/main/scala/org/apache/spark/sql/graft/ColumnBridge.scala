@@ -15,6 +15,25 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge to the `private[sql]` streaming execution internals: the last
+  * micro-batch's EXECUTED physical plan of a finished StreamingQuery.
+  * Lets the plan audit budget the streaming twins' shuffles exactly like
+  * the batch queries (round-9 ask #8) — `IncrementalExecution` is the
+  * real per-batch plan, including the state-store operators and whatever
+  * Exchanges feed them.
+  */
+object StreamingBridge {
+  def lastExecutedPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString)
+      case s: org.apache.spark.sql.execution.streaming.runtime.StreamExecution =>
+        Option(s.lastExecution).map(_.executedPlan.toString)
+      case _ => None
+    }
+}
+
 /** Bridge to `private[sql] Dataset.ofRows` — lets the plan audit re-wrap a
   * logical subtree (e.g. the build side of a whitelisted non-equi join) as
   * a DataFrame and count it, asserting the broadcast relation really is

@@ -255,6 +255,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(over.isEmpty, s"shuffle-budget regressions:\n  ${over.mkString("\n  ")}")
   }
 
+  test("round-9 streaming twins stay within their micro-batch shuffle " +
+    "budgets (IncrementalExecution plans via the StreamingBridge)") {
+    // The streaming twins run to completion at construction, so the batch
+    // budget test cannot see their plans; StreamingSync.lastRunPlan
+    // exposes the final micro-batch's EXECUTED plan (state-store
+    // operators included). Budgets = current known-good plans at sf0.001:
+    // quality gate and attribution are one stateful agg each (ONE hash
+    // exchange feeding the state store); decontaminate is the broadcast
+    // 8-gram anti-join chain (same 4-exchange budget as its batch twin
+    // x_decontaminate — the broadcasts themselves are not Exchanges).
+    val budget = Map(
+      "stream_quality_gate" -> 1,
+      "stream_decontaminate" -> 4,
+      "stream_attribution" -> 1)
+    val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      SparkEntry.queries(name)(spark, sf).count() // drains the stream
+      val plan = graft.streaming.StreamingSync.lastRunPlan
+        .getOrElse(fail(s"$name left no captured micro-batch plan"))
+      val n = "Exchange".r.findAllIn(plan).size
+      if (n > cap) Some(s"$name: $n exchanges > budget $cap") else None
+    }
+    assert(over.isEmpty,
+      s"streaming shuffle-budget regressions:\n  ${over.mkString("\n  ")}")
+  }
+
   test("partitioned layout scan prunes to the filtered partition directory") {
     val df = SparkEntry.queries("s5_partitioned_prune")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString
