@@ -16,10 +16,10 @@ libraryDependencies ++= Seq(
 // lets the warehouse-backend e2e suite exercise a real engine instead of
 // Derby while leaving the production classpath untouched.
 Test / unmanagedJars ++= {
-  val cached = file(sys.props("user.home")) / ".cache" / "coursier" / "v1" /
-    "https" / "internal-mirror(redacted)" / "artifactory" / "maven-all" /
-    "org" / "duckdb" / "duckdb_jdbc" / "1.0.0" / "duckdb_jdbc-1.0.0.jar"
-  if (cached.exists) Seq(Attributed.blank(cached)) else Seq.empty
+  // glob the cache rather than assuming any mirror's directory layout
+  val cacheRoot = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cacheRoot ** "duckdb_jdbc-*.jar").get
+    .headOption.map(Attributed.blank).toSeq
 }
 Test / fork := true
 run / fork := true
