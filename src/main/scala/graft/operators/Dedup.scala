@@ -413,6 +413,44 @@ object Dedup {
       .withColumn("keep", col("id") === min(col("id")).over(w))
   }
 
+  /** Cross-corpus LINE-level dedup — the MassiveText/CCNet boilerplate
+    * stage: any normalized line occurring more than `maxDf` times across
+    * the corpus (nav bars, cookie banners, footers) is struck from every
+    * document; body lines survive. Distinct from [[passage dedup]]
+    * (token windows, first-occurrence-wins) and within-doc dedup: the
+    * unit is the author's line structure and the verdict is corpus-wide
+    * frequency, not pairwise similarity.
+    *
+    * Output per doc: total/kept line counts and the order-exact md5 of
+    * the kept line sequence (the same compact readout the passage ops
+    * use — reassembled text stays out of the result).
+    *
+    * Scale (100 TB): lines explode to (doc, pos, 32-byte line-hash)
+    * rows; the frequency verdict is ONE count window over the line-hash
+    * (never the line text — constant-width shuffle keys), and the per-doc
+    * reassembly is the second, (doc)-keyed exchange. No joins, no
+    * distinct — 2 exchanges total, pinned in PlanAuditSpec.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDf: Long = 10L): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
+      .withColumn("lp",
+        md5(regexp_replace(trim(lower(col("line"))), "\\s+", " ")))
+    val wDf = Window.partitionBy(col("lp"))
+    lines
+      .withColumn("line_df", count(lit(1)).over(wDf))
+      .withColumn("keep", col("line_df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n")).as("kept_fp"))
+  }
+
   /** Duplication report: how many exact-dup clusters exist at each copy
     * count. The report every curation run ships next to its output — it is
     * the one-page answer to "how duplicated was this crawl". Two grouped

@@ -109,6 +109,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** HTML → text extraction — the first transform of every web-crawl
+    * ingest (the corpus ships extracted text; real crawls ship markup).
+    * Deterministic regex pipeline in the Java-regex/RE2 common subset so
+    * the oracle matches byte-for-byte:
+    *
+    *   1. drop `<script>`/`<style>` blocks WITH their contents (lazy
+    *      `(?s)` spans — tag-stripping alone would leak code/CSS as text);
+    *   2. strip remaining tags to a space (block boundaries must separate
+    *      words, not concatenate them);
+    *   3. decode the named entities that survive extraction, `&amp;`
+    *      strictly LAST (decoding it first would double-decode
+    *      `&amp;lt;` into `<`);
+    *   4. collapse whitespace, trim.
+    *
+    * A real deployment swaps in a DOM-aware extractor for malformed
+    * markup; the regex ladder is the deterministic, cross-engine-exact
+    * core with the same signature. Pure per-row codegen, zero shuffle.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(noTags, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   val STOPWORDS_EN: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 

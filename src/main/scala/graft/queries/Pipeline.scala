@@ -794,6 +794,50 @@ object Pipeline {
         |  id = min(id) OVER (PARTITION BY url_canon) AS keep
         |FROM uc""".stripMargin)),
 
+    // ── Dedup: cross-corpus LINE-level boilerplate strike — the
+    //    MassiveText/CCNet stage: normalized lines occurring > maxDf
+    //    times anywhere in the corpus (nav bars, footers) are struck
+    //    from every doc. The corpus ships single-line text, so the
+    //    fixture derives the line structure in-query the way the URL/
+    //    snapshot fixtures derive theirs: a per-source nav header
+    //    (df ≈ docs-per-source ≫ 10 → struck), the body re-wrapped at 12
+    //    tokens/line (near-unique → kept), a global footer (df = corpus
+    //    → struck). 2 exchanges: line-hash frequency window + per-doc
+    //    reassembly — no joins, 32-byte shuffle keys only ─────────────────
+    "x_dedup_lines" -> Q(
+      (s, d) => {
+        val body = transform(
+          sequence(lit(1), expr("CAST(ceil(size(toks)/12.0) AS INT)")),
+          i => concat_ws(" ", slice(col("toks"), (i - 1) * 12 + 1, lit(12))))
+        val lined = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), "\\s+").as("toks"))
+          .select(col("doc_id"), concat_ws("\n",
+            concat(lit("nav home about "), col("source")),
+            array_join(body, "\n"),
+            lit("copyright footer terms")).as("lined"))
+        Dedup.lineDedup(lined, "doc_id", "lined", maxDf = 10L)
+      },
+      Some("""WITH ld_t AS (SELECT doc_id, source,
+        |    string_split_regex(text, '\s+') AS l FROM documents),
+        |ld_doc AS (SELECT doc_id,
+        |    'nav home about ' || source || chr(10) ||
+        |    array_to_string([array_to_string(l[(i-1)*12+1:(i-1)*12+12], ' ')
+        |      FOR i IN generate_series(1, CAST(ceil(len(l)/12.0) AS INTEGER))], chr(10)) ||
+        |    chr(10) || 'copyright footer terms' AS lined
+        |  FROM ld_t),
+        |ld_e AS (SELECT doc_id, i AS pos, sl[i] AS line
+        |  FROM (SELECT doc_id, string_split(lined, chr(10)) AS sl FROM ld_doc),
+        |  LATERAL (SELECT unnest(generate_series(1, len(sl))) AS i)),
+        |ld_c AS (SELECT doc_id, pos, line, count(*) OVER (PARTITION BY
+        |    md5(regexp_replace(trim(lower(line)), '\s+', ' ', 'g'))) AS line_df
+        |  FROM ld_e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN line_df <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE line_df <= 10), '')) AS kept_fp
+        |FROM ld_c GROUP BY doc_id""".stripMargin)),
+
     // ── Dedup: incremental batch-vs-corpus triage — every incoming doc
     //    (odd ids) is dropped/kept against the existing corpus (even ids)
     //    with the reason a curation run logs; ONE band table over
@@ -2490,6 +2534,61 @@ object Pipeline {
         |  (CASE WHEN n_tokens > 0 THEN (n_bad * 10000) // n_tokens
         |        ELSE 0 END) < 500 AS keep
         |FROM bl_c""".stripMargin)),
+
+    // ── Ingest: HTML → text extraction — the FIRST transform of every
+    //    web-crawl pipeline (the corpus ships extracted text; real crawls
+    //    ship markup), so the fixture derives the markup in-query:
+    //    title + entities, a <style> block, a <script> whose BODY
+    //    contains markup-looking text ("<p>ignore</p>" — leaks into the
+    //    output iff block-removal runs after tag-stripping, making the
+    //    step order self-testing), and entity-encoded angle brackets
+    //    that must survive extraction AS TEXT. Deterministic regex
+    //    ladder (TextAnalysis.htmlToText) in the Java-regex/RE2 common
+    //    subset; output is counts + fingerprint, never reassembled text.
+    //    Pure per-row codegen, zero shuffle (PlanAuditSpec-pinned) ──────────
+    "x_extract_html" -> Q(
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit(" &amp; more</title><style>p{color:red}</style>"),
+          lit("<script>var x = \"<p>ignore</p>\";</script></head><body><h1>"),
+          upper(col("source")), lit("</h1><p>"), col("text"),
+          lit("</p><div class=\"nav\">menu &amp; links &lt;here&gt;&nbsp;now" +
+            "</div></body></html>"))
+        t(s, d, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            length(col("html")).cast("long").as("n_chars_html"),
+            regexp_extract(col("html"), "<title>(.*?)</title>", 1)
+              .as("title_raw"),
+            TextAnalysis.htmlToText(col("html")).as("text_out"))
+          .select(col("doc_id"), col("n_chars_html"), col("title_raw"),
+            length(col("text_out")).cast("long").as("n_chars_text"),
+            md5(col("text_out")).as("text_fp"))
+      },
+      Some("""WITH xh AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    ' &amp; more</title><style>p{color:red}</style>' ||
+        |    '<script>var x = "<p>ignore</p>";</script></head><body><h1>' ||
+        |    upper(source) || '</h1><p>' || text ||
+        |    '</p><div class="nav">menu &amp; links &lt;here&gt;&nbsp;now' ||
+        |    '</div></body></html>' AS html
+        |  FROM documents),
+        |xt AS (SELECT doc_id, html,
+        |    trim(regexp_replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+        |      '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text_out
+        |  FROM xh)
+        |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
+        |  regexp_extract(html, '<title>(.*?)</title>', 1) AS title_raw,
+        |  CAST(length(text_out) AS BIGINT) AS n_chars_text,
+        |  md5(text_out) AS text_fp
+        |FROM xt""".stripMargin)),
 
     // ── Safety: PII redaction (emails + long digit runs), reported as the
     //    redacted-text fingerprint + counts so outputs stay compact ─────────

@@ -612,6 +612,37 @@ class DedupSpec extends AnyFunSuite {
       s"canonical not a fixpoint: '${r.getString(0)}' → '${r.getString(1)}'"))
   }
 
+  test("line dedup: corpus-frequent boilerplate lines are struck from " +
+    "every doc, unique body lines survive in order") {
+    import spark.implicits._
+    // 12 docs share a nav line (df=12 > maxDf=3) and a footer (df=12);
+    // each has a unique body line; docs 1-2 ALSO share one body line
+    // (df=2 ≤ 3 → kept — frequency, not mere sharing, is the verdict)
+    val docs = (1L to 12L).map { i =>
+      val sharedBody = if (i <= 2) "\nshared section text" else ""
+      // doc 12's nav differs in case + spacing — normalization must fold
+      // it into the same frequency bucket (df still 12)
+      val nav = if (i == 12) "nav  HOME about" else "NAV   Home About"
+      (i, s"$nav\nbody text number $i$sharedBody\nCopyright Footer")
+    }.toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", maxDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(5L)._1 == 3 && out(5L)._2 == 1, s"doc 5: ${out(5L)}")
+    assert(out(1L)._1 == 4 && out(1L)._2 == 2,
+      s"doc 1 keeps its unique body AND the df=2 shared line: ${out(1L)}")
+    // kept fingerprint = md5 of the kept line sequence, original order/case
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(5L)._3 == md5hex("body text number 5"))
+    assert(out(1L)._3 == md5hex("body text number 1\nshared section text"),
+      "kept lines join in document order with original bytes")
+    // normalization: case/extra-space variants of the nav line still
+    // count into one frequency bucket (all 12 struck despite 'NAV   Home')
+    assert(out.values.forall(_._2 < out(1L)._1),
+      "no doc kept its nav/footer")
+  }
+
   test("NCD verify: identical pair scores near zero, a diverged near-dup " +
     "scores strictly higher; values equal the plain-Scala recompute") {
     import spark.implicits._

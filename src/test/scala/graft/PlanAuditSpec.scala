@@ -167,6 +167,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_repetition", "x_repetition_ratio", "x_fingerprint",
       "x_normalize_text", "x_redact_pii", "x_filter_blocklist",
       "x_compressibility", "x_filter_gopher", "x_chunk_docs", "x_split_assign",
+      "x_extract_html",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
       "x_multimodal_frames", "x_embed_rp_reduce", "x_embed_int8")
     val shuffling = narrowByDesign.filter { name =>
@@ -206,6 +207,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // re-agg (doc_id is a SUBSET of the window keys, so it genuinely
       // re-shuffles — unlike pack_masked's superset grouping)
       "x_dedup_within_doc" -> 2,
+      // line dedup: the corpus-wide line-hash frequency window + the
+      // per-doc reassembly agg — no joins, 32-byte shuffle keys
+      "x_dedup_lines" -> 2,
+      // url dedup: ONE hash exchange on the canonical string (both the
+      // n_copies count and keep-first verdict ride the same window)
+      "x_dedup_url" -> 1,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,

@@ -176,6 +176,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       "Java compareTo must disagree here or the UTF-8 comparator is unmotivated")
   }
 
+  test("htmlToText: script/style bodies never leak, entities decode once " +
+    "(&amp;lt; stays literal), block tags separate words") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script body contains markup-looking text — must vanish WITH the
+      // block, not survive tag-stripping
+      (1L, """<p>keep</p><script>var a = "<p>leak</p>";</script><p>too</p>"""),
+      (2L, "<style>p{color:red}</style><b>bold</b> text"),
+      // double-decode guard: &amp;lt; is the TEXT "&lt;", never "<"
+      (3L, "<p>a &amp;lt; b &amp; c &lt;tag&gt; d&nbsp;e</p>"),
+      // block boundaries must become spaces, not concatenation
+      (4L, "<div>alpha</div><div>beta</div>"),
+      (5L, "  <p>  spaced   out  </p>  "))
+    val out = cases.toDF("id", "html")
+      .select(col("id"), TextAnalysis.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "keep too", s"script body leaked: '${out(1L)}'")
+    assert(out(2L) == "bold text", s"style body leaked: '${out(2L)}'")
+    assert(out(3L) == "a &lt; b & c <tag> d e",
+      s"entity decode wrong: '${out(3L)}'")
+    assert(out(4L) == "alpha beta", s"blocks concatenated: '${out(4L)}'")
+    assert(out(5L) == "spaced out", s"whitespace not collapsed: '${out(5L)}'")
+  }
+
   test("multimodal metadata + stub decode are deterministic functions of bytes") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "different")).toDF("doc_id", "text")
     val meta = Multimodal.withPayloadMeta(df, "text").collect()
