@@ -113,6 +113,90 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ResizedImage(doc_id: Long, src_w: Int, src_h: Int,
+                          out_w: Int, out_h: Int, out_digest: String,
+                          out_mean: Double)
+
+  /** Resize one payload to (outW, outH): real NEAREST-NEIGHBOR resample
+    * for decodable images — NN sampling is bit-exact on every JVM,
+    * unlike Graphics2D interpolation, so the output digest is a stable
+    * contract — and the md5-derived deterministic fake otherwise (same
+    * src_w/src_h formulas as [[decodeOne]], so decode and resize agree
+    * on the fake geometry; out_digest binds the input digest to the
+    * target shape so different resize targets cannot hash-collide).
+    */
+  private def resizeOne(md: java.security.MessageDigest, id: Long,
+                        bytes: Array[Byte], outW: Int, outH: Int): ResizedImage = {
+    if (looksLikeImage(bytes)) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img != null) {
+        val buf = new Array[Byte](outW * outH * 3)
+        var sum = 0L
+        var i = 0
+        var oy = 0
+        while (oy < outH) {
+          var ox = 0
+          while (ox < outW) {
+            val sx = (ox.toLong * img.getWidth / outW).toInt
+            val sy = (oy.toLong * img.getHeight / outH).toInt
+            val rgb = img.getRGB(sx, sy)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            buf(i) = r.toByte; buf(i + 1) = g.toByte; buf(i + 2) = b.toByte
+            sum += r + g + b
+            i += 3; ox += 1
+          }
+          oy += 1
+        }
+        md.reset()
+        val dig = md.digest(buf).map("%02x".format(_)).mkString
+        return ResizedImage(id, img.getWidth, img.getHeight, outW, outH,
+          dig, sum.toDouble / (3L * outW * outH))
+      }
+    }
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    md.reset()
+    val dig = md.digest((hex + s"x${outW}x${outH}").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    ResizedImage(id, 16 + hex(0).toInt % 16, 16 + hex(1).toInt % 16,
+      outW, outH, dig, hex.map(_.toInt).sum.toDouble / 32)
+  }
+
+  /** The resize step of an image-preprocessing pipeline (decode →
+    * RESIZE → feature-extract), partition-batched like [[decodePayload]]:
+    * one output row per payload with the source/target geometry, the
+    * resized buffer's digest (the dedup/caching key downstream stages
+    * join on), and the mean channel value. Narrow map, no shuffle; the
+    * resized buffer itself is transient per-row scratch — only digest +
+    * stats leave the task, so 100 TB of images never re-materialize.
+    */
+  def resizePayload(spark: SparkSession, df: DataFrame, idCol: String,
+                    payloadCol: String, outW: Int = 32,
+                    outH: Int = 32): DataFrame = {
+    require(outW > 0 && outH > 0, s"target must be positive: ${outW}x$outH")
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+      .where(col("payload").isNotNull)
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) => resizeOne(md, id, bytes, outW, outH) }
+    }.toDF()
+  }
+
+  /** Corpus entry point for the resize step (utf-8 stand-in payloads →
+    * the deterministic-fake path, oracle-checked like decodeFeatures).
+    */
+  def resizeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                     textCol: String, outW: Int = 32, outH: Int = 32): DataFrame =
+    resizePayload(spark,
+      df.select(col(idCol), encode(col(textCol), "utf-8").as("__payload")),
+      idCol, "__payload", outW, outH)
+
   case class Frame(doc_id: Long, frame_idx: Long, start_byte: Long,
                    energy: Long, peak: Long)
 

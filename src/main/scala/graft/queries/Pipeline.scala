@@ -2773,6 +2773,26 @@ object Pipeline {
         |  CAST(list_sum([ascii(c) FOR c IN regexp_extract_all(hx, '.')]) AS DOUBLE) / 32 AS hex_mean
         |FROM h""".stripMargin)),
 
+    // ── Multimodal: the RESIZE step (decode → resize → feature-extract)
+    //    — real nearest-neighbor resample for decodable images (bit-exact
+    //    on every JVM, so the output digest is a stable dedup/cache key;
+    //    unit-spec'd on generated PNGs), md5-derived deterministic fake
+    //    for the corpus's utf-8 stand-ins (oracle-mirrored below; same
+    //    src geometry formulas as x_multimodal_decode, so decode and
+    //    resize agree). Only digest + stats leave the task — the resized
+    //    buffer never rematerializes at 100 TB ─────────────────────────────
+    "x_multimodal_resize" -> Q(
+      (s, d) => Multimodal.resizeFeatures(s, t(s, d, "documents"),
+        "doc_id", "text"),
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+        |SELECT doc_id,
+        |  16 + ascii(substr(hx, 1, 1)) % 16 AS src_w,
+        |  16 + ascii(substr(hx, 2, 1)) % 16 AS src_h,
+        |  32 AS out_w, 32 AS out_h,
+        |  md5(hx || 'x32x32') AS out_digest,
+        |  CAST(list_sum([ascii(c) FOR c IN regexp_extract_all(hx, '.')]) AS DOUBLE) / 32 AS out_mean
+        |FROM h""".stripMargin)),
+
     // ── Salted equi-join: the generic skew mitigation — the hot side's key
     //    gains an md5 salt (8 shards), the dim side is replicated once per
     //    salt, and the join key becomes (key, salt) so one hot user spreads

@@ -76,6 +76,48 @@ class MultimodalSpec extends AnyFunSuite {
       "truncated JPEG → fallback")
   }
 
+  test("resize: nearest-neighbor downsample of a half/half PNG hits the " +
+    "exact mixed mean; output digest is deterministic and shape-bound") {
+    // left half black, right half white, 8x4 → resized 4x2 samples
+    // columns 0,2,4,6 → 2 black + 2 white per row → mean exactly 127.5
+    val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val halfhalf = bos.toByteArray
+    val df = Seq((1L, halfhalf)).toDF("doc_id", "payload")
+    def run() = Multimodal.resizePayload(spark, df, "doc_id", "payload",
+      outW = 4, outH = 2).collect().head
+    val r1 = run(); val r2 = run()
+    assert((r1.getInt(1), r1.getInt(2)) == ((8, 4)), "source geometry")
+    assert((r1.getInt(3), r1.getInt(4)) == ((4, 2)), "target geometry")
+    assert(r1.getDouble(6) == 127.5,
+      s"NN sample of half/half must mix exactly: ${r1.getDouble(6)}")
+    assert(r1.getString(5) == r2.getString(5),
+      "resized-buffer digest is run-stable (the downstream cache key)")
+    // different target shape → different digest even for the same input
+    val other = Multimodal.resizePayload(spark, df, "doc_id", "payload",
+      outW = 2, outH = 2).collect().head
+    assert(other.getString(5) != r1.getString(5), "digest binds the shape")
+  }
+
+  test("resize fallback mirrors the decode fake's geometry and binds the " +
+    "target shape into the digest") {
+    val bytes = "not an image at all".getBytes("UTF-8")
+    val df = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val row = Multimodal.resizePayload(spark, df, "doc_id", "payload")
+      .collect().head
+    def md5hex(b: Array[Byte]) = java.security.MessageDigest
+      .getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    val hex = md5hex(bytes)
+    assert(row.getInt(1) == 16 + hex(0).toInt % 16 &&
+      row.getInt(2) == 16 + hex(1).toInt % 16,
+      "fake src geometry matches decodeOne's formulas")
+    assert(row.getString(5) == md5hex((hex + "x32x32").getBytes("UTF-8")))
+    assert(row.getDouble(6) == hex.map(_.toInt).sum.toDouble / 32)
+  }
+
   test("frameFeatures windows bytes with hop overlap; short payloads skip") {
     import spark.implicits._
     // 10 bytes, frame 4, hop 2 → frames at 0,2,4,6 (start+4 <= 10)

@@ -169,7 +169,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_compressibility", "x_filter_gopher", "x_chunk_docs", "x_split_assign",
       "x_extract_html",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
-      "x_multimodal_frames", "x_embed_rp_reduce", "x_embed_int8")
+      "x_multimodal_frames", "x_multimodal_resize",
+      "x_embed_rp_reduce", "x_embed_int8")
     val shuffling = narrowByDesign.filter { name =>
       SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString.contains("Exchange")
