@@ -30,6 +30,63 @@ object Pipeline {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  /** The URL-dedup fixture: a synthetic URL derived from (source,
+    * doc_id) — the corpus has no URL column — with deliberate per-doc
+    * noise in exactly the dimensions canonicalization must erase (host
+    * case, www, trailing slash, tracking params, fragment) and a
+    * (source, doc_id % 46) canonical key so real collisions exist.
+    * Shared by the batch query and its streaming twin so both dedup the
+    * SAME url population.
+    */
+  private[graft] def syntheticUrl(docId: org.apache.spark.sql.Column,
+                                  source: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val k = (docId % 46).cast("string")
+    concat(
+      when(docId % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+      upper(source), lit(".example.com/Docs/"), k,
+      when(docId % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), k, lit("&utm_source=feed"),
+      when(docId % 5 === 0, lit("&ref=tw")).otherwise(lit("")),
+      when(docId % 4 === 0, lit("#section")).otherwise(lit("")))
+  }
+
+  /** DuckDB twin of [[syntheticUrl]] + [[graft.operators.Dedup
+    * .canonicalUrl]]: CTEs `uf` (id, url) → `uc` (id, url, url_canon).
+    * Consumers interpolate this into their own `.stripMargin` templates,
+    * which re-strips the FRAGMENT's lines too — so no line here may
+    * start with `|` after the first strip (a leading `||` concat loses a
+    * pipe and becomes bitwise-or); concat operators sit at line ENDS.
+    */
+  private[graft] val urlCanonCtesSql: String =
+    """uf AS (SELECT doc_id AS id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END ||
+      |     upper(source) || '.example.com/Docs/' ||
+      |     CAST(doc_id % 46 AS VARCHAR) ||
+      |     CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |     '?id=' || CAST(doc_id % 46 AS VARCHAR) || '&utm_source=feed' ||
+      |     CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END ||
+      |     CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END) AS url
+      |  FROM documents),
+      |up AS (SELECT id, url,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS q
+      |  FROM uf),
+      |uc AS (SELECT id, url,
+      |    regexp_replace(lower(regexp_extract(base,
+      |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+      |      '^([a-z0-9+.-]+://)www\.', '\1') ||
+      |    regexp_replace(regexp_replace(base,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), '/+$', '') ||
+      |    CASE WHEN array_to_string(list_filter(string_split(q, '&'),
+      |         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+      |           AND p <> ''), '&') <> ''
+      |       THEN '?' || array_to_string(list_filter(string_split(q, '&'),
+      |         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+      |           AND p <> ''), '&')
+      |       ELSE '' END AS url_canon
+      |  FROM up)""".stripMargin
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -748,51 +805,25 @@ object Pipeline {
     //    Canonicalization is a per-row regex map (zero shuffle); the
     //    verdict costs ONE hash exchange on the canonical string ───────────
     "x_dedup_url" -> Q(
-      (s, d) => {
-        val k = (col("doc_id") % 46).cast("string")
-        val url = concat(
-          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
-            .otherwise(lit("https://")),
-          upper(col("source")), lit(".example.com/Docs/"), k,
-          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
-          lit("?id="), k, lit("&utm_source=feed"),
-          when(col("doc_id") % 5 === 0, lit("&ref=tw")).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0, lit("#section")).otherwise(lit("")))
-        Dedup.urlDedup(
-          t(s, d, "documents").select(col("doc_id").as("id"), url.as("url")),
-          "id", "url")
-      },
-      Some("""WITH uf AS (SELECT doc_id AS id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
-        |     || upper(source) || '.example.com/Docs/'
-        |     || CAST(doc_id % 46 AS VARCHAR)
-        |     || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
-        |     || '?id=' || CAST(doc_id % 46 AS VARCHAR) || '&utm_source=feed'
-        |     || CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END
-        |     || CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END) AS url
-        |  FROM documents),
-        |up AS (SELECT id, url,
-        |    regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
-        |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS q
-        |  FROM uf),
-        |uc AS (SELECT id, url,
-        |    regexp_replace(lower(regexp_extract(base,
-        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
-        |      '^([a-z0-9+.-]+://)www\.', '\1')
-        |    || regexp_replace(regexp_replace(base,
-        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), '/+$', '')
-        |    || CASE WHEN array_to_string(list_filter(string_split(q, '&'),
-        |         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
-        |           AND p <> ''), '&') <> ''
-        |       THEN '?' || array_to_string(list_filter(string_split(q, '&'),
-        |         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
-        |           AND p <> ''), '&')
-        |       ELSE '' END AS url_canon
-        |  FROM up)
+      (s, d) => Dedup.urlDedup(
+        t(s, d, "documents").select(col("doc_id").as("id"),
+          Pipeline.syntheticUrl(col("doc_id"), col("source")).as("url")),
+        "id", "url"),
+      Some(s"""WITH $urlCanonCtesSql
         |SELECT id, url, url_canon,
         |  CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_copies,
         |  id = min(id) OVER (PARTITION BY url_canon) AS keep
         |FROM uc""".stripMargin)),
+
+    // ── Structured Streaming: online URL seen-set — the streaming twin
+    //    of x_dedup_url's strike decision: canonical URLs emit exactly
+    //    once as documents land (dropDuplicates state keyed on the
+    //    canonical string; same fixture URL population as the batch
+    //    query). The crawl-frontier "have we fetched this page" check ──────
+    "stream_url_dedup" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamingUrlDedup(s, d),
+      Some(s"""WITH $urlCanonCtesSql
+        |SELECT DISTINCT url_canon FROM uc""".stripMargin)),
 
     // ── Dedup: cross-corpus LINE-level boilerplate strike — the
     //    MassiveText/CCNet stage: normalized lines occurring > maxDf

@@ -754,6 +754,28 @@ object StreamingSync {
     runAppendSink(ss, distinctRows, base, "graft_stream_dedup")
   }
 
+  /** Streaming URL seen-set — the crawl-frontier "have we fetched this
+    * page" check: canonical URLs emit exactly once as documents land
+    * (append-mode dropDuplicates keyed on the CANONICAL string, so case/
+    * www/tracking/fragment variants of one page collapse into one state
+    * entry). Same fixture URL population as the batch `x_dedup_url`.
+    * State is one entry per distinct canonical URL — correct for an
+    * AvailableNow backfill over a bounded corpus; an unbounded frontier
+    * deployment bounds it exactly like [[streamingDedup]]'s watermarked
+    * path (documents carry no event time here, so the bounded-corpus
+    * contract is the one this twin pins).
+    */
+  def streamingUrlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "urldedup")
+    val docs = tableStream(ss, sfDir, "documents", base)
+    val canon = graft.operators.Dedup.canonicalUrl(
+      graft.queries.Pipeline.syntheticUrl(col("doc_id"), col("source")))
+    runAppendSink(ss,
+      docs.select(canon.as("url_canon")).dropDuplicates("url_canon"),
+      base, "graft_stream_url_dedup")
+  }
+
   /** Stream-stream self-join: (purchase, click) pairs within the
     * `beforeUs` window before each purchase, computed with BOTH sides as
     * streams — the engine buffers each side's rows in the state store and

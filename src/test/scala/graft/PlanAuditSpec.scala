@@ -21,6 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
       "stream_corpus_hist", "stream_quality_gate", "stream_decontaminate",
       "stream_event_spikes", "stream_attribution", "stream_cell_occupancy",
+      "stream_url_dedup",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
@@ -276,7 +277,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val budget = Map(
       "stream_quality_gate" -> 1,
       "stream_decontaminate" -> 4,
-      "stream_attribution" -> 1)
+      "stream_attribution" -> 1,
+      // URL seen-set: canonicalization is per-row; ONE exchange feeds
+      // the dropDuplicates state store
+      "stream_url_dedup" -> 1)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       SparkEntry.queries(name)(spark, sf).count() // drains the stream
       val plan = graft.streaming.StreamingSync.lastRunPlan

@@ -635,6 +635,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming URL seen-set equals the batch canonical-URL domain at " +
+    "sf0.001, one emission per canonical") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSync.streamingUrlDedup(spark, sf)
+      .collect().map(_.getString(0))
+    val batch = SparkEntry.queries("x_dedup_url")(spark, sf)
+      .select("url_canon").distinct().collect().map(_.getString(0))
+    assert(streamed.length == streamed.distinct.length,
+      "append-mode dropDuplicates emits each canonical exactly once")
+    assert(streamed.toSet == batch.toSet,
+      "stream and batch agree on the canonical-URL domain")
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync.streamStaticEnrich(spark, sf)
