@@ -394,6 +394,39 @@ object Dedup {
       when(keptQuery =!= "", concat(lit("?"), keptQuery)).otherwise(lit("")))
   }
 
+  /** The canonical HOST of a URL (lowercased, `www.`-stripped authority of
+    * [[canonicalUrl]]) — the grouping key for per-domain policies (C4-style
+    * page caps, domain blocklists, crawl budgets). ONE definition shared by
+    * the batch cap and its streaming twin so the two can never disagree on
+    * what a "domain" is (lockstep rule).
+    */
+  def canonicalHost(url: Column): Column =
+    regexp_extract(canonicalUrl(url), "^[a-z0-9+.-]+://([^/?]*)", 1)
+
+  /** C4-style per-domain page cap: rank each page within its canonical
+    * host by ascending `idCol` and keep the first `cap` — the crawl-budget
+    * stage that stops a single mega-site from dominating the corpus (C4
+    * famously capped pages per domain for exactly this reason). Output per
+    * page: (id, host, rn, keep).
+    *
+    * Scale (100 TB): canonicalization + host extraction are narrow per-row
+    * maps; the verdict is ONE hash exchange on the host string. Host
+    * cardinality at crawl scale is tens of millions, so partitions stay
+    * balanced — EXCEPT for mega-hosts (the very sites the cap exists for),
+    * whose windows sort within one partition. The sort is bounded by that
+    * host's page count, and because only rank ≤ cap survives, a deployment
+    * that must bound even the sort can pre-filter with a per-partition
+    * count-min pass; at this corpus's host fan-out the plain window is the
+    * right plan (1-exchange budget pinned in PlanAuditSpec).
+    */
+  def domainCap(df: DataFrame, idCol: String, urlCol: String,
+                cap: Long = 12L): DataFrame = {
+    val w = Window.partitionBy(col("host")).orderBy(col(idCol))
+    df.select(col(idCol), canonicalHost(col(urlCol)).as("host"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("keep", col("rn") <= cap)
+  }
+
   /** URL-level dedup: keep-first (min id) per canonical URL — the first
     * curation stage of a web pipeline, run before any content hashing
     * because it needs no document bytes at all. Output is the per-doc

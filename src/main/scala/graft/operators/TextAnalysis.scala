@@ -145,6 +145,32 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** SFT chat-template assembly: the first `promptToks` whitespace tokens
+    * become the user turn, the next ≤ `maxCompletion` the assistant turn,
+    * rendered into a fixed template with a context budget of
+    * promptToks + maxCompletion tokens and a truncation flag. Documents
+    * too short to yield a non-trivial completion (< promptToks + 4
+    * tokens) are dropped — a 1-token "completion" teaches nothing.
+    * Output: (id, example, n_ctx, truncated). Case is PRESERVED (unlike
+    * [[tokens]] — a chat example is surface text, not a feature), and the
+    * whole operator is per-row array slicing: zero Exchange, pinned in
+    * PlanAuditSpec.
+    */
+  def sftFormat(df: DataFrame, idCol: String, textCol: String,
+                promptToks: Int = 12, maxCompletion: Int = 64): DataFrame = {
+    val ctx = promptToks + maxCompletion
+    df.select(col(idCol), split(col(textCol), "\\s+").as("toks"))
+      .where(size(col("toks")) >= promptToks + 4)
+      .select(col(idCol),
+        concat(lit("<|user|>\n"),
+          concat_ws(" ", slice(col("toks"), 1, promptToks)),
+          lit("\n<|assistant|>\n"),
+          concat_ws(" ", slice(col("toks"), promptToks + 1, maxCompletion)),
+          lit("\n<|end|>")).as("example"),
+        least(size(col("toks")).cast("long"), lit(ctx.toLong)).as("n_ctx"),
+        (size(col("toks")) > ctx).as("truncated"))
+  }
+
   val STOPWORDS_EN: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 

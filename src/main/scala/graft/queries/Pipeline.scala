@@ -4323,6 +4323,122 @@ object Pipeline {
         |    CASE WHEN hrw_moved THEN 1 ELSE 0 END AS mv FROM sr_m)
         |SELECT scheme, count(*) AS n_docs, CAST(sum(mv) AS BIGINT) AS n_moved,
         |  CAST((sum(mv) * 10000) // count(*) AS BIGINT) AS moved_bp
-        |FROM sr_u GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM sr_u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Per-domain page cap (C4-style crawl budget): rank pages within
+    //    their canonical host, keep the first `cap` — the stage that stops
+    //    one mega-site from dominating the corpus. Same synthetic-URL
+    //    fixture as x_dedup_url (host = lowercased www-stripped authority);
+    //    ONE hash exchange on the host string, budget-pinned ───────────────
+    "x_domain_cap" -> Q(
+      (s, d) => Dedup.domainCap(
+        t(s, d, "documents").select(col("doc_id"),
+          Pipeline.syntheticUrl(col("doc_id"), col("source")).as("url")),
+        "doc_id", "url", cap = 12L),
+      Some(s"""WITH $urlCanonCtesSql
+        |SELECT id AS doc_id,
+        |  regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host,
+        |  CAST(row_number() OVER (PARTITION BY
+        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1)
+        |    ORDER BY id) AS BIGINT) AS rn,
+        |  row_number() OVER (PARTITION BY
+        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1)
+        |    ORDER BY id) <= 12 AS keep
+        |FROM uc""".stripMargin)),
+
+    // ── Structured Streaming: online per-domain crawl budget — the
+    //    streaming twin of x_domain_cap's keep verdict: each host admits
+    //    its first 12 pages as documents land (flatMapGroupsWithState,
+    //    ONE counter per host), then drops the rest. Oracle = the batch
+    //    cap's kept rows ─────────────────────────────────────────────────
+    "stream_domain_cap" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamingDomainCap(s, d),
+      Some(s"""WITH $urlCanonCtesSql,
+        |sdc AS (SELECT id AS doc_id,
+        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host
+        |  FROM uc)
+        |SELECT doc_id, host FROM (SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        |  FROM sdc) WHERE rn <= 12""".stripMargin)),
+
+    // ── CCNet-style perplexity buckets: split each LANGUAGE into
+    //    head/middle/tail thirds by the bigram-LM score (low bits = most
+    //    LM-like = head), the canonical quality triage CCNet applies with a
+    //    real Kneser-Ney model. Cut points come from the per-lang
+    //    DISTINCT-score histogram (bounded domain — hundreds of ×100-scaled
+    //    integer scores however big the corpus), NOT an ntile over the
+    //    corpus: the only windows run over that bounded histogram, every
+    //    doc with the same score lands in the same bucket (tie-stable by
+    //    construction), and the 1-row-per-lang bounds table broadcasts back.
+    //    Docs without bigram evidence carry no score and are absent, same
+    //    contract as x_bigram_lm ────────────────────────────────────────────
+    "x_ppl_buckets" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // persisted: the scored corpus feeds BOTH the cut-point histogram
+        // and the final bucket assignment — without this the whole
+        // bigram-LM subtree (the most expensive part) executes twice
+        val scores = graft.operators.CacheRegistry.register(
+          graft.operators.LangModel
+            .bigramLmScores(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .persist())
+        val hist = scores.groupBy("lang", "avg_bits_e2")
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("lang").orderBy("avg_bits_e2")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot",
+            sum(col("cnt")).over(Window.partitionBy("lang")))
+        // smallest score with cum ≥ ⌈tot/3⌉ (resp. ⌈2·tot/3⌉) — the
+        // lower-quantile definition used by every band filter here
+        val bounds = cum.groupBy("lang").agg(
+          min(when(col("cum") * 3 >= col("tot"), col("avg_bits_e2"))).as("b1"),
+          min(when(col("cum") * 3 >= col("tot") * 2, col("avg_bits_e2"))).as("b2"))
+        scores.join(broadcast(bounds), "lang")
+          .select(col("doc_id"), col("lang"), col("avg_bits_e2"),
+            when(col("avg_bits_e2") <= col("b1"), "head")
+              .when(col("avg_bits_e2") <= col("b2"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $bigramLmCtesSql,
+        |pb_s AS (SELECT b.doc_id, d.lang, b.avg_bits_e2
+        |  FROM blm b JOIN documents d ON b.doc_id = d.doc_id),
+        |pb_h AS (SELECT lang, avg_bits_e2, count(*) AS cnt
+        |  FROM pb_s GROUP BY 1, 2),
+        |pb_c AS (SELECT lang, avg_bits_e2,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY avg_bits_e2) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS tot FROM pb_h),
+        |pb_b AS (SELECT lang,
+        |    min(CASE WHEN cum * 3 >= tot THEN avg_bits_e2 END) AS b1,
+        |    min(CASE WHEN cum * 3 >= tot * 2 THEN avg_bits_e2 END) AS b2
+        |  FROM pb_c GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.avg_bits_e2,
+        |  CASE WHEN s.avg_bits_e2 <= b.b1 THEN 'head'
+        |       WHEN s.avg_bits_e2 <= b.b2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM pb_s s JOIN pb_b b ON s.lang = b.lang
+        |ORDER BY s.doc_id""".stripMargin)),
+
+    // ── SFT chat-template formatting: the assembly step that turns raw
+    //    documents into instruction-tuning examples — first 12 tokens as
+    //    the user turn, the next ≤ 64 as the assistant turn, rendered into
+    //    a fixed chat template with a context budget of 76 tokens and a
+    //    truncation flag; docs too short to yield a non-trivial completion
+    //    (< 16 tokens) are dropped. Pure per-row array slicing — zero
+    //    Exchange, pinned ─────────────────────────────────────────────────
+    "x_sft_format" -> Q(
+      (s, d) => TextAnalysis.sftFormat(
+        t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH sf_t AS (SELECT doc_id,
+        |    string_split_regex(text, '\s+') AS l FROM documents)
+        |SELECT doc_id,
+        |  '<|user|>' || chr(10) || array_to_string(l[1:12], ' ') ||
+        |  chr(10) || '<|assistant|>' || chr(10) ||
+        |  array_to_string(l[13:76], ' ') || chr(10) || '<|end|>' AS example,
+        |  CAST(least(len(l), 76) AS BIGINT) AS n_ctx,
+        |  len(l) > 76 AS truncated
+        |FROM sf_t WHERE len(l) >= 16 ORDER BY doc_id""".stripMargin))
   )
 }

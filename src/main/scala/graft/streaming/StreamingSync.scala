@@ -776,6 +776,46 @@ object StreamingSync {
       base, "graft_stream_url_dedup")
   }
 
+  /** Streaming per-domain crawl budget — the online twin of the batch
+    * `x_domain_cap`: each canonical host admits at most `cap` pages as
+    * documents land, then drops the rest (the crawl-frontier per-host
+    * budget check). State per host is ONE counter (pages admitted so
+    * far), so state volume is bounded by host cardinality however long
+    * the stream runs — strictly smaller than the URL seen-set's
+    * per-page state. Within a micro-batch the group's rows are ranked
+    * by doc_id before admission so a single-drain backfill reproduces
+    * the batch query's min-doc_id-first verdict exactly (batch parity
+    * pinned in StreamingSpec); a multi-batch live crawl admits in
+    * arrival order across batches, which IS the deployed semantics.
+    */
+  def streamingDomainCap(spark: SparkSession, sfDir: String,
+                         cap: Long = 12L): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val base = freshBase(ss, "domcap")
+    val docs = tableStream(ss, sfDir, "documents", base)
+    val rows = docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.Dedup.canonicalHost(
+          graft.queries.Pipeline.syntheticUrl(col("doc_id"), col("source")))
+          .as("host"))
+      .as[(Long, String)]
+    val admitted = rows.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (host: String, it: Iterator[(Long, String)],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[(Long, String)]
+          it.toVector.sortBy(_._1).foreach { case (id, _) =>
+            if (n < cap) { out += ((id, host)); n += 1 }
+          }
+          state.update(n)
+          out.result().iterator
+      }.toDF("doc_id", "host")
+    runAppendSink(ss, admitted, base, "graft_stream_domain_cap")
+  }
+
   /** Stream-stream self-join: (purchase, click) pairs within the
     * `beforeUs` window before each purchase, computed with BOTH sides as
     * streams — the engine buffers each side's rows in the state store and

@@ -612,6 +612,30 @@ class DedupSpec extends AnyFunSuite {
       s"canonical not a fixpoint: '${r.getString(0)}' → '${r.getString(1)}'"))
   }
 
+  test("domainCap: host variants collapse before ranking, each host keeps " +
+    "its cap lowest ids, smaller hosts keep everything") {
+    import spark.implicits._
+    // 5 pages on host a.com spread across www/case/tracking variants (the
+    // cap must see ONE host of 5, not 3 hosts of ≤2), 2 pages on b.com
+    val urls = Seq(
+      (1L, "https://a.com/p1"),
+      (2L, "HTTPS://WWW.A.COM/p2"),
+      (3L, "https://a.com/p3?utm_source=x"),
+      (4L, "https://www.a.com/p4#frag"),
+      (5L, "https://a.com/p5"),
+      (6L, "https://b.com/q1"),
+      (7L, "https://B.com/q2")).toDF("id", "url")
+    val out = Dedup.domainCap(urls, "id", "url", cap = 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out.values.map(_._1).toSet == Set("a.com", "b.com"),
+      s"variants must collapse to one canonical host: ${out.values.map(_._1)}")
+    assert((1L to 3L).forall(out(_)._3) && !out(4L)._3 && !out(5L)._3,
+      "host a keeps exactly its 3 lowest ids")
+    assert(out(6L)._3 && out(7L)._3, "under-cap host keeps everything")
+    assert(out(5L)._2 == 5L, "rank is within the collapsed host")
+  }
+
   test("line dedup: corpus-frequent boilerplate lines are struck from " +
     "every doc, unique body lines survive in order") {
     import spark.implicits._

@@ -101,6 +101,41 @@ class LangModelSpec extends AnyFunSuite {
       s"band [$lo, $hi] over $n scored docs diverged")
   }
 
+  test("ppl buckets: per-lang partition obeys the lower-quantile thirds " +
+    "law and is tie-stable (same score, same bucket)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x_ppl_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty && rows.map(_._4).toSet.subsetOf(
+      Set("head", "middle", "tail")))
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      def k(q: Int) = (n * q + 2) / 3 // ⌈q·n/3⌉ for q = 1, 2
+      // tie-stability: a score maps to exactly one bucket within its lang
+      assert(rs.groupBy(_._3).values.forall(_.map(_._4).distinct.length == 1),
+        s"$lang: one score split across buckets")
+      // score ordering: every head score < every middle score < every tail
+      val by = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      for (h <- by.get("head"); m <- by.get("middle"))
+        assert(h.max < m.min, s"$lang: head/middle overlap")
+      for (m <- by.get("middle"); t <- by.get("tail"))
+        assert(m.max < t.min, s"$lang: middle/tail overlap")
+      // lower-quantile law: head holds ≥ ⌈n/3⌉ docs, but removing its
+      // topmost score class drops below ⌈n/3⌉ (b1 is the SMALLEST score
+      // whose cumulative count reaches the third); same at 2n/3
+      val head = by.getOrElse("head", Array.empty[Long])
+      val hm = head.length + by.getOrElse("middle", Array.empty[Long]).length
+      assert(head.length >= k(1) &&
+        head.length - head.count(_ == head.max) < k(1),
+        s"$lang: head bound not minimal (|head|=${head.length}, n=$n)")
+      assert(hm >= k(2) &&
+        (by.get("middle") match {
+          case Some(m) => hm - m.count(_ == m.max) < k(2)
+          case None    => true // middle empty ⇒ b2 = b1, bound vacuous
+        }), s"$lang: middle bound not minimal")
+    }
+  }
+
   test("degenerate shapes: no-bigram docs are absent; repeated single " +
     "bigram scores 1 bit per pair") {
     val docs = Seq(

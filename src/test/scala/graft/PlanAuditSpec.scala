@@ -21,7 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
       "stream_corpus_hist", "stream_quality_gate", "stream_decontaminate",
       "stream_event_spikes", "stream_attribution", "stream_cell_occupancy",
-      "stream_url_dedup",
+      "stream_url_dedup", "stream_domain_cap",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
@@ -168,7 +168,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_repetition", "x_repetition_ratio", "x_fingerprint",
       "x_normalize_text", "x_redact_pii", "x_filter_blocklist",
       "x_compressibility", "x_filter_gopher", "x_chunk_docs", "x_split_assign",
-      "x_extract_html",
+      "x_extract_html", "x_sft_format",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
       "x_multimodal_frames", "x_multimodal_resize",
       "x_embed_rp_reduce", "x_embed_int8")
@@ -215,6 +215,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // url dedup: ONE hash exchange on the canonical string (both the
       // n_copies count and keep-first verdict ride the same window)
       "x_dedup_url" -> 1,
+      // domain cap: canonicalization + host extraction are per-row; ONE
+      // hash exchange on the host string for the rank window
+      "x_domain_cap" -> 1,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
@@ -248,7 +251,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // (10 exchanges, executed ONCE) is replicated inside every
       // InMemoryTableScan occurrence; the per-execution increment over
       // x_bigram_lm is just the bounded histogram + band filter
-      "x_filter_fluency_band" -> 25)
+      "x_filter_fluency_band" -> 25,
+      // ppl buckets: textual count — the persisted scored-corpus subtree
+      // (bigram-LM + lang join; executed ONCE) is replicated inside both
+      // InMemoryTableScan consumers (histogram side + final assignment
+      // side), same accounting as the fluency band; the per-execution
+      // increment is just the bounded (lang, score) histogram, its
+      // lang-keyed windows/bounds agg, the 1-row-per-lang broadcast,
+      // and the ORDER BY
+      "x_ppl_buckets" -> 24)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // drop caches registered by earlier queries' CONSTRUCTION (e.g. the
       // fluency band persists the LM-score subtree it shares with
@@ -280,7 +291,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_attribution" -> 1,
       // URL seen-set: canonicalization is per-row; ONE exchange feeds
       // the dropDuplicates state store
-      "stream_url_dedup" -> 1)
+      "stream_url_dedup" -> 1,
+      // per-domain crawl budget: host extraction is per-row; ONE exchange
+      // groups by host into the flatMapGroupsWithState counter
+      "stream_domain_cap" -> 1)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       SparkEntry.queries(name)(spark, sf).count() // drains the stream
       val plan = graft.streaming.StreamingSync.lastRunPlan

@@ -648,6 +648,26 @@ class StreamingSpec extends AnyFunSuite {
       "stream and batch agree on the canonical-URL domain")
   }
 
+  test("streaming per-domain crawl budget equals the batch cap's kept set " +
+    "at sf0.001 (cap 2 so the budget genuinely binds)") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSync
+      .streamingDomainCap(spark, sf, cap = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.operators.Dedup.domainCap(
+      graft.io.Tables.table(spark, sf, "documents").select(col("doc_id"),
+        graft.queries.Pipeline.syntheticUrl(col("doc_id"), col("source"))
+          .as("url")),
+      "doc_id", "url", cap = 2L)
+      .where(col("keep")).select("doc_id", "host")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch,
+      "single-drain admission must equal the batch min-doc_id-first verdict")
+    assert(streamed.size < spark.read
+      .parquet(s"$sf/documents.parquet").count(),
+      "the cap must actually drop pages at this fixture size")
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync.streamStaticEnrich(spark, sf)

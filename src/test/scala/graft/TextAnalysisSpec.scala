@@ -200,6 +200,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) == "spaced out", s"whitespace not collapsed: '${out(5L)}'")
   }
 
+  test("sftFormat: short docs drop, template renders verbatim with case " +
+    "preserved, over-budget docs truncate at the context cap") {
+    val mk = (n: Int) => (1 to n).map(i => s"W$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(15)),  // < 12 + 4 → dropped
+      (2L, mk(16)),  // minimal keeper: 4-token completion, no truncation
+      (3L, mk(80)))  // over the 76-token budget → truncated
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sftFormat(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(!out.contains(1L), "15-token doc yields a trivial completion")
+    assert(out(2L)._1 ==
+      "<|user|>\n" + (1 to 12).map(i => s"W$i").mkString(" ") +
+      "\n<|assistant|>\n" + (13 to 16).map(i => s"W$i").mkString(" ") +
+      "\n<|end|>", s"template mismatch: ${out(2L)._1}")
+    assert(out(2L)._2 == 16L && !out(2L)._3)
+    assert(out(3L)._1.endsWith(
+      (13 to 76).map(i => s"W$i").mkString(" ") + "\n<|end|>") &&
+      out(3L)._2 == 76L && out(3L)._3,
+      "completion must stop at token 76 and flag truncation")
+  }
+
   test("multimodal metadata + stub decode are deterministic functions of bytes") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "different")).toDF("doc_id", "text")
     val meta = Multimodal.withPayloadMeta(df, "text").collect()
