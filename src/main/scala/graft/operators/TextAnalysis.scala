@@ -145,6 +145,87 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The Gopher/MassiveText document-heuristic metrics as ONE per-row
+    * struct — the single definition shared by the rule-battery readout
+    * (`x_filter_gopher`) and the quality classifier's seed label
+    * (`x_quality_classifier`), so the two can never disagree on what a
+    * "clean" document is (lockstep rule; the oracle twin is
+    * Pipeline.gopherCtesSql). `n_wchars` uses the single-space-join
+    * shortcut `length(text) − (n_words − 1)` — exact for this corpus;
+    * `n_wchars_exact` (per-token length sum) rides alongside for
+    * real-crawl ports. Pure per-row expressions, zero shuffle.
+    */
+  def gopherMetrics(text: Column, toks: Column): Column = struct(
+    size(toks).cast("long").as("n_words"),
+    (length(text) - (size(toks) - 1)).cast("long").as("n_wchars"),
+    aggregate(transform(toks, x => length(x)), lit(0L), (acc, x) => acc + x)
+      .as("n_wchars_exact"),
+    (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+      .as("n_hash"),
+    (size(split(text, "\\.\\.\\.", -1)) - 1).cast("long").as("n_ellipsis"),
+    size(filter(toks, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+    size(array_intersect(array_distinct(toks),
+      array(STOPWORDS_EN.map(w => lit(w)): _*))).cast("long").as("n_stop"))
+
+  /** The Gopher rule verdicts over a [[gopherMetrics]] struct — thresholds
+    * live HERE only (integer-exact cross-multiplied ratios, no floats).
+    */
+  def gopherFlags(g: Column): Column = {
+    val okWc = g.getField("n_words").between(50L, 100000L)
+    val okMl = g.getField("n_wchars") >= g.getField("n_words") * 3 &&
+      g.getField("n_wchars") <= g.getField("n_words") * 10
+    val okHash = g.getField("n_hash") * 10 <= g.getField("n_words")
+    val okEll = g.getField("n_ellipsis") * 10 <= g.getField("n_words") * 3
+    val okAl = g.getField("n_alpha") * 5 >= g.getField("n_words") * 4
+    val okStop = g.getField("n_stop") >= 2
+    struct(okWc.as("ok_word_count"), okMl.as("ok_mean_len"),
+      okHash.as("ok_hash"), okEll.as("ok_ellipsis"), okAl.as("ok_alpha"),
+      okStop.as("ok_stop"),
+      (okWc && okMl && okHash && okEll && okAl && okStop).as("keep"))
+  }
+
+  /** Seeded quality scoring — the GPT-3/LLaMA-style filter core: given a
+    * boolean seed label per document (any cheap heuristic), learn
+    * per-token class affinities (r_e3 = ‰ of the token's corpus
+    * occurrences inside seed docs) and score every document by the
+    * multiplicity-weighted mean affinity of its tokens. The verdict
+    * compares against the corpus-wide seed share of token MASS (the
+    * mass-weighted mean score): pred_good ⟺ the doc's vocabulary leans
+    * seed-ward — the integer-exact analog of "log-odds > 0". A fixed
+    * absolute cut would be degenerate (affinities hover near the seed
+    * mass share); the relative cut discriminates by construction.
+    *
+    * Output: (doc_id, seed, n_tok, score_e3, base_e3, pred_good).
+    *
+    * Scale (100 TB): token instances collapse to per-doc multiplicities
+    * FIRST (one corpus-wide shuffle with map-side combine, persisted —
+    * feeds the vocab model, the baseline scalar, and the scoring join);
+    * the model is a vocab-sized equi-join, never broadcast-assumed (same
+    * contract as the bigram LM); only the 1-row baseline broadcasts.
+    * Seed docs score their own tokens — the standard self-training
+    * caveat, fine for a corpus-relative ranking.
+    */
+  def seedAffinityScores(df: DataFrame, idCol: String, textCol: String,
+                         seedCol: String): DataFrame = {
+    val dt = CacheRegistry.register(df
+      .select(col(idCol).as("doc_id"), col(seedCol).as("seed"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "seed", "tok").agg(count(lit(1)).as("m"))
+      .persist())
+    val vocab = dt.groupBy("tok").agg(
+      sum(col("m")).as("c_all"),
+      sum(when(col("seed"), col("m")).otherwise(0L)).as("c_pos"))
+      .select(col("tok"), expr("c_pos * 1000 div c_all").as("r_e3"))
+    val base = dt.agg(
+      expr("(sum(if(seed, m, 0L)) * 1000) div sum(m)").as("base_e3"))
+    dt.join(vocab, "tok")
+      .groupBy("doc_id", "seed")
+      .agg(sum(col("m")).as("n_tok"),
+        expr("sum(m * r_e3) div sum(m)").as("score_e3"))
+      .crossJoin(broadcast(base))
+      .withColumn("pred_good", col("score_e3") > col("base_e3"))
+  }
+
   /** SFT chat-template assembly: the first `promptToks` whitespace tokens
     * become the user turn, the next ≤ `maxCompletion` the assistant turn,
     * rendered into a fixed template with a context budget of

@@ -230,6 +230,47 @@ object Pipeline {
       |  CAST((sum(m * surb) * 100) // sum(m) AS BIGINT) AS avg_bits_e2
       |FROM blm_sc GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.gopherMetrics]] +
+    * [[graft.operators.TextAnalysis.gopherFlags]], ending in CTE
+    * `gk(doc_id, n_words, n_wchars_exact, ok_*, keep)` — shared by the
+    * rule-battery readout and the quality classifier's seed label.
+    * `n_wchars` uses the single-space-join shortcut (see the Scala twin's
+    * doc); no line may start with `|` after the first strip (the
+    * double-stripMargin concat pitfall, same as urlCanonCtesSql).
+    */
+  private val gopherCtesSql: String =
+    s"""gf AS (SELECT doc_id, text,
+      |    string_split_regex(lower(text),'\\s+') AS l FROM documents),
+      |gm AS (SELECT doc_id,
+      |    CAST(len(l) AS BIGINT) AS n_words,
+      |    CAST(length(text) - (len(l) - 1) AS BIGINT) AS n_wchars,
+      |    CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT)
+      |      AS n_wchars_exact,
+      |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |      AS n_hash,
+      |    CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_ellipsis,
+      |    CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_intersect(list_distinct(l),
+      |      [${TextAnalysis.STOPWORDS_EN.map(w => s"'$w'").mkString(",")}]))
+      |      AS BIGINT) AS n_stop
+      |  FROM gf),
+      |gk AS (SELECT doc_id, n_words, n_wchars_exact,
+      |    n_words BETWEEN 50 AND 100000 AS ok_word_count,
+      |    (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10)
+      |      AS ok_mean_len,
+      |    n_hash * 10 <= n_words AS ok_hash,
+      |    n_ellipsis * 10 <= n_words * 3 AS ok_ellipsis,
+      |    n_alpha * 5 >= n_words * 4 AS ok_alpha,
+      |    n_stop >= 2 AS ok_stop,
+      |    (n_words BETWEEN 50 AND 100000
+      |      AND n_wchars >= n_words * 3 AND n_wchars <= n_words * 10
+      |      AND n_hash * 10 <= n_words
+      |      AND n_ellipsis * 10 <= n_words * 3
+      |      AND n_alpha * 5 >= n_words * 4
+      |      AND n_stop >= 2) AS keep
+      |  FROM gm)""".stripMargin
+
   /** Corpus-relative length band [p05, p95] by the lower-quantile
     * definition: bound = smallest length L with cumCount(≤ L) ≥ ⌈q·N⌉.
     * Derived from the DISTINCT-length histogram (bounded domain — a few
@@ -2420,73 +2461,30 @@ object Pipeline {
     //    Pure per-row expressions over one tokens projection ───────────────
     "x_filter_gopher" -> Q(
       (s, d) => {
-        val stop = TextAnalysis.STOPWORDS_EN.map(w => lit(w))
+        // metrics + thresholds live in TextAnalysis.gopherMetrics/-Flags
+        // (ONE definition, shared with the quality classifier's seed)
+        val g = TextAnalysis.gopherMetrics(col("text"), col("toks"))
         t(s, d, "documents")
           .select(col("doc_id"), col("text"),
             TextAnalysis.tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_words"),
-            // mean-word-length numerator. `length(text) − (n_words − 1)`
-            // equals Σ token-length ONLY for single-space-joined text —
-            // true for this corpus (and mirrored in the oracle), but a
-            // real-crawl port (runs of spaces, tabs, newlines) must use
-            // the exact per-token sum, emitted alongside as
-            // `n_wchars_exact` so the two stay comparable
-            (length(col("text")) - (size(col("toks")) - 1)).cast("long")
-              .as("n_wchars"),
-            aggregate(transform(col("toks"), x => length(x)),
-              lit(0L), (acc, x) => acc + x).as("n_wchars_exact"),
-            ((length(col("text")) -
-              length(regexp_replace(col("text"), "#", ""))))
-              .cast("long").as("n_hash"),
-            (size(split(col("text"), "\\.\\.\\.", -1)) - 1).cast("long")
-              .as("n_ellipsis"),
-            size(filter(col("toks"), x => x.rlike("[a-z]")))
-              .cast("long").as("n_alpha"),
-            size(array_intersect(array_distinct(col("toks")),
-              array(stop: _*))).cast("long").as("n_stop"))
-          .select(col("doc_id"), col("n_words"), col("n_wchars_exact"),
-            col("n_words").between(50L, 100000L).as("ok_word_count"),
-            (col("n_wchars") >= col("n_words") * 3 &&
-              col("n_wchars") <= col("n_words") * 10).as("ok_mean_len"),
-            (col("n_hash") * 10 <= col("n_words")).as("ok_hash"),
-            (col("n_ellipsis") * 10 <= col("n_words") * 3).as("ok_ellipsis"),
-            (col("n_alpha") * 5 >= col("n_words") * 4).as("ok_alpha"),
-            (col("n_stop") >= 2).as("ok_stop"))
-          .withColumn("keep",
-            col("ok_word_count") && col("ok_mean_len") && col("ok_hash") &&
-              col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
+          .select(col("doc_id"), g.as("g"))
+          .select(col("doc_id"), col("g"),
+            TextAnalysis.gopherFlags(col("g")).as("f"))
+          .select(col("doc_id"), col("g.n_words").as("n_words"),
+            col("g.n_wchars_exact").as("n_wchars_exact"),
+            col("f.ok_word_count").as("ok_word_count"),
+            col("f.ok_mean_len").as("ok_mean_len"),
+            col("f.ok_hash").as("ok_hash"),
+            col("f.ok_ellipsis").as("ok_ellipsis"),
+            col("f.ok_alpha").as("ok_alpha"),
+            col("f.ok_stop").as("ok_stop"),
+            col("f.keep").as("keep"))
       },
-      Some(s"""WITH gf AS (SELECT doc_id, text,
-        |    string_split_regex(lower(text),'\\s+') AS l FROM documents),
-        |gm AS (SELECT doc_id,
-        |    CAST(len(l) AS BIGINT) AS n_words,
-        |    CAST(length(text) - (len(l) - 1) AS BIGINT) AS n_wchars,
-        |    CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT)
-        |      AS n_wchars_exact,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |      AS n_hash,
-        |    CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_ellipsis,
-        |    CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]')))
-        |      AS BIGINT) AS n_alpha,
-        |    CAST(len(list_intersect(list_distinct(l),
-        |      [${TextAnalysis.STOPWORDS_EN.map(w => s"'$w'").mkString(",")}]))
-        |      AS BIGINT) AS n_stop
-        |  FROM gf)
+      Some(s"""WITH $gopherCtesSql
         |SELECT doc_id, n_words, n_wchars_exact,
-        |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
-        |  (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10) AS ok_mean_len,
-        |  n_hash * 10 <= n_words AS ok_hash,
-        |  n_ellipsis * 10 <= n_words * 3 AS ok_ellipsis,
-        |  n_alpha * 5 >= n_words * 4 AS ok_alpha,
-        |  n_stop >= 2 AS ok_stop,
-        |  (n_words BETWEEN 50 AND 100000
-        |    AND n_wchars >= n_words * 3 AND n_wchars <= n_words * 10
-        |    AND n_hash * 10 <= n_words
-        |    AND n_ellipsis * 10 <= n_words * 3
-        |    AND n_alpha * 5 >= n_words * 4
-        |    AND n_stop >= 2) AS keep
-        |FROM gm""".stripMargin)),
+        |  ok_word_count, ok_mean_len, ok_hash, ok_ellipsis, ok_alpha,
+        |  ok_stop, keep
+        |FROM gk""".stripMargin)),
 
     // ── Quality: compressibility screen, split per round-9 ask #1 into a
     //    deterministic oracle-green surface + a spec-pinned readout. The
@@ -4439,6 +4437,78 @@ object Pipeline {
         |  array_to_string(l[13:76], ' ') || chr(10) || '<|end|>' AS example,
         |  CAST(least(len(l), 76) AS BIGINT) AS n_ctx,
         |  len(l) > 76 AS truncated
-        |FROM sf_t WHERE len(l) >= 16 ORDER BY doc_id""".stripMargin))
+        |FROM sf_t WHERE len(l) >= 16 ORDER BY doc_id""".stripMargin)),
+
+    // ── Seeded quality classifier — the GPT-3/LLaMA-style filter: label a
+    //    clean SEED with a cheap heuristic (here the Gopher battery, the
+    //    SAME TextAnalysis.gopherMetrics/-Flags definition as
+    //    x_filter_gopher), learn per-token class affinities from it, then
+    //    score EVERY document by its token mass's affinity — the learned
+    //    generalization of the hand rules (a doc failing one Gopher
+    //    threshold can still be pred_good if its vocabulary is seed-like,
+    //    and that disagreement is the classifier's value). Integer-exact
+    //    linear model: r_e3(tok) = ‰ of the token's corpus occurrences
+    //    inside seed docs; score_e3 = multiplicity-weighted mean.
+    //    Scale (100 TB): instances collapse to per-doc multiplicities
+    //    FIRST (one corpus-wide shuffle, map-side combine, persisted —
+    //    feeds both the vocab model and the scoring join); the model is a
+    //    vocab-sized equi-join, never broadcast-assumed (same contract as
+    //    the bigram LM). Seed docs score their own tokens — the standard
+    //    self-training caveat, fine for a corpus-relative ranking ─────────
+    "x_quality_classifier" -> Q(
+      (s, d) => {
+        val seeded = t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.gopherFlags(
+              TextAnalysis.gopherMetrics(col("text"), col("toks")))
+              .getField("keep").as("seed"))
+        TextAnalysis.seedAffinityScores(seeded, "doc_id", "text", "seed")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $gopherCtesSql,
+        |qc_t AS (SELECT f.doc_id, k.keep AS seed, unnest(f.l) AS tok
+        |  FROM gf f JOIN gk k ON f.doc_id = k.doc_id),
+        |qc_m AS (SELECT doc_id, seed, tok, CAST(count(*) AS BIGINT) AS m
+        |  FROM qc_t GROUP BY 1, 2, 3),
+        |qc_v AS (SELECT tok,
+        |    CAST((sum(CASE WHEN seed THEN m ELSE 0 END) * 1000)
+        |      // sum(m) AS BIGINT) AS r_e3
+        |  FROM qc_m GROUP BY 1),
+        |qc_b AS (SELECT CAST((sum(CASE WHEN seed THEN m ELSE 0 END) * 1000)
+        |      // sum(m) AS BIGINT) AS base_e3 FROM qc_m)
+        |SELECT m.doc_id, m.seed,
+        |  CAST(sum(m.m) AS BIGINT) AS n_tok,
+        |  CAST(sum(m.m * v.r_e3) // sum(m.m) AS BIGINT) AS score_e3,
+        |  b.base_e3,
+        |  (sum(m.m * v.r_e3) // sum(m.m)) > b.base_e3 AS pred_good
+        |FROM qc_m m JOIN qc_v v ON m.tok = v.tok, qc_b b
+        |GROUP BY 1, 2, b.base_e3 ORDER BY m.doc_id""".stripMargin)),
+
+    // ── Temperature-scaled language mixing (mT5/XLM-R): sampling weight
+    //    ∝ n^α with α = ½ — the standard trick that keeps head languages
+    //    from drowning the tail without hand-tuned ratios. w = ⌊√n⌋
+    //    (IEEE sqrt is correctly rounded, so ⌊√⌋ is engine-exact);
+    //    share_bp and a 200-doc epoch target derive by integer division
+    //    over the single-partition totals window — bounded by LANGUAGE
+    //    cardinality (the corpus's genuinely skewed axis: en ≈ 44 % raw
+    //    collapses toward ~30 % at α = ½), never corpus-sized ─────────────
+    "x_mix_temperature" -> Q(
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+        .withColumn("share_bp", expr("w * 10000 div (sum(w) over ())"))
+        .withColumn("target_docs", expr("200 * w div (sum(w) over ())"))
+        .orderBy("lang"),
+      Some("""WITH mt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |mw AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        |  FROM mt)
+        |SELECT lang, n_docs, w,
+        |  CAST(w * 10000 // sum(w) OVER () AS BIGINT) AS share_bp,
+        |  CAST(200 * w // sum(w) OVER () AS BIGINT) AS target_docs
+        |FROM mw ORDER BY lang""".stripMargin))
   )
 }

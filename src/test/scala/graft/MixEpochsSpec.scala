@@ -48,6 +48,30 @@ class MixEpochsSpec extends AnyFunSuite {
     assert(!out("big")._5)
   }
 
+  test("temperature mixing: α=½ flattens toward the tail (head share " +
+    "shrinks, tail share grows vs raw) and w = ⌊√n⌋ exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x_mix_temperature")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, w, _) =>
+      assert(w * w <= n && n < (w + 1) * (w + 1), s"$lang: ⌊√$n⌋ != $w") }
+    val totN = rows.map(_._2).sum
+    val totW = rows.map(_._3).sum
+    val head = rows.maxBy(_._2)
+    val tail = rows.minBy(_._2)
+    assert(head._2 > tail._2, "fixture must be skewed for this law")
+    // α=½ compresses ratios: the head language's sampling share drops
+    // below its raw corpus share, the tail language's rises above it
+    assert(head._4 * totN < head._2 * 10000,
+      s"head ${head._1}: temp share ${head._4}bp !< raw")
+    assert(tail._4 * totN > tail._2 * 10000,
+      s"tail ${tail._1}: temp share ${tail._4}bp !> raw")
+    // shares are the exact integer division over the weight total
+    rows.foreach { case (lang, _, w, bp) =>
+      assert(bp == w * 10000 / totW, s"$lang share") }
+  }
+
   test("single-source corpus plans exactly one epoch, uncapped") {
     val sf = TestSpark.tmpDir("mixone")
     Seq((1L, text(7), "en", "only", 0L), (2L, text(5), "en", "only", 0L))

@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_search_tfidf" -> 1L,       // the 1-row corpus-count broadcast
     "x_search_bm25" -> 1L,        // the 1-row corpus-stats broadcast
     "x_importance_weights" -> 1L, // the 1-row token-totals broadcast
-    "x_pmi_bigrams" -> 1L)        // the 1-row corpus-total broadcast
+    "x_pmi_bigrams" -> 1L,        // the 1-row corpus-total broadcast
+    "x_quality_classifier" -> 1L) // the 1-row seed-mass-baseline broadcast
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -259,7 +260,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // increment is just the bounded (lang, score) histogram, its
       // lang-keyed windows/bounds agg, the 1-row-per-lang broadcast,
       // and the ORDER BY
-      "x_ppl_buckets" -> 24)
+      "x_ppl_buckets" -> 24,
+      // quality classifier: textual count — the persisted per-doc
+      // multiplicity subtree (executed ONCE) appears in all three
+      // InMemoryTableScan consumers (vocab model, baseline scalar,
+      // scoring join); per-execution it is the instance collapse, the
+      // vocab agg, the tok-keyed scoring join, the per-doc agg, and the
+      // ORDER BY
+      "x_quality_classifier" -> 12,
+      // temperature mixing: ONE corpus-wide combiner agg on lang + the
+      // single-partition totals window over the lang-sized table + the
+      // ORDER BY riding it
+      "x_mix_temperature" -> 3)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // drop caches registered by earlier queries' CONSTRUCTION (e.g. the
       // fluency band persists the LM-score subtree it shares with

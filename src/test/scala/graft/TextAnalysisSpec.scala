@@ -223,6 +223,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       "completion must stop at token 76 and flag truncation")
   }
 
+  test("seedAffinityScores: disjoint-vocab corpora separate perfectly; a " +
+    "mixed doc lands by its dominant vocabulary; corpus confusion matrix " +
+    "has all four cells (the classifier genuinely disagrees with its seed)") {
+    val goodVocab = (1 to 10).map(i => s"good$i")
+    val junkVocab = (1 to 10).map(i => s"junk$i")
+    val docs = (
+      (1L to 4L).map(i => (i, goodVocab.mkString(" "), true)) ++
+      (5L to 8L).map(i => (i, junkVocab.mkString(" "), false)) :+
+      // doc 9: unseeded but 8/10 of its token mass is seed vocabulary —
+      // the generalization case the learned filter exists for
+      ((9L, (goodVocab.take(8) ++ junkVocab.take(2)).mkString(" "), false)))
+      .toDF("doc_id", "text", "seed")
+    val out = TextAnalysis.seedAffinityScores(docs, "doc_id", "text", "seed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // good9/good10 score 1000‰; good1..good8 dilute through doc 9's use
+    // (4 of 5 occurrences in seed docs → 800‰), so docs 1-4 score 840
+    assert((1L to 4L).forall(out(_)._4), "seed-vocab docs must lean seed-ward")
+    assert((5L to 8L).forall(i => out(i)._2 == 0 && !out(i)._4),
+      "junk-vocab docs score 0 and fail the verdict")
+    assert(out(9L)._4, "the mostly-seed-vocab doc generalizes to pred_good")
+    // baseline = corpus seed token mass share: 40 of 90 tokens
+    assert(out(1L)._3 == 444L, s"baseline ${out(1L)._3} != 444")
+    // the full-corpus query disagrees with its own seed in BOTH directions
+    val sf = "/root/testdata/sf0.001"
+    val cm = SparkEntry.queries("x_quality_classifier")(spark, sf)
+      .groupBy("seed", "pred_good").count().collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1))).toSet
+    assert(cm == Set((false, false), (false, true), (true, false), (true, true)),
+      s"confusion matrix missing cells: $cm")
+  }
+
   test("multimodal metadata + stub decode are deterministic functions of bytes") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "different")).toDF("doc_id", "text")
     val meta = Multimodal.withPayloadMeta(df, "text").collect()
