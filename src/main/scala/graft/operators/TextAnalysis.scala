@@ -184,6 +184,38 @@ object TextAnalysis {
       (okWc && okMl && okHash && okEll && okAl && okStop).as("keep"))
   }
 
+  /** The Unicode fold table: accented Latin → ASCII base letter,
+    * typographic punctuation (curly quotes, en/em dashes, NBSP) → ASCII.
+    * Built programmatically so from/to can never drift out of alignment;
+    * the oracle SQL interpolates these SAME strings (lockstep rule).
+    * Single-char→single-char only — the multi-char ellipsis fold lives in
+    * [[foldUnicode]] as a replace.
+    */
+  private val foldPairs: Seq[(Char, Char)] = Seq(
+    "àáâãäå" -> 'a', "èéêë" -> 'e', "ìíîï" -> 'i', "òóôõö" -> 'o',
+    "ùúûü" -> 'u', "ýÿ" -> 'y', "ç" -> 'c', "ñ" -> 'n', "š" -> 's',
+    "ž" -> 'z', "“”" -> '"', "‘’" -> '\'',
+    "–—" -> '-', " " -> ' ')
+    .flatMap { case (cs, to) => cs.map(_ -> to) }
+  val UnicodeFoldFrom: String = foldPairs.map(_._1).mkString
+  val UnicodeFoldTo: String = foldPairs.map(_._2).mkString
+
+  /** Unicode normalization — the CCNet-style pre-LM cleanup: lowercase,
+    * fold accented Latin to ASCII base letters, straighten typographic
+    * punctuation (curly quotes, dashes, NBSP, ellipsis), collapse
+    * whitespace. Everything outside the fold table (CJK, emoji) passes
+    * through untouched — this is Latin-script canonicalization, not
+    * transliteration. Idempotent (fold∘fold = fold, the spec law) and a
+    * pure per-row codegen expression: zero shuffle, zero UDF. Both
+    * engines' `translate`/`lower` are Unicode-aware over the BMP, so the
+    * fold is engine-exact.
+    */
+  def foldUnicode(text: Column): Column =
+    trim(regexp_replace(
+      translate(regexp_replace(lower(text), "…", "..."),
+        UnicodeFoldFrom, UnicodeFoldTo),
+      "\\s+", " "))
+
   /** Seeded quality scoring — the GPT-3/LLaMA-style filter core: given a
     * boolean seed label per document (any cheap heuristic), learn
     * per-token class affinities (r_e3 = ‰ of the token's corpus

@@ -4509,6 +4509,58 @@ object Pipeline {
         |SELECT lang, n_docs, w,
         |  CAST(w * 10000 // sum(w) OVER () AS BIGINT) AS share_bp,
         |  CAST(200 * w // sum(w) OVER () AS BIGINT) AS target_docs
-        |FROM mw ORDER BY lang""".stripMargin))
+        |FROM mw ORDER BY lang""".stripMargin)),
+
+    // ── Unicode normalization (CCNet-style pre-LM cleanup): accent fold,
+    //    typographic-punctuation straightening, NBSP/ellipsis repair,
+    //    case+whitespace collapse — TextAnalysis.foldUnicode, whose fold
+    //    table the oracle interpolates verbatim (lockstep). The ASCII
+    //    corpus carries none of this noise, so the fixture INJECTS it
+    //    in-query (accents on doc_id%3, curly quotes on %4, NBSPs on %5 —
+    //    exactly the classes the fold must erase, the x_dedup_lines /
+    //    x_dedup_url fixture pattern) and the readout proves erasure:
+    //    is_ascii via octet_length = char length (CJK docs stay
+    //    legitimately non-ASCII). Pure per-row — zero Exchange, pinned ────
+    "x_normalize_unicode" -> Q(
+      (s, d) => {
+        val n1 = when(col("doc_id") % 3 === 0,
+          translate(col("text"), "aeiou", "àéîöü")).otherwise(col("text"))
+        val n2 = when(col("doc_id") % 4 === 0,
+          concat(lit("“"), n1, lit("”"))).otherwise(n1)
+        val n3 = when(col("doc_id") % 5 === 0,
+          regexp_replace(n2, " ", " ")).otherwise(n2)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), n3.as("noisy"))
+          .select(col("doc_id"),
+            (col("noisy") =!= col("text")).as("changed"),
+            TextAnalysis.foldUnicode(col("noisy")).as("norm"))
+          .select(col("doc_id"), col("changed"),
+            (octet_length(col("norm")) === length(col("norm")))
+              .as("is_ascii"),
+            md5(col("norm")).as("norm_fp"))
+      },
+      Some({
+        def esc(x: String) = x.replace("'", "''")
+        val from = esc(TextAnalysis.UnicodeFoldFrom)
+        val to = esc(TextAnalysis.UnicodeFoldTo)
+        s"""WITH nu_1 AS (SELECT doc_id, text,
+          |    CASE WHEN doc_id % 3 = 0 THEN translate(text, 'aeiou', 'àéîöü')
+          |      ELSE text END AS n1 FROM documents),
+          |nu_2 AS (SELECT doc_id, text,
+          |    CASE WHEN doc_id % 4 = 0 THEN chr(8220) || n1 || chr(8221)
+          |      ELSE n1 END AS n2 FROM nu_1),
+          |nu_n AS (SELECT doc_id, text,
+          |    CASE WHEN doc_id % 5 = 0 THEN replace(n2, ' ', chr(160))
+          |      ELSE n2 END AS noisy FROM nu_2),
+          |nu_f AS (SELECT doc_id, text, noisy,
+          |    trim(regexp_replace(translate(replace(lower(noisy),
+          |      chr(8230), '...'), '$from', '$to'),
+          |      '\\s+', ' ', 'g')) AS norm
+          |  FROM nu_n)
+          |SELECT doc_id, noisy <> text AS changed,
+          |  strlen(norm) = length(norm) AS is_ascii,
+          |  md5(norm) AS norm_fp
+          |FROM nu_f""".stripMargin
+      }))
   )
 }

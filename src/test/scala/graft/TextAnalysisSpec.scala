@@ -223,6 +223,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       "completion must stop at token 76 and flag truncation")
   }
 
+  test("foldUnicode: accents, curly punctuation, NBSP, and ellipsis fold " +
+    "to ASCII; CJK passes through; fold is idempotent") {
+    val cases = Seq(
+      (1L, "Résumé naïve Ångström"),
+      (2L, "“Smart” ‘quotes’ – and — dashes…"),
+      (3L, "non breaking space"),
+      (4L, "  Mixed   WHITE\tspace "),
+      (5L, "中文 текст stays"))    // CJK/Cyrillic untouched (not folded)
+    val out = cases.toDF("id", "t")
+      .select(col("id"), TextAnalysis.foldUnicode(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "resume naive angstrom", s"'${out(1L)}'")
+    assert(out(2L) == "\"smart\" 'quotes' - and - dashes...", s"'${out(2L)}'")
+    assert(out(3L) == "non breaking space", s"'${out(3L)}'")
+    assert(out(4L) == "mixed white space", s"'${out(4L)}'")
+    assert(out(5L) == "中文 текст stays",
+      "non-Latin scripts are not transliterated")
+    // idempotence law: folding a folded string is the identity
+    val twice = cases.toDF("id", "t")
+      .select(TextAnalysis.foldUnicode(col("t")).as("n"))
+      .select(col("n"), TextAnalysis.foldUnicode(col("n")).as("nn"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not a fixpoint: '${r.getString(0)}'"))
+  }
+
   test("seedAffinityScores: disjoint-vocab corpora separate perfectly; a " +
     "mixed doc lands by its dominant vocabulary; corpus confusion matrix " +
     "has all four cells (the classifier genuinely disagrees with its seed)") {
