@@ -55,8 +55,15 @@ object TextAnalysis {
     * whitespace-tokenizable; the operator shape (per-doc scoring + argmax)
     * is the real one.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromToks(tokens(text))
+
+  /** Word-marker language ID over an ALREADY-TOKENIZED array — the form
+    * the code-switching detector needs (it scores document halves without
+    * re-joining them); [[langId]] is this over `tokens(text)`. Tie-break
+    * order en > de > es > fr is part of the contract (mirrored in every
+    * oracle CASE).
+    */
+  def langIdFromToks(toks: Column): Column = {
     def score(words: Seq[String]): Column =
       size(array_intersect(toks, array(words.map(lit): _*)))
     val en = score(MARKERS("en")); val de = score(MARKERS("de"))

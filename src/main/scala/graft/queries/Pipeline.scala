@@ -135,15 +135,23 @@ object Pipeline {
     * readouts (`x_lang_id`, `x_lang_id_ngram`) and the confusion-matrix
     * rollup (`x_langid_confusion`) — the lockstep rule: a marker-list edit
     * in TextAnalysis flows into all three oracles from here. */
-  private val langIdCaseSql: String = {
+  /** The word-marker CASE parameterized over any token-list SQL
+    * expression — `langIdCaseSql` instantiates it over the whole-document
+    * tokenization; the code-switching detector instantiates it once per
+    * document half. Same tie-break order as
+    * TextAnalysis.langIdFromToks (lockstep).
+    */
+  private def langIdCaseOver(toksExpr: String): String = {
     def sc(ws: Seq[String]) =
-      s"len(list_intersect($toksSql, [${ws.map(w => s"'$w'").mkString(",")}]))"
+      s"len(list_intersect($toksExpr, [${ws.map(w => s"'$w'").mkString(",")}]))"
     val en = sc(TextAnalysis.MARKERS("en")); val de = sc(TextAnalysis.MARKERS("de"))
     val es = sc(TextAnalysis.MARKERS("es")); val fr = sc(TextAnalysis.MARKERS("fr"))
     s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
        |     WHEN $de >= $es AND $de >= $fr THEN 'de'
        |     WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
   }
+
+  private val langIdCaseSql: String = langIdCaseOver(toksSql)
 
   private val langIdNgramCaseSql: String = {
     def sc(grams: Seq[String]) = grams.map { g =>
@@ -4561,6 +4569,62 @@ object Pipeline {
           |  strlen(norm) = length(norm) AS is_ascii,
           |  md5(norm) AS norm_fp
           |FROM nu_f""".stripMargin
+      })),
+
+    // ── Code-switching detector: language-ID each document HALF and flag
+    //    disagreement — the curation QA stage that catches mixed-language
+    //    documents (bilingual boilerplate, wrong-language spans glued by a
+    //    crawler) which whole-document lang-id hides (the majority half
+    //    wins and the minority half silently poisons a monolingual
+    //    split). The corpus is monolingual, so the fixture INJECTS
+    //    code-switching in-query (doc_id%7: a same-length German-marker
+    //    block appended, so the halves split exactly at the seam — the
+    //    x_normalize_unicode fixture pattern); both halves score through
+    //    the SAME marker classifier as x_lang_id (langIdFromToks /
+    //    langIdCaseOver, lockstep incl. tie-break order). Short docs
+    //    (< 8 tokens) carry too little per-half evidence and are out of
+    //    scope. Pure per-row array slicing — zero Exchange, pinned ────────
+    "x_mixed_lang" -> Q(
+      (s, d) => {
+        val deWs = TextAnalysis.MARKERS("de")
+        val deArr = array(deWs.map(lit): _*)
+        val deBlock = transform(sequence(lit(1), size(col("l"))),
+          i => element_at(deArr, ((i - 1) % deWs.length) + 1))
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+          .where(size(col("l")) >= 8)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("l"), deBlock))
+              .otherwise(col("l")).as("l2"))
+          .select(col("doc_id"),
+            slice(col("l2"), lit(1), (size(col("l2")) / 2).cast("int"))
+              .as("h1"),
+            slice(col("l2"), (size(col("l2")) / 2).cast("int") + 1,
+              size(col("l2")) - (size(col("l2")) / 2).cast("int")).as("h2"))
+          .select(col("doc_id"),
+            TextAnalysis.langIdFromToks(col("h1")).as("lang_a"),
+            TextAnalysis.langIdFromToks(col("h2")).as("lang_b"))
+          .withColumn("mixed", col("lang_a") =!= col("lang_b"))
+      },
+      Some({
+        val deList = TextAnalysis.MARKERS("de").map(w => s"'$w'").mkString(",")
+        val k = TextAnalysis.MARKERS("de").length
+        s"""WITH ml_t AS (SELECT doc_id,
+          |    string_split_regex(lower(text),'\\s+') AS l FROM documents),
+          |ml_x AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN
+          |      list_concat(l, list_transform(generate_series(1, len(l)),
+          |        i -> ([$deList])[(i - 1) % $k + 1]))
+          |    ELSE l END AS l2
+          |  FROM ml_t WHERE len(l) >= 8),
+          |ml_h AS (SELECT doc_id, l2[1:len(l2)//2] AS h1,
+          |    l2[len(l2)//2+1:len(l2)] AS h2 FROM ml_x),
+          |ml_s AS (SELECT doc_id,
+          |    ${langIdCaseOver("list_distinct(h1)")} AS lang_a,
+          |    ${langIdCaseOver("list_distinct(h2)")} AS lang_b
+          |  FROM ml_h)
+          |SELECT doc_id, lang_a, lang_b, lang_a <> lang_b AS mixed
+          |FROM ml_s""".stripMargin
       }))
   )
 }

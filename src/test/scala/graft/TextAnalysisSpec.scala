@@ -223,6 +223,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       "completion must stop at token 76 and flag truncation")
   }
 
+  test("mixed-lang detection: a code-switched doc flags, monolingual and " +
+    "sub-evidence docs do not, and half-scoring uses the shared classifier") {
+    // operator-level: langIdFromToks must agree with langId on full text
+    val texts = Seq((1L, "the cat and the dog is a pet"),
+      (2L, "der hund und die katze ist da"))
+    val both = texts.toDF("id", "t").select(
+      TextAnalysis.langId(col("t")).as("a"),
+      TextAnalysis.langIdFromToks(TextAnalysis.tokens(col("t"))).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // query-level at sf0.001: every flagged doc is an injected %7 seam,
+    // every injected non-German doc IS flagged with lang_b = de
+    val rows = SparkEntry.queries("x_mixed_lang")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+    rows.filter(_._4).foreach { case (id, _, b, _) =>
+      assert(id % 7 == 0 && b == "de",
+        s"doc $id flagged mixed without an injected German half") }
+    rows.filter(r => r._1 % 7 == 0 && r._2 != "de").foreach { r =>
+      assert(r._4, s"injected seam missed: $r") }
+  }
+
   test("foldUnicode: accents, curly punctuation, NBSP, and ellipsis fold " +
     "to ASCII; CJK passes through; fold is idempotent") {
     val cases = Seq(
