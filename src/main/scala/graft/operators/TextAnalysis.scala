@@ -246,24 +246,38 @@ object TextAnalysis {
     */
   def seedAffinityScores(df: DataFrame, idCol: String, textCol: String,
                          seedCol: String): DataFrame = {
-    val dt = CacheRegistry.register(df
+    val dt = seedMultiplicities(df, idCol, textCol, seedCol)
+    dt.join(seedAffinityVocab(dt), "tok")
+      .groupBy("doc_id", "seed")
+      .agg(sum(col("m")).as("n_tok"),
+        expr("sum(m * r_e3) div sum(m)").as("score_e3"))
+      .crossJoin(broadcast(seedAffinityBase(dt)))
+      .withColumn("pred_good", col("score_e3") > col("base_e3"))
+  }
+
+  /** Per-doc (doc_id, seed, tok, m) multiplicities — the ONE corpus pass
+    * every seed-affinity consumer derives from (persisted: it feeds the
+    * vocab model, the baseline scalar, and the scoring join — and the
+    * streaming twin trains from the same frame).
+    */
+  def seedMultiplicities(df: DataFrame, idCol: String, textCol: String,
+                         seedCol: String): DataFrame =
+    CacheRegistry.register(df
       .select(col(idCol).as("doc_id"), col(seedCol).as("seed"),
         explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "seed", "tok").agg(count(lit(1)).as("m"))
       .persist())
-    val vocab = dt.groupBy("tok").agg(
+
+  /** The affinity model (tok, r_e3) over [[seedMultiplicities]] output. */
+  def seedAffinityVocab(dt: DataFrame): DataFrame =
+    dt.groupBy("tok").agg(
       sum(col("m")).as("c_all"),
       sum(when(col("seed"), col("m")).otherwise(0L)).as("c_pos"))
       .select(col("tok"), expr("c_pos * 1000 div c_all").as("r_e3"))
-    val base = dt.agg(
-      expr("(sum(if(seed, m, 0L)) * 1000) div sum(m)").as("base_e3"))
-    dt.join(vocab, "tok")
-      .groupBy("doc_id", "seed")
-      .agg(sum(col("m")).as("n_tok"),
-        expr("sum(m * r_e3) div sum(m)").as("score_e3"))
-      .crossJoin(broadcast(base))
-      .withColumn("pred_good", col("score_e3") > col("base_e3"))
-  }
+
+  /** The 1-row verdict baseline (base_e3) over [[seedMultiplicities]]. */
+  def seedAffinityBase(dt: DataFrame): DataFrame =
+    dt.agg(expr("(sum(if(seed, m, 0L)) * 1000) div sum(m)").as("base_e3"))
 
   /** SFT chat-template assembly: the first `promptToks` whitespace tokens
     * become the user turn, the next ≤ `maxCompletion` the assistant turn,

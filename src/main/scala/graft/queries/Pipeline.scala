@@ -279,6 +279,24 @@ object Pipeline {
       |      AND n_stop >= 2) AS keep
       |  FROM gm)""".stripMargin
 
+  /** Seed-affinity classifier oracle chain (mirrors
+    * TextAnalysis.seedMultiplicities/-Vocab/-Base over the `gk` Gopher
+    * CTE), ending in `qc_m(doc_id, seed, tok, m)`, `qc_v(tok, r_e3)`,
+    * `qc_b(base_e3)` — shared by the batch classifier and its streaming
+    * twin (lockstep rule). Interpolate AFTER `gopherCtesSql`.
+    */
+  private val qcCtesSql: String =
+    """qc_t AS (SELECT f.doc_id, k.keep AS seed, unnest(f.l) AS tok
+      |  FROM gf f JOIN gk k ON f.doc_id = k.doc_id),
+      |qc_m AS (SELECT doc_id, seed, tok, CAST(count(*) AS BIGINT) AS m
+      |  FROM qc_t GROUP BY 1, 2, 3),
+      |qc_v AS (SELECT tok,
+      |    CAST((sum(CASE WHEN seed THEN m ELSE 0 END) * 1000)
+      |      // sum(m) AS BIGINT) AS r_e3
+      |  FROM qc_m GROUP BY 1),
+      |qc_b AS (SELECT CAST((sum(CASE WHEN seed THEN m ELSE 0 END) * 1000)
+      |      // sum(m) AS BIGINT) AS base_e3 FROM qc_m)""".stripMargin
+
   /** Corpus-relative length band [p05, p95] by the lower-quantile
     * definition: bound = smallest length L with cumCount(≤ L) ≥ ⌈q·N⌉.
     * Derived from the DISTINCT-length histogram (bounded domain — a few
@@ -4476,16 +4494,7 @@ object Pipeline {
           .orderBy("doc_id")
       },
       Some(s"""WITH $gopherCtesSql,
-        |qc_t AS (SELECT f.doc_id, k.keep AS seed, unnest(f.l) AS tok
-        |  FROM gf f JOIN gk k ON f.doc_id = k.doc_id),
-        |qc_m AS (SELECT doc_id, seed, tok, CAST(count(*) AS BIGINT) AS m
-        |  FROM qc_t GROUP BY 1, 2, 3),
-        |qc_v AS (SELECT tok,
-        |    CAST((sum(CASE WHEN seed THEN m ELSE 0 END) * 1000)
-        |      // sum(m) AS BIGINT) AS r_e3
-        |  FROM qc_m GROUP BY 1),
-        |qc_b AS (SELECT CAST((sum(CASE WHEN seed THEN m ELSE 0 END) * 1000)
-        |      // sum(m) AS BIGINT) AS base_e3 FROM qc_m)
+        |$qcCtesSql
         |SELECT m.doc_id, m.seed,
         |  CAST(sum(m.m) AS BIGINT) AS n_tok,
         |  CAST(sum(m.m * v.r_e3) // sum(m.m) AS BIGINT) AS score_e3,
@@ -4493,6 +4502,24 @@ object Pipeline {
         |  (sum(m.m * v.r_e3) // sum(m.m)) > b.base_e3 AS pred_good
         |FROM qc_m m JOIN qc_v v ON m.tok = v.tok, qc_b b
         |GROUP BY 1, 2, b.base_e3 ORDER BY m.doc_id""".stripMargin)),
+
+    // ── Structured Streaming: online quality scoring — the DEPLOYED shape
+    //    of x_quality_classifier (train offline, score online): the
+    //    affinity model + baseline train in one batch pass over the static
+    //    corpus, each landing doc scores via a stream-static vocab join +
+    //    per-doc stateful agg. Same oracle chain as the batch classifier
+    //    minus the seed column (the online scorer doesn't re-derive the
+    //    training label) ──────────────────────────────────────────────────
+    "stream_quality_score" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamingQualityScore(s, d),
+      Some(s"""WITH $gopherCtesSql,
+        |$qcCtesSql
+        |SELECT m.doc_id,
+        |  CAST(sum(m.m) AS BIGINT) AS n_tok,
+        |  CAST(sum(m.m * v.r_e3) // sum(m.m) AS BIGINT) AS score_e3,
+        |  (sum(m.m * v.r_e3) // sum(m.m)) > b.base_e3 AS pred_good
+        |FROM qc_m m JOIN qc_v v ON m.tok = v.tok, qc_b b
+        |GROUP BY 1, b.base_e3""".stripMargin)),
 
     // ── Temperature-scaled language mixing (mT5/XLM-R): sampling weight
     //    ∝ n^α with α = ½ — the standard trick that keeps head languages

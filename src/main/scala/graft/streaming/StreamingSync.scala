@@ -816,6 +816,54 @@ object StreamingSync {
     runAppendSink(ss, admitted, base, "graft_stream_domain_cap")
   }
 
+  /** Streaming quality scoring — the DEPLOYED shape of
+    * `x_quality_classifier`: the affinity model trains OFFLINE on the
+    * static corpus (one batch pass — Gopher-seeded per-token ‰
+    * affinities + the verdict baseline, the same
+    * `TextAnalysis.seedAffinity*` pieces as the batch query, lockstep)
+    * and every incoming document scores ONLINE as it lands: explode →
+    * stream-static equi-join against the vocab model → per-doc stateful
+    * aggregation, update-mode changelog compacted per doc. The baseline
+    * is a bounded driver scalar (same contract as the watermark
+    * scalars). State is one row per in-flight doc — bounded for an
+    * AvailableNow backfill; a continuous deployment watermarks the
+    * ingest time exactly like the other aggregating twins. Batch
+    * parity: identical scores to the batch classifier because stream
+    * and static side see the same corpus.
+    */
+  def streamingQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "qscore")
+    import graft.operators.TextAnalysis
+    def seeded(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.gopherFlags(
+          TextAnalysis.gopherMetrics(col("text"), col("toks")))
+          .getField("keep").as("seed"))
+    val dt = TextAnalysis.seedMultiplicities(
+      seeded(graft.io.Tables.table(ss, sfDir, "documents")),
+      "doc_id", "text", "seed")
+    val vocab = TextAnalysis.seedAffinityVocab(dt)
+    // empty corpus → NULL baseline; 0 keeps the empty stream scoring
+    // cleanly (no rows reach the comparison anyway)
+    val baseRow = TextAnalysis.seedAffinityBase(dt).head()
+    val baseE3 = if (baseRow.isNullAt(0)) 0L else baseRow.getLong(0)
+    val docs = tableStream(ss, sfDir, "documents", base)
+    val scored = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+        .as("tok"))
+      .join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("r_e3")).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("s div n_tok").as("score_e3"))
+      .withColumn("pred_good", col("score_e3") > lit(baseE3))
+    runToChangelog(scored, base, "graft_stream_quality_score",
+      Seq("doc_id"))
+  }
+
   /** Stream-stream self-join: (purchase, click) pairs within the
     * `beforeUs` window before each purchase, computed with BOTH sides as
     * streams — the engine buffers each side's rows in the state store and

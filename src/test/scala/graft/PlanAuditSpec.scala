@@ -21,7 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_sessionize_wm", "stream_rollup_tws", "stream_cdc_apply",
       "stream_corpus_hist", "stream_quality_gate", "stream_decontaminate",
       "stream_event_spikes", "stream_attribution", "stream_cell_occupancy",
-      "stream_url_dedup", "stream_domain_cap",
+      "stream_url_dedup", "stream_domain_cap", "stream_quality_score",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
@@ -307,7 +307,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_url_dedup" -> 1,
       // per-domain crawl budget: host extraction is per-row; ONE exchange
       // groups by host into the flatMapGroupsWithState counter
-      "stream_domain_cap" -> 1)
+      "stream_domain_cap" -> 1,
+      // online quality scoring: the static vocab-model subtree (its own
+      // offline exchanges) + the stream-static join + ONE stateful
+      // per-doc agg exchange feeding the state store
+      "stream_quality_score" -> 8)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       SparkEntry.queries(name)(spark, sf).count() // drains the stream
       val plan = graft.streaming.StreamingSync.lastRunPlan

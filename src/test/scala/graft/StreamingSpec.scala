@@ -668,6 +668,21 @@ class StreamingSpec extends AnyFunSuite {
       "the cap must actually drop pages at this fixture size")
   }
 
+  test("streaming quality scoring equals the batch classifier's scores at " +
+    "sf0.001 (offline-trained model, online-scored corpus)") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSync
+      .streamingQualityScore(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val batch = SparkEntry.queries("x_quality_classifier")(spark, sf)
+      .select("doc_id", "n_tok", "score_e3", "pred_good")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(streamed == batch,
+      "online scores must equal the batch classifier exactly")
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingSync.streamStaticEnrich(spark, sf)
