@@ -4652,6 +4652,53 @@ object Pipeline {
           |  FROM ml_h)
           |SELECT doc_id, lang_a, lang_b, lang_a <> lang_b AS mixed
           |FROM ml_s""".stripMargin
-      }))
+      })),
+
+    // ── Robots-style host policy filter: every crawl pipeline applies a
+    //    per-host allow/deny table (robots.txt disallow prefixes, site
+    //    opt-outs, licensing blocks) to its URL frontier. The corpus has
+    //    no policy table, so the fixture derives one in-query from the
+    //    source catalog (even-numbered sources disallow the '/Docs'
+    //    prefix — the x_dedup_url fixture pattern): a sources-sized
+    //    DISTINCT + a BROADCAST equi-join on host + a per-row prefix
+    //    test. At crawl scale the policy table is host-cardinality-sized
+    //    (millions of rows, still broadcastable at tens of MB — or an
+    //    equi-join if not); the verdict itself never shuffles the corpus ──
+    "x_robots_block" -> Q(
+      (s, d) => {
+        val u = Dedup.canonicalUrl(
+          Pipeline.syntheticUrl(col("doc_id"), col("source")))
+        val urls = t(s, d, "documents")
+          .select(col("doc_id"), u.as("u"))
+          .select(col("doc_id"),
+            regexp_extract(col("u"), "^[a-z0-9+.-]+://([^/?]*)", 1)
+              .as("host"),
+            regexp_extract(col("u"), "^[a-z0-9+.-]+://[^/?]*([^?]*)", 1)
+              .as("path"))
+        val policy = t(s, d, "documents")
+          .select(col("source")).distinct()
+          .select(concat(lower(col("source")), lit(".example.com"))
+            .as("host"),
+            when(regexp_extract(col("source"), "(\\d+)$", 1)
+              .cast("long") % 2 === 0, "/Docs").as("deny_prefix"))
+        urls.join(broadcast(policy), "host")
+          .select(col("doc_id"), col("host"), col("path"),
+            (col("deny_prefix").isNull ||
+              !col("path").startsWith(col("deny_prefix"))).as("allowed"))
+      },
+      Some(s"""WITH $urlCanonCtesSql,
+        |rb_u AS (SELECT id AS doc_id,
+        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host,
+        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://[^/?]*([^?]*)', 1)
+        |      AS path
+        |  FROM uc),
+        |rb_p AS (SELECT lower(source) || '.example.com' AS host,
+        |    CASE WHEN CAST(regexp_extract(source, '(\\d+)${"$"}', 1) AS BIGINT)
+        |      % 2 = 0 THEN '/Docs' END AS deny_prefix
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT u.doc_id, u.host, u.path,
+        |  (p.deny_prefix IS NULL OR u.path NOT LIKE p.deny_prefix || '%')
+        |    AS allowed
+        |FROM rb_u u JOIN rb_p p ON u.host = p.host""".stripMargin))
   )
 }

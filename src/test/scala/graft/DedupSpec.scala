@@ -636,6 +636,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L)._2 == 5L, "rank is within the collapsed host")
   }
 
+  test("robots policy filter: denial is exactly (even-numbered host AND " +
+    "denied prefix); hosts join case-folded") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x_robots_block")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, host, path, allowed) =>
+      val num = host.stripPrefix("src").takeWhile(_.isDigit).toLong
+      val expectDeny = num % 2 == 0 && path.startsWith("/Docs")
+      assert(allowed == !expectDeny, s"doc $id host $host path $path")
+      assert(host == host.toLowerCase, "canonical host must be lowercased")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "the policy must genuinely split the corpus")
+  }
+
   test("line dedup: corpus-frequent boilerplate lines are struck from " +
     "every doc, unique body lines survive in order") {
     import spark.implicits._

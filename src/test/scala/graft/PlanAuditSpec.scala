@@ -272,7 +272,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // temperature mixing: ONE corpus-wide combiner agg on lang + the
       // single-partition totals window over the lang-sized table + the
       // ORDER BY riding it
-      "x_mix_temperature" -> 3)
+      "x_mix_temperature" -> 3,
+      // robots policy: the sources-sized DISTINCT (its partial+final
+      // agg) feeding the broadcast; the corpus side never shuffles
+      "x_robots_block" -> 2)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // drop caches registered by earlier queries' CONSTRUCTION (e.g. the
       // fluency band persists the LM-score subtree it shares with
