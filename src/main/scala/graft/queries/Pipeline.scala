@@ -4699,6 +4699,49 @@ object Pipeline {
         |SELECT u.doc_id, u.host, u.path,
         |  (p.deny_prefix IS NULL OR u.path NOT LIKE p.deny_prefix || '%')
         |    AS allowed
-        |FROM rb_u u JOIN rb_p p ON u.host = p.host""".stripMargin))
+        |FROM rb_u u JOIN rb_p p ON u.host = p.host""".stripMargin)),
+
+    // ── LLM-watermark detector (Kirchenbauer-style green-list test): a
+    //    soft-watermarked generator biases each token toward the
+    //    context-keyed "green" half of the vocabulary, so watermarked text
+    //    shows green-rate ≫ ½ while natural text sits at ½ ± sampling
+    //    noise. Screen: green(w₁,w₂) = parity of a keyed hash of the
+    //    adjacent pair; flag when the exact binomial z² exceeds 9
+    //    (|z| > 3), computed integer-only as (2G − P)² > 9P — no floats,
+    //    no per-doc sqrt. The "is this training doc machine-generated"
+    //    filter modern corpora need. Pure per-row array expressions over
+    //    the pair sequence — zero Exchange, pinned ─────────────────────────
+    "x_watermark_detect" -> Q(
+      (s, d) => {
+        val toks = col("toks")
+        val pairs = transform(sequence(lit(1), size(toks) - 1),
+          i => conv(substring(md5(concat(
+            element_at(toks, i), lit("|"), element_at(toks, i + 1))),
+            1, 4), 16, 10).cast("long") % 2)
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            (size(col("toks")) - 1).cast("long").as("n_pairs"),
+            size(filter(pairs, x => x === 0)).cast("long").as("n_green"))
+          .select(col("doc_id"), col("n_pairs"), col("n_green"),
+            expr("n_green * 10000 div n_pairs").as("green_bp"),
+            (((col("n_green") * 2 - col("n_pairs")) *
+              (col("n_green") * 2 - col("n_pairs"))) >
+              col("n_pairs") * 9).as("watermarked"))
+      },
+      Some("""WITH wm_t AS (SELECT doc_id,
+        |    string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |wm_p AS (SELECT doc_id, CAST(len(l) - 1 AS BIGINT) AS n_pairs,
+        |    CAST(len(list_filter(list_transform(
+        |      generate_series(1, len(l) - 1),
+        |      i -> CAST('0x' || substr(md5(l[i] || '|' || l[i+1]), 1, 4)
+        |        AS BIGINT) % 2), x -> x = 0)) AS BIGINT) AS n_green
+        |  FROM wm_t WHERE len(l) >= 2)
+        |SELECT doc_id, n_pairs, n_green,
+        |  CAST(n_green * 10000 // n_pairs AS BIGINT) AS green_bp,
+        |  (n_green * 2 - n_pairs) * (n_green * 2 - n_pairs) > n_pairs * 9
+        |    AS watermarked
+        |FROM wm_p""".stripMargin))
   )
 }

@@ -223,6 +223,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       "completion must stop at token 76 and flag truncation")
   }
 
+  test("watermark detector: a greedily green-sampled doc flags, a " +
+    "half-green doc does not, and counts equal a plain-Scala recompute") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def green(a: String, b: String) =
+      java.lang.Long.parseLong(md5hex(s"$a|$b").take(4), 16) % 2 == 0
+    // watermarked: from each token, greedily pick a continuation whose
+    // pair hash is green — exactly how a green-list sampler biases text
+    val vocab = (0 until 10).map(i => s"w$i")
+    val wm = Iterator.iterate(List("w0")) { acc =>
+      vocab.find(green(acc.head, _)).get :: acc
+    }.drop(40).next().reverse
+    assert(wm.sliding(2).forall { case Seq(a, b) => green(a, b) })
+    // natural: alternate green/red continuations → rate ≈ ½, z² small
+    val nat = Iterator.iterate((List("w0"), true)) { case (acc, wantGreen) =>
+      (vocab.find(green(acc.head, _) == wantGreen).get :: acc, !wantGreen)
+    }.drop(40).next()._1.reverse
+    val sf = TestSpark.tmpDir("wmsf")
+    Seq((1L, wm.mkString(" "), "en", "s", 0L),
+        (2L, nat.mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val out = SparkEntry.queries("x_watermark_detect")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(1L)._1 == 40L && out(1L)._2 == 40L && out(1L)._3,
+      s"all-green doc must flag: ${out(1L)}")
+    val natGreens = nat.sliding(2).count { case Seq(a, b) => green(a, b) }
+    assert(out(2L)._2 == natGreens && !out(2L)._3,
+      s"half-green doc must not flag: ${out(2L)} vs recompute $natGreens")
+  }
+
   test("mixed-lang detection: a code-switched doc flags, monolingual and " +
     "sub-evidence docs do not, and half-scoring uses the shared classifier") {
     // operator-level: langIdFromToks must agree with langId on full text
