@@ -4742,6 +4742,62 @@ object Pipeline {
         |  CAST(n_green * 10000 // n_pairs AS BIGINT) AS green_bp,
         |  (n_green * 2 - n_pairs) * (n_green * 2 - n_pairs) > n_pairs * 9
         |    AS watermarked
-        |FROM wm_p""".stripMargin))
+        |FROM wm_p""".stripMargin)),
+
+    // ── Fill-in-middle (FIM) transform: the standard code/infilling
+    //    training rewrite — split each document into (prefix, middle,
+    //    suffix) at two md5-derived cut points and emit the PSM
+    //    reordering `<pre> prefix <suf> suffix <mid> middle`, so the
+    //    model learns to infill conditioned on both sides. Distinct from
+    //    x_span_corruption (T5 masking): FIM keeps every token, only
+    //    reorders. Cuts are a pure function of doc_id (reproducible
+    //    epoch-to-epoch), bounds 1 ≤ a < b ≤ n−1 guarantee all three
+    //    parts non-empty; docs under 12 tokens are left out (trivial
+    //    parts teach nothing). Per-row array slicing — zero Exchange ──────
+    "x_fim_transform" -> Q(
+      (s, d) => {
+        val n = size(col("toks"))
+        val h1 = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":a"))), 1, 8), 16, 10).cast("long")
+        val h2 = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":b"))), 1, 8), 16, 10).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 12)
+          .select(col("doc_id"), col("toks"), n.cast("long").as("n_toks"),
+            (h1 % (n - 2) + 1).cast("int").as("a"))
+          .select(col("doc_id"), col("toks"), col("n_toks"), col("a"),
+            (col("a") + lit(1) +
+              (h2 % (col("n_toks") - col("a") - 1)).cast("int")).as("b"))
+          .select(col("doc_id"), col("n_toks"),
+            col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+            md5(concat(
+              lit("<|fim_pre|> "),
+              concat_ws(" ", slice(col("toks"), lit(1), col("a"))),
+              lit(" <|fim_suf|> "),
+              concat_ws(" ", slice(col("toks"), col("b") + 1,
+                size(col("toks")) - col("b"))),
+              lit(" <|fim_mid|> "),
+              concat_ws(" ", slice(col("toks"), col("a") + 1,
+                col("b") - col("a"))))).as("psm_fp"))
+      },
+      Some("""WITH fim_t AS (SELECT doc_id,
+        |    string_split_regex(lower(text),'\s+') AS l,
+        |    CAST(len(string_split_regex(lower(text),'\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE len(string_split_regex(lower(text),'\s+')) >= 12),
+        |fim_a AS (SELECT doc_id, l, n,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 8)
+        |      AS BIGINT) % (n - 2) + 1 AS a
+        |  FROM fim_t),
+        |fim_b AS (SELECT doc_id, l, n, a,
+        |    a + 1 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'),
+        |      1, 8) AS BIGINT) % (n - a - 1) AS b
+        |  FROM fim_a)
+        |SELECT doc_id, n AS n_toks, CAST(a AS BIGINT) AS a,
+        |  CAST(b AS BIGINT) AS b,
+        |  md5('<|fim_pre|> ' || array_to_string(l[1:a], ' ') ||
+        |      ' <|fim_suf|> ' || array_to_string(l[b+1:n], ' ') ||
+        |      ' <|fim_mid|> ' || array_to_string(l[a+1:b], ' ')) AS psm_fp
+        |FROM fim_b""".stripMargin))
   )
 }

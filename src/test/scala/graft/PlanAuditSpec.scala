@@ -170,7 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_normalize_text", "x_redact_pii", "x_filter_blocklist",
       "x_compressibility", "x_filter_gopher", "x_chunk_docs", "x_split_assign",
       "x_extract_html", "x_sft_format", "x_normalize_unicode",
-      "x_mixed_lang", "x_watermark_detect",
+      "x_mixed_lang", "x_watermark_detect", "x_fim_transform",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
       "x_multimodal_frames", "x_multimodal_resize",
       "x_embed_rp_reduce", "x_embed_int8")

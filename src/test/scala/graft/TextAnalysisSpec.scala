@@ -223,6 +223,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       "completion must stop at token 76 and flag truncation")
   }
 
+  test("FIM transform: cut bounds keep all three parts non-empty and the " +
+    "PSM fingerprint equals a plain-Scala recompute") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (1 to 20).map(i => s"t$i")
+    val sf = TestSpark.tmpDir("fimsf")
+    Seq((7L, toks.mkString(" "), "en", "s", 0L),
+        (8L, "too short", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val out = SparkEntry.queries("x_fim_transform")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(!out.contains(8L), "sub-12-token docs are out of scope")
+    val (n, a, b, fp) = out(7L)
+    assert(n == 20 && 1 <= a && a < b && b <= n - 1, s"bounds: a=$a b=$b")
+    // plain-Scala recompute of the SAME md5-derived cuts and PSM string
+    val h1 = java.lang.Long.parseLong(md5hex("7:a").take(8), 16)
+    val h2 = java.lang.Long.parseLong(md5hex("7:b").take(8), 16)
+    val ea = h1 % (n - 2) + 1
+    val eb = ea + 1 + h2 % (n - ea - 1)
+    assert(a == ea && b == eb, s"cuts: got ($a,$b) expected ($ea,$eb)")
+    val expect = "<|fim_pre|> " + toks.take(a.toInt).mkString(" ") +
+      " <|fim_suf|> " + toks.drop(b.toInt).mkString(" ") +
+      " <|fim_mid|> " + toks.slice(a.toInt, b.toInt).mkString(" ")
+    assert(fp == md5hex(expect), "PSM reordering diverged from recompute")
+  }
+
   test("watermark detector: a greedily green-sampled doc flags, a " +
     "half-green doc does not, and counts equal a plain-Scala recompute") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
