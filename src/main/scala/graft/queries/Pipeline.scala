@@ -279,6 +279,58 @@ object Pipeline {
       |      AND n_stop >= 2) AS keep
       |  FROM gm)""".stripMargin
 
+  /** BM25 top-20 for the fixed term query — the body of `x_search_bm25`,
+    * shared with the hybrid-search lexical leg (lockstep rule; the SQL
+    * twin is [[bm25CtesSql]]). Corpus stats broadcast (3 term rows + one
+    * scalar); the corpus side is one narrow pass; top-k via
+    * orderBy+limit (TakeOrdered, no sort exchange).
+    */
+  private def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "merge", "stream")
+    val docs = t(s, d, "documents")
+    val tf = graft.operators.CacheRegistry.register(
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+        .select(col("doc_id"), size(col("l")).cast("long").as("dl"),
+          explode(col("l")).as("tok"))
+        .where(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+        .persist())
+    val nd = docs.agg(count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text"))).as("tot_tok"))
+    val idf = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nd)) // 1-row corpus stats vs 3 term rows
+      .select(col("tok"),
+        length(bin(expr("n_docs div df"))).cast("long").as("idf_bits"),
+        (col("tot_tok").cast("double") / col("n_docs")).as("avgdl"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .withColumn("score_u", expr(
+        "CAST(round(1000000 * idf_bits * (2.2 * tf) / " +
+          "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT)"))
+      .groupBy("doc_id").agg(sum(col("score_u")).as("score_u"))
+      .orderBy(desc("score_u"), asc("doc_id")).limit(20)
+  }
+
+  /** DuckDB twin of [[bm25TopK]]'s scoring chain, ending in
+    * `bm_s(doc_id, score_u)` (per-(doc, term) partial scores — consumers
+    * aggregate + rank). Shared by the BM25 readout and the hybrid-search
+    * lexical leg.
+    */
+  private val bm25CtesSql: String =
+    """bm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+      |bm_e AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, unnest(l) AS tok FROM bm_t),
+      |bm_f AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM bm_e
+      |  WHERE tok IN ('join','merge','stream') GROUP BY 1, 2, 3),
+      |bm_n AS (SELECT count(*) AS n_docs, CAST(sum(len(l)) AS BIGINT) AS tot_tok FROM bm_t),
+      |bm_i AS (SELECT tok,
+      |    CAST(length(bin(CAST((SELECT n_docs FROM bm_n) // count(DISTINCT doc_id) AS BIGINT))) AS BIGINT) AS idf_bits,
+      |    CAST((SELECT tot_tok FROM bm_n) AS DOUBLE) / (SELECT n_docs FROM bm_n) AS avgdl
+      |  FROM bm_f GROUP BY tok),
+      |bm_s AS (SELECT f.doc_id,
+      |    CAST(round(1000000 * i.idf_bits * (2.2 * f.tf) /
+      |      (f.tf + 1.2 * (0.25 + 0.75 * f.dl / i.avgdl))) AS BIGINT) AS score_u
+      |  FROM bm_f f JOIN bm_i i USING (tok))""".stripMargin
+
   /** Seed-affinity classifier oracle chain (mirrors
     * TextAnalysis.seedMultiplicities/-Vocab/-Base over the `gk` Gopher
     * CTE), ending in `qc_m(doc_id, seed, tok, m)`, `qc_v(tok, r_e3)`,
@@ -3623,46 +3675,57 @@ object Pipeline {
     //    result. Same broadcast shape as tf-idf: corpus stats (3 term
     //    rows + one scalar) broadcast, corpus side one narrow pass ────────
     "x_search_bm25" -> Q(
-      (s, d) => {
-        val terms = Seq("join", "merge", "stream")
-        val docs = t(s, d, "documents")
-        val tf = graft.operators.CacheRegistry.register(
-          docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
-            .select(col("doc_id"), size(col("l")).cast("long").as("dl"),
-              explode(col("l")).as("tok"))
-            .where(col("tok").isin(terms: _*))
-            .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-            .persist())
-        val nd = docs.agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text"))).as("tot_tok"))
-        val idf = tf.groupBy("tok")
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .crossJoin(broadcast(nd)) // 1-row corpus stats vs 3 term rows
-          .select(col("tok"),
-            length(bin(expr("n_docs div df"))).cast("long").as("idf_bits"),
-            (col("tot_tok").cast("double") / col("n_docs")).as("avgdl"))
-        tf.join(broadcast(idf), Seq("tok"))
-          .withColumn("score_u", expr(
-            "CAST(round(1000000 * idf_bits * (2.2 * tf) / " +
-              "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT)"))
-          .groupBy("doc_id").agg(sum(col("score_u")).as("score_u"))
-          .orderBy(desc("score_u"), asc("doc_id")).limit(20)
-      },
-      Some("""WITH bm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
-        |bm_e AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, unnest(l) AS tok FROM bm_t),
-        |bm_f AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM bm_e
-        |  WHERE tok IN ('join','merge','stream') GROUP BY 1, 2, 3),
-        |bm_n AS (SELECT count(*) AS n_docs, CAST(sum(len(l)) AS BIGINT) AS tot_tok FROM bm_t),
-        |bm_i AS (SELECT tok,
-        |    CAST(length(bin(CAST((SELECT n_docs FROM bm_n) // count(DISTINCT doc_id) AS BIGINT))) AS BIGINT) AS idf_bits,
-        |    CAST((SELECT tot_tok FROM bm_n) AS DOUBLE) / (SELECT n_docs FROM bm_n) AS avgdl
-        |  FROM bm_f GROUP BY tok),
-        |bm_s AS (SELECT f.doc_id,
-        |    CAST(round(1000000 * i.idf_bits * (2.2 * f.tf) /
-        |      (f.tf + 1.2 * (0.25 + 0.75 * f.dl / i.avgdl))) AS BIGINT) AS score_u
-        |  FROM bm_f f JOIN bm_i i USING (tok))
+      (s, d) => Pipeline.bm25TopK(s, d),
+      Some(s"""WITH $bm25CtesSql
         |SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u FROM bm_s
         |GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ── Hybrid search: reciprocal-rank fusion of the BM25 lexical top-20
+    //    and the vector cosine top-20 for one probe — the standard
+    //    two-leg retrieval stack (lexical catches exact terms, vectors
+    //    catch paraphrase; RRF needs no score calibration between them).
+    //    rrf = Σ 10000 // (60 + rank), integer-exact, absent leg
+    //    contributes 0. The corpus ships vec_id ≡ doc_id so the legs
+    //    join directly. Both legs are the EXISTING operators' shapes
+    //    (bm25TopK shared verbatim; the vector leg is bruteForceTopK
+    //    with a 1-row broadcast probe — at scale swap in the IVF path);
+    //    the fusion itself touches only 20+20 ranked rows ─────────────────
+    "x_hybrid_search" -> Q(
+      (s, d) => {
+        val lex = Pipeline.bm25TopK(s, d)
+          .withColumn("rank_lex", row_number().over(
+            Window.orderBy(desc("score_u"), asc("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rank_lex"))
+        val e = t(s, d, "embeddings")
+        val vec = Similarity.bruteForceTopK(
+          e.where(col("vec_id") === 0), e, "vec_id", "embedding", 20)
+          .select(col("nid").as("doc_id"), col("rank").as("rank_vec"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+            expr("coalesce(10000 div (60 + rank_lex), 0L) + " +
+              "coalesce(10000 div (60 + rank_vec), 0L)").as("rrf"))
+          .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+      },
+      Some(s"""WITH $bm25CtesSql,
+        |hb_l AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+        |      AS BIGINT) AS rank_lex
+        |  FROM (SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u
+        |    FROM bm_s GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 20)),
+        |hb_e AS (SELECT vec_id, $vqSql AS vq FROM embeddings),
+        |hb_v AS (SELECT doc_id, rank_vec FROM (
+        |    SELECT b.vec_id AS doc_id,
+        |      CAST(row_number() OVER (ORDER BY $dotSql DESC, b.vec_id)
+        |        AS BIGINT) AS rank_vec
+        |    FROM hb_e b, (SELECT vq FROM hb_e WHERE vec_id = 0) a
+        |    WHERE b.vec_id <> 0)
+        |  WHERE rank_vec <= 20)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  l.rank_lex, v.rank_vec,
+        |  CAST(COALESCE(10000 // (60 + l.rank_lex), 0) +
+        |    COALESCE(10000 // (60 + v.rank_vec), 0) AS BIGINT) AS rrf
+        |FROM hb_l l FULL OUTER JOIN hb_v v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
     // ── Data selection: DSIR-style importance weights (Xie et al. 2023,
     //    arXiv:2302.03169) — score every document by how much its hashed

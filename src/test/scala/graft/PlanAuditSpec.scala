@@ -56,7 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_search_bm25" -> 1L,        // the 1-row corpus-stats broadcast
     "x_importance_weights" -> 1L, // the 1-row token-totals broadcast
     "x_pmi_bigrams" -> 1L,        // the 1-row corpus-total broadcast
-    "x_quality_classifier" -> 1L) // the 1-row seed-mass-baseline broadcast
+    "x_quality_classifier" -> 1L, // the 1-row seed-mass-baseline broadcast
+    "x_hybrid_search" -> 1L)      // 1-row probe + 1-row corpus-stats broadcasts
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -275,7 +276,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_mix_temperature" -> 3,
       // robots policy: the sources-sized DISTINCT (its partial+final
       // agg) feeding the broadcast; the corpus side never shuffles
-      "x_robots_block" -> 2)
+      "x_robots_block" -> 2,
+      // hybrid search: textual count — the persisted BM25 tf subtree is
+      // re-counted in its consumers (same accounting as x_search_tfidf)
+      // + the 1-row-probe vector leg's rank window + the 20x20
+      // full-outer fusion join + the final TakeOrdered
+      "x_hybrid_search" -> 20)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // drop caches registered by earlier queries' CONSTRUCTION (e.g. the
       // fluency band persists the LM-score subtree it shares with

@@ -223,6 +223,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       "completion must stop at token 76 and flag truncation")
   }
 
+  test("hybrid search: rrf equals the per-leg recompute, output is " +
+    "rank-sorted, and a two-leg doc outranks an equal single-leg rank") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x_hybrid_search")(spark, sf).collect()
+      .map { r =>
+        val rl = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        val rv = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        (r.getLong(0), rl, rv, r.getLong(3))
+      }
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (id, rl, rv, rrf) =>
+      val expect = rl.map(r => 10000 / (60 + r)).getOrElse(0L) +
+        rv.map(r => 10000 / (60 + r)).getOrElse(0L)
+      assert(rrf == expect, s"doc $id rrf $rrf != $expect") }
+    assert(rows.map(_._4).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    }, "fusion output must be rrf-sorted")
+    // fusion property: two-leg evidence at worst-leg rank r beats any
+    // single leg at rank ≥ r (10000/(60+r) is positive and decreasing)
+    val twoLeg = rows.filter(r => r._2.isDefined && r._3.isDefined)
+    val oneLeg = rows.filter(r => r._2.isEmpty || r._3.isEmpty)
+    for {
+      t <- twoLeg
+      o <- oneLeg
+      worst = math.max(t._2.get, t._3.get)
+      oRank = o._2.orElse(o._3).get
+      if oRank >= worst
+    } assert(t._4 > o._4, s"two-leg $t must outrank one-leg $o")
+  }
+
   test("FIM transform: cut bounds keep all three parts non-empty and the " +
     "PSM fingerprint equals a plain-Scala recompute") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
