@@ -3727,6 +3727,110 @@ object Pipeline {
         |FROM hb_l l FULL OUTER JOIN hb_v v ON l.doc_id = v.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ── Needle insertion (long-context eval prep): plant a uniquely
+    //    identifiable needle sentence at an md5-derived token depth in
+    //    each document and emit the exact character offset a
+    //    needle-in-a-haystack harness asserts retrieval against. Depth is
+    //    a pure function of doc_id (the eval reproduces); the offset is
+    //    integer-exact on both engines because the corpus text is
+    //    single-space-joined (same documented shortcut as
+    //    x_filter_gopher's n_wchars, exact here by construction since we
+    //    rebuild the haystack from the token array). Per-row array
+    //    slicing — zero Exchange, pinned ───────────────────────────────────
+    "x_needle_insert" -> Q(
+      (s, d) => {
+        val n = size(col("toks"))
+        val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":needle"))), 1, 8), 16, 10).cast("long")
+        val needle = concat(lit("the magic number is "),
+          (col("doc_id") * 7 + 13).cast("string"))
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 4)
+          .select(col("doc_id"), col("toks"), needle.as("needle"),
+            (h % (n + 1)).cast("int").as("depth"))
+          .select(col("doc_id"), col("depth").cast("long").as("depth"),
+            size(col("toks")).cast("long").as("n_toks"),
+            // leading/trailing separators only where a neighbor exists —
+            // concat_ws would inject one around empty edge slices
+            concat(
+              when(col("depth") === 0, lit("")).otherwise(concat(
+                concat_ws(" ", slice(col("toks"), lit(1), col("depth"))),
+                lit(" "))),
+              col("needle"),
+              when(col("depth") === size(col("toks")), lit("")).otherwise(
+                concat(lit(" "), concat_ws(" ",
+                  slice(col("toks"), col("depth") + 1,
+                    size(col("toks")) - col("depth"))))))
+              .as("haystack"),
+            // char offset of the needle = joined prefix length + 1
+            // separator (0 when the needle leads)
+            when(col("depth") === 0, 0L).otherwise(
+              length(concat_ws(" ",
+                slice(col("toks"), lit(1), col("depth")))).cast("long") + 1)
+              .as("char_offset"))
+          .select(col("doc_id"), col("depth"), col("n_toks"),
+            col("char_offset"),
+            expr("depth * 10000 div n_toks").as("depth_bp"),
+            md5(col("haystack")).as("haystack_fp"))
+      },
+      Some("""WITH ni_t AS (SELECT doc_id,
+        |    string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |ni_d AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+        |    'the magic number is ' || CAST(doc_id * 7 + 13 AS VARCHAR)
+        |      AS needle,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':needle'),
+        |      1, 8) AS BIGINT) % (len(l) + 1) AS depth
+        |  FROM ni_t WHERE len(l) >= 4),
+        |ni_h AS (SELECT doc_id, depth, n AS n_toks, needle,
+        |    CASE WHEN depth = 0 THEN ''
+        |      ELSE array_to_string(l[1:depth], ' ') || ' ' END ||
+        |    needle ||
+        |    CASE WHEN depth = CAST(n AS BIGINT) THEN ''
+        |      ELSE ' ' || array_to_string(l[depth+1:n], ' ') END AS haystack,
+        |    CASE WHEN depth = 0 THEN 0
+        |      ELSE length(array_to_string(l[1:depth], ' ')) + 1
+        |      END AS char_offset
+        |  FROM ni_d)
+        |SELECT doc_id, CAST(depth AS BIGINT) AS depth, n_toks,
+        |  CAST(char_offset AS BIGINT) AS char_offset,
+        |  CAST(depth * 10000 // n_toks AS BIGINT) AS depth_bp,
+        |  md5(haystack) AS haystack_fp
+        |FROM ni_h""".stripMargin)),
+
+    // ── Epoch shuffle manifest: the reproducible global permutation a
+    //    data loader reads training shards in — every epoch must visit
+    //    each doc exactly once in an order that's shuffled yet
+    //    re-derivable (resume-from-step, run-to-run repro). shard =
+    //    hash₁ % 8, in-shard position = rank of hash₂ — an md5-keyed
+    //    permutation with NO global sort: the only exchange is the 8-way
+    //    shard hash partition and each shard sorts independently (at
+    //    100 TB, shard count scales with the cluster and each window
+    //    sorts 1/S of the corpus). Epoch-keyed ('e1:') so the next
+    //    epoch's manifest is a fresh permutation of the same docs ─────────
+    "x_shuffle_epoch" -> Q(
+      (s, d) => {
+        val h = md5(concat(lit("e1:"), col("doc_id").cast("string")))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            (conv(substring(h, 1, 8), 16, 10).cast("long") % 8).as("shard"),
+            conv(substring(h, 9, 8), 16, 10).cast("long").as("ord"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy(col("ord"), col("doc_id")))
+            .cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""WITH se_h AS (SELECT doc_id,
+        |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |se_k AS (SELECT doc_id,
+        |    CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(h, 9, 8) AS BIGINT) AS ord
+        |  FROM se_h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM se_k""".stripMargin)),
+
     // ── Data selection: DSIR-style importance weights (Xie et al. 2023,
     //    arXiv:2302.03169) — score every document by how much its hashed
     //    unigram distribution looks like a target domain (here lang='en')

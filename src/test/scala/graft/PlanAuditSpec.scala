@@ -172,6 +172,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_compressibility", "x_filter_gopher", "x_chunk_docs", "x_split_assign",
       "x_extract_html", "x_sft_format", "x_normalize_unicode",
       "x_mixed_lang", "x_watermark_detect", "x_fim_transform",
+      "x_needle_insert",
       "x_mix_weighted", "x_multimodal_meta", "x_multimodal_decode",
       "x_multimodal_frames", "x_multimodal_resize",
       "x_embed_rp_reduce", "x_embed_int8")
@@ -281,7 +282,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // re-counted in its consumers (same accounting as x_search_tfidf)
       // + the 1-row-probe vector leg's rank window + the 20x20
       // full-outer fusion join + the final TakeOrdered
-      "x_hybrid_search" -> 20)
+      "x_hybrid_search" -> 20,
+      // epoch shuffle: ONE 8-way shard hash exchange; each shard's rank
+      // window rides it — a 2nd exchange means a global sort crept in
+      "x_shuffle_epoch" -> 1)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // drop caches registered by earlier queries' CONSTRUCTION (e.g. the
       // fluency band persists the LM-score subtree it shares with

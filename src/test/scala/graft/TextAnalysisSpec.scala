@@ -223,6 +223,48 @@ class TextAnalysisSpec extends AnyFunSuite {
       "completion must stop at token 76 and flag truncation")
   }
 
+  test("needle insertion: depth/offset/haystack equal a plain-Scala " +
+    "recompute and the needle is findable at exactly char_offset") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (1 to 15).map(i => s"t$i")
+    val sf = TestSpark.tmpDir("needlesf")
+    Seq((7L, toks.mkString(" "), "en", "s", 0L),
+        (9L, "a b c", "en", "s", 0L)) // < 4 tokens → out of scope
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val out = SparkEntry.queries("x_needle_insert")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(!out.contains(9L))
+    val (depth, n, off, bp, fp) = out(7L)
+    val eDepth = java.lang.Long.parseLong(md5hex("7:needle").take(8), 16) %
+      (toks.length + 1)
+    assert(depth == eDepth && n == 15 && bp == depth * 10000 / 15)
+    val needle = s"the magic number is ${7 * 7 + 13}"
+    val hay = (toks.take(depth.toInt) ++ Seq(needle) ++
+      toks.drop(depth.toInt)).mkString(" ")
+    assert(fp == md5hex(hay), "haystack reassembly diverged")
+    assert(hay.indexOf(needle) == off,
+      s"needle not at char_offset $off in '$hay'")
+  }
+
+  test("epoch shuffle manifest: a true permutation — every doc exactly " +
+    "once, per-shard positions dense from 1") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x_shuffle_epoch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == total && rows.map(_._1).distinct.length == total,
+      "every doc appears exactly once")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val ps = rs.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == rs.length &&
+        ps.distinct.length == rs.length,
+        s"shard $shard positions not dense: ${ps.take(5).mkString(",")}…") }
+    assert(rows.map(_._2).distinct.length > 1, "multiple shards in use")
+  }
+
   test("hybrid search: rrf equals the per-leg recompute, output is " +
     "rank-sorted, and a two-leg doc outranks an equal single-leg rank") {
     val sf = "/root/testdata/sf0.001"
