@@ -356,6 +356,66 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"half-green doc must not flag: ${out(2L)} vs recompute $natGreens")
   }
 
+  test("foldUnicode generative laws: idempotent on random unicode mixes; " +
+    "foldable-only input always lands in pure ASCII") {
+    val rnd = new scala.util.Random(42)
+    val ascii = (0x20 to 0x7e).map(_.toChar)
+    val foldable = TextAnalysis.UnicodeFoldFrom.toSeq :+ '…'
+    val cjk = "中文字符データ".toSeq
+    val ws = Seq(' ', '\t', '\n')
+    def mk(pools: Seq[Seq[Char]], n: Int): String =
+      (0 until n).map { _ =>
+        val p = pools(rnd.nextInt(pools.length)); p(rnd.nextInt(p.length))
+      }.mkString
+    val mixed = (0 until 150).map(i =>
+      (i.toLong, mk(Seq(ascii, foldable, cjk, ws), rnd.nextInt(30)), false))
+    val foldOnly = (0 until 150).map(i =>
+      ((1000 + i).toLong, mk(Seq(ascii, foldable, ws), rnd.nextInt(30)), true))
+    val out = (mixed ++ foldOnly).toDF("id", "s", "foldOnly")
+      .select(col("id"), col("foldOnly"),
+        TextAnalysis.foldUnicode(col("s")).as("f1"))
+      .select(col("id"), col("foldOnly"), col("f1"),
+        TextAnalysis.foldUnicode(col("f1")).as("f2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(3),
+        s"not idempotent: '${r.getString(2)}' -> '${r.getString(3)}'")
+      if (r.getBoolean(1))
+        assert(r.getString(2).forall(_ < 0x80),
+          s"foldable-only input left non-ASCII: '${r.getString(2)}'")
+    }
+  }
+
+  test("canonicalUrl metamorphic law: host case, www, tracking params, " +
+    "fragments, and trailing slashes are noise — canonical(u + noise) == " +
+    "canonical(u) on generated URLs") {
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 200).map { i =>
+      val host = s"Host${rnd.nextInt(20)}.example.org"
+      val path = s"/P${rnd.nextInt(5)}/q${rnd.nextInt(7)}"
+      val keep = if (rnd.nextBoolean()) s"?id=${rnd.nextInt(9)}&x=1" else ""
+      (i.toLong, s"https://$host$path$keep")
+    }
+    def noisy(u: String): String = {
+      val (pre, q) = u.span(_ != '?')
+      val withCase = "https://" +
+        (if (rnd.nextBoolean()) "WWW." else "www.") +
+        pre.stripPrefix("https://").toUpperCase.takeWhile(_ != '/') +
+        pre.stripPrefix("https://").dropWhile(_ != '/') +
+        (if (rnd.nextBoolean()) "///" else "") + q
+      val sep = if (q.isEmpty) "?" else "&"
+      withCase + sep + "utm_source=g&fbclid=z" +
+        (if (rnd.nextBoolean()) "#frag" else "")
+    }
+    val out = bases.map { case (i, u) => (i, u, noisy(u)) }
+      .toDF("id", "u", "nu")
+      .select(graft.operators.Dedup.canonicalUrl(col("u")).as("cu"),
+        graft.operators.Dedup.canonicalUrl(col("nu")).as("cnu"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"noise changed the canonical: '${r.getString(0)}' vs '${r.getString(1)}'"))
+  }
+
   test("mixed-lang detection: a code-switched doc flags, monolingual and " +
     "sub-evidence docs do not, and half-scoring uses the shared classifier") {
     // operator-level: langIdFromToks must agree with langId on full text
