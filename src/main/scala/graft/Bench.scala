@@ -18,6 +18,15 @@ package graft
   * (= sum of per-query minima) is the contention floor. `total_wall` keeps
   * the raw all-reps wall-clock for context.
   *
+  * Caches are deliberately NOT cleared between reps or queries: a query
+  * that persists its own subtree (bigram LM, BM25 tf, LSH bands) is
+  * rebuilt identically on reps 2-3 and CacheManager substitution serves
+  * the cached subtree — so its median measures STEADY-STATE cost, the
+  * way a resident pipeline service would run it, while the first rep's
+  * cold cost stays visible in the wall clock. This convention has held
+  * since r8; clearing caches would shift every self-persisting query's
+  * median up and break round-over-round comparability.
+  *
   * Output durability: log level is ERROR (not WARN) to keep executor
   * chatter off stderr, the JSON line is ALSO written to `bench.json`
   * (override with SPARK_GRAFT_BENCH_OUT), and the line is printed as the
