@@ -1084,6 +1084,51 @@ object Pipeline {
         |FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
         |WHERE $cosSql >= 0.35""".stripMargin)),
 
+    // ── Semantic decontamination: the embedding-level twin of the
+    //    lexical 8-gram x_decontaminate — an eval example paraphrased
+    //    into the training set shares no 8-gram but sits at high cosine,
+    //    so modern decontamination runs BOTH screens. Fixture split:
+    //    vec_id % 10 == 0 is the held-out eval set (vec_id ≡ doc_id).
+    //    Pairs come from the SAME capped (cell, sign-LSH bucket)
+    //    machinery as x_neardup_embedding (never an eval × train
+    //    product); the verdict aggregates per TRAIN vector: how many
+    //    eval neighbors ≥ threshold, and the closest. Same oracle CTE
+    //    pieces, straddle filter on the pair list ──────────────────────────
+    "x_decontaminate_semantic" -> Q(
+      (s, d) => {
+        val pairs = Dedup.embeddingNearDup(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", 0.25)
+        pairs.select(
+          when(col("a_id") % 10 === 0, col("b_id")).otherwise(col("a_id"))
+            .as("train_id"),
+          when(col("a_id") % 10 === 0, col("a_id")).otherwise(col("b_id"))
+            .as("eval_id"),
+          col("cosine"))
+          .where(col("train_id") % 10 =!= 0 && col("eval_id") % 10 === 0)
+          .groupBy("train_id")
+          .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cos"))
+          .orderBy("train_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
+        |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
+        |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
+        |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |sd_c AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM br x JOIN br y ON x.label = y.label AND x.tbl = y.tbl
+        |  AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        |sd_p AS (SELECT c.a_id, c.b_id, $cosSql AS cosine
+        |  FROM sd_c c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
+        |  WHERE $cosSql >= 0.25),
+        |sd_s AS (SELECT
+        |    CASE WHEN a_id % 10 = 0 THEN b_id ELSE a_id END AS train_id,
+        |    CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS eval_id,
+        |    cosine
+        |  FROM sd_p)
+        |SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |  max(cosine) AS max_cos
+        |FROM sd_s WHERE train_id % 10 <> 0 AND eval_id % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── Semantic dedup end-to-end: embedding near-dup pairs → connected
     //    components → canonical representative (min id) per cluster, with a
     //    keep/drop verdict per member — the full "collapse paraphrase

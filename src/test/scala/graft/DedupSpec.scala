@@ -636,6 +636,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L)._2 == 5L, "rank is within the collapsed host")
   }
 
+  test("semantic decontamination: a train vector identical to an eval " +
+    "vector flags at cosine 1; an orthogonal one stays clean; eval-eval " +
+    "pairs never flag") {
+    val sf = TestSpark.tmpDir("semdecon")
+    val v = Array.fill(8)(0.5f)
+    val orth = Array.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    Seq(
+      (10L, v, 1),          // eval (id % 10 == 0)
+      (11L, v, 1),          // train, identical to eval 10 → must flag
+      (12L, orth, 1),       // train, orthogonal → clean
+      (20L, v, 1))          // a second eval identical to 10 — eval-eval
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
+    val out = SparkEntry.queries("x_decontaminate_semantic")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set(11L),
+      s"exactly the identical train vector flags: ${out.keySet}")
+    assert(out(11L)._1 == 2 && math.abs(out(11L)._2 - 1.0) < 1e-9,
+      s"train 11 must hit BOTH identical evals at cosine 1: ${out(11L)}")
+  }
+
   test("robots policy filter: denial is exactly (even-numbered host AND " +
     "denied prefix); hosts join case-folded") {
     val sf = "/root/testdata/sf0.001"
