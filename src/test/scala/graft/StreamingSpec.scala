@@ -668,6 +668,38 @@ class StreamingSpec extends AnyFunSuite {
       "the cap must actually drop pages at this fixture size")
   }
 
+  test("streaming domain cap: the per-host admission counter persists " +
+    "across micro-batches (a host exhausted in batch 1 admits nothing in " +
+    "batch 2; fresh hosts still admit)") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("domcapmb")
+    val dir = new java.io.File(s"$sf/documents.parquet"); dir.mkdirs()
+    def docs(rows: Seq[(Long, String)]) = rows
+      .map { case (id, src) => (id, "text", "en", src, 4L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val now = System.currentTimeMillis()
+    // batch 1: three pages on host alpha — cap 2 admits the two lowest
+    stageBatchFile(sf, dir,
+      docs(Seq((1L, "alpha"), (2L, "alpha"), (3L, "alpha"))),
+      "b1", now - 240000)
+    // batch 2: two MORE alpha pages (counter already exhausted → both
+    // dropped) plus the first beta page (fresh counter → admitted)
+    stageBatchFile(sf, dir,
+      docs(Seq((4L, "alpha"), (5L, "alpha"), (6L, "beta"))),
+      "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out = try graft.streaming.StreamingSync
+      .streamingDomainCap(spark, sf, cap = 2L).collect()
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "alpha.example.com"), (2L, "alpha.example.com"),
+        (6L, "beta.example.com")),
+      s"got ${out.map(r => (r.getLong(0), r.getString(1))).toSet}")
+  }
+
   test("streaming quality scoring equals the batch classifier's scores at " +
     "sf0.001 (offline-trained model, online-scored corpus)") {
     val sf = "/root/testdata/sf0.001"
