@@ -668,6 +668,32 @@ class StreamingSpec extends AnyFunSuite {
       "the cap must actually drop pages at this fixture size")
   }
 
+  test("streaming URL seen-set: a canonical URL fetched in batch 1 does " +
+    "not re-emit when a VARIANT of it lands in batch 2") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("urlmb")
+    val dir = new java.io.File(s"$sf/documents.parquet"); dir.mkdirs()
+    def docs(rows: Seq[Long]) = rows
+      .map(id => (id, "text", "en", "a", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val now = System.currentTimeMillis()
+    stageBatchFile(sf, dir, docs(Seq(0L)), "b1", now - 240000)
+    // doc 46 canonicalizes to doc 0's URL (same (source, id % 46) key,
+    // different www/slash/ref/fragment noise); doc 1 is genuinely new
+    stageBatchFile(sf, dir, docs(Seq(46L, 1L)), "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out = try graft.streaming.StreamingSync
+      .streamingUrlDedup(spark, sf).collect().map(_.getString(0))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    assert(out.length == 2 && out.distinct.length == 2,
+      s"cross-batch variant must not re-emit: ${out.toSeq}")
+    assert(out.exists(_.endsWith("/Docs/0?id=0")) &&
+      out.exists(_.endsWith("/Docs/1?id=1")), s"got ${out.toSeq}")
+  }
+
   test("streaming domain cap: the per-host admission counter persists " +
     "across micro-batches (a host exhausted in batch 1 admits nothing in " +
     "batch 2; fresh hosts still admit)") {
