@@ -16,9 +16,12 @@ libraryDependencies ++= Seq(
 // lets the warehouse-backend e2e suite exercise a real engine instead of
 // Derby while leaving the production classpath untouched.
 Test / unmanagedJars ++= {
-  // glob the cache rather than assuming any mirror's directory layout
+  // prefer a repo-local (gitignored) copy so classpath strings stay
+  // machine-layout-free; fall back to a glob over the local cache rather
+  // than assuming any mirror's directory layout
+  val local = (baseDirectory.value / "lib-test" ** "duckdb_jdbc-*.jar").get
   val cacheRoot = file(sys.props("user.home")) / ".cache" / "coursier"
-  (cacheRoot ** "duckdb_jdbc-*.jar").get
+  (if (local.nonEmpty) local else (cacheRoot ** "duckdb_jdbc-*.jar").get)
     .headOption.map(Attributed.blank).toSeq
 }
 Test / fork := true
