@@ -13,9 +13,83 @@ import scala.collection.immutable.ListMap
   * `skip: true`, plus an explicit `primary_key` (the reference derives the
   * PK from the live schema dump; a parquet source has no PK concept).
   */
+/** The documented `reload:` contract (reference README.md:211-215):
+  *
+  * {{{
+  * reload: true          — reload the table every sync
+  * reload: [sun,..,fri]  — reload when the sync runs on that weekday
+  * reload: 1-31          — reload when the sync runs on that day of month
+  * }}}
+  *
+  * Divergence note: the reference's *code* silently drops the day forms —
+  * `pgwarehouse.py:181` tests `reload == True`, so `reload: sun` degrades
+  * to an upsert without warning. We implement the documented contract
+  * instead, and reject unrecognized values loudly (the silent-degrade is
+  * the worst failure mode: a table the user believes is reloaded weekly
+  * quietly drifts forever).
+  */
+sealed trait ReloadSpec {
+  /** Does a sync running on `today` take the full-reload path? */
+  def applies(today: java.time.LocalDate): Boolean
+}
+
+object ReloadSpec {
+  import java.time.DayOfWeek
+  import java.time.DayOfWeek._
+
+  case object Never extends ReloadSpec {
+    def applies(today: java.time.LocalDate): Boolean = false
+  }
+  case object Always extends ReloadSpec {
+    def applies(today: java.time.LocalDate): Boolean = true
+  }
+  final case class OnDays(days: Set[DayOfWeek]) extends ReloadSpec {
+    def applies(today: java.time.LocalDate): Boolean =
+      days.contains(today.getDayOfWeek)
+  }
+  final case class OnDayOfMonth(day: Int) extends ReloadSpec {
+    def applies(today: java.time.LocalDate): Boolean =
+      today.getDayOfMonth == day
+  }
+
+  // the README spells "thur"; accept the common spellings of each day
+  private val dayNames: Map[String, DayOfWeek] = Map(
+    "sun" -> SUNDAY, "sunday" -> SUNDAY,
+    "mon" -> MONDAY, "monday" -> MONDAY,
+    "tue" -> TUESDAY, "tues" -> TUESDAY, "tuesday" -> TUESDAY,
+    "wed" -> WEDNESDAY, "weds" -> WEDNESDAY, "wednesday" -> WEDNESDAY,
+    "thu" -> THURSDAY, "thur" -> THURSDAY, "thurs" -> THURSDAY,
+    "thursday" -> THURSDAY,
+    "fri" -> FRIDAY, "friday" -> FRIDAY,
+    "sat" -> SATURDAY, "saturday" -> SATURDAY)
+
+  /** Parse a raw `reload:` value. Unrecognized values throw — never
+    * silently degrade a reload schedule to an incremental sync.
+    */
+  def parse(raw: String): ReloadSpec = raw.trim.toLowerCase match {
+    case "" | "false" | "no" => Never
+    case "true" | "yes"      => Always
+    case s if s.forall(_.isDigit) =>
+      val d = s.toInt
+      if (d < 1 || d > 31) throw new IllegalArgumentException(
+        s"reload: day-of-month out of range (1-31): '$raw'")
+      OnDayOfMonth(d)
+    case s =>
+      val toks = s.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val days = toks.map(t => dayNames.getOrElse(t,
+        throw new IllegalArgumentException(
+          s"unrecognized reload value: '$raw' " +
+            "(expected true/false, [sun..sat], or a day-of-month 1-31)")))
+      if (days.isEmpty) throw new IllegalArgumentException(
+        s"unrecognized reload value: '$raw'")
+      OnDays(days.toSet)
+  }
+}
+
 case class TableOpts(primaryKey: Option[String] = None,
                      lastModified: Option[String] = None,
-                     reload: Boolean = false,
+                     reload: ReloadSpec = ReloadSpec.Never,
                      skip: Boolean = false)
 
 case class GraftConfig(sourceDir: String,
@@ -120,7 +194,8 @@ object GraftConfig {
       val opts = v match {
         case m: ListMap[String @unchecked, Any @unchecked] =>
           TableOpts(str(m, "primary_key"), str(m, "last_modified"),
-            truthy(m, "reload"), truthy(m, "skip"))
+            str(m, "reload").map(ReloadSpec.parse).getOrElse(ReloadSpec.Never),
+            truthy(m, "skip"))
         case _ => TableOpts()
       }
       name -> opts
@@ -147,5 +222,10 @@ object GraftConfig {
       |  #   primary_key: id
       |  # local_parks:
       |  #   reload: true                 # no-PK tables are reload-only
+      |  # shoppers:
+      |  #   primary_key: id
+      |  #   last_modified: updated_at
+      |  #   reload: [sun]                # full reload on Sundays; or 1-31
+      |  #                                # for a day of the month
       |""".stripMargin
 }

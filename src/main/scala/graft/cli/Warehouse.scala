@@ -16,7 +16,10 @@ import graft.sync.{SyncEngine, SyncStrategy}
   * move rows through the reference's gzip-CSV interchange format
   * (`{data_dir}/{table}_data`, pgwarehouse.py:167-168).
   */
-class Warehouse(spark: SparkSession, cfg: GraftConfig) {
+class Warehouse(spark: SparkSession, cfg: GraftConfig,
+                /** Injectable clock so `reload: [sun]` / `reload: 15`
+                  * schedules are testable on any wall-clock day. */
+                today: () => java.time.LocalDate = () => java.time.LocalDate.now()) {
 
   private val engine = new SyncEngine(spark)
 
@@ -43,7 +46,7 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig) {
     def pks(pk: String): Seq[String] =
       pk.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (opts.skip) SyncStrategy.Skip
-    else if (opts.reload) SyncStrategy.Reload
+    else if (opts.reload.applies(today())) SyncStrategy.Reload
     else (opts.primaryKey, opts.lastModified) match {
       case (Some(pk), Some(lm)) => SyncStrategy.Upsert(pks(pk), lm)
       case (Some(pk), None)     => SyncStrategy.AppendOnly(pks(pk))

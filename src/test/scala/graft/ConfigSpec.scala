@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.cli.GraftConfig
+import graft.cli.{GraftConfig, ReloadSpec}
 
 /** YAML-subset config parsing + env fallback (reference config semantics:
   * pgwarehouse.py:52-58, 200-211).
@@ -34,7 +34,7 @@ class ConfigSpec extends AnyFunSuite {
       "table order preserved")
     val ev = cfg.tables("events")
     assert(ev.primaryKey.contains("event_id") && ev.lastModified.contains("ts"))
-    assert(cfg.tables("parks").reload)
+    assert(cfg.tables("parks").reload == ReloadSpec.Always)
     assert(cfg.tables("ignored").skip)
   }
 
@@ -69,5 +69,45 @@ class ConfigSpec extends AnyFunSuite {
       "source:\n  dir: \"/data/run #1\"\nwarehouse:\n  dir: /w\n",
       env = Map.empty)
     assert(c3.sourceDir == "/data/run #1")
+  }
+
+  // --- the three documented `reload:` forms (reference README.md:211-215) ---
+
+  private def reloadOf(value: String) = GraftConfig.fromYaml(
+    s"source:\n  dir: /s\nwarehouse:\n  dir: /w\ntables:\n  t:\n    reload: $value\n",
+    env = Map.empty).tables("t").reload
+
+  test("reload: true / false parse to Always / Never") {
+    assert(reloadOf("true") == ReloadSpec.Always)
+    assert(reloadOf("yes") == ReloadSpec.Always)
+    assert(reloadOf("false") == ReloadSpec.Never)
+  }
+
+  test("reload: [sun,mon,thur] parses to a weekday schedule") {
+    import java.time.DayOfWeek._
+    assert(reloadOf("[sun,mon,thur]") ==
+      ReloadSpec.OnDays(Set(SUNDAY, MONDAY, THURSDAY)))
+    // a bare day name (no brackets) is accepted too
+    assert(reloadOf("sun") == ReloadSpec.OnDays(Set(SUNDAY)))
+    // schedule applies exactly on the named weekday
+    val sunday = java.time.LocalDate.of(2026, 8, 16) // a Sunday
+    assert(reloadOf("[sun]").applies(sunday))
+    assert(!reloadOf("[sun]").applies(sunday.plusDays(1)))
+  }
+
+  test("reload: <1-31> parses to a day-of-month schedule") {
+    assert(reloadOf("15") == ReloadSpec.OnDayOfMonth(15))
+    val d15 = java.time.LocalDate.of(2026, 8, 15)
+    assert(reloadOf("15").applies(d15))
+    assert(!reloadOf("15").applies(d15.plusDays(1)))
+    intercept[IllegalArgumentException] { reloadOf("32") }
+    intercept[IllegalArgumentException] { reloadOf("0") }
+  }
+
+  test("unrecognized reload values are rejected, never silently degraded") {
+    // the reference's own code drops these to a plain upsert
+    // (pgwarehouse.py:181 tests `== True`); we fail loudly instead
+    intercept[IllegalArgumentException] { reloadOf("sometimes") }
+    intercept[IllegalArgumentException] { reloadOf("[sun,noday]") }
   }
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.cli.{GraftConfig, TableOpts, Warehouse}
+import graft.cli.{GraftConfig, ReloadSpec, TableOpts, Warehouse}
 import graft.warehouse.DuckDbBackend
 
 /** The reference's e2e pytest shapes (test_postgres.py:88-187) against a
@@ -41,7 +41,7 @@ class DuckDbSyncE2ESpec extends AnyFunSuite {
       "dusers" -> TableOpts(primaryKey = Some("id")),
       "dorders" -> TableOpts(primaryKey = Some("id"),
         lastModified = Some("order_updated")),
-      "dparks" -> TableOpts(reload = true),
+      "dparks" -> TableOpts(reload = ReloadSpec.Always),
       "devents" -> TableOpts(primaryKey = Some("site,seq"),
         lastModified = Some("updated"))),
     duckdbPath = Some(dbPath))

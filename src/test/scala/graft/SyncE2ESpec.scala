@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.cli.{GraftConfig, TableOpts, Warehouse}
+import graft.cli.{GraftConfig, ReloadSpec, TableOpts, Warehouse}
 import graft.schema.PgTypeMapper
 
 /** End-to-end port of the reference's seven pytest shapes
@@ -31,7 +31,7 @@ class SyncE2ESpec extends AnyFunSuite {
       "users10" -> TableOpts(primaryKey = Some("id")),
       "my_orders" -> TableOpts(primaryKey = Some("id"),
         lastModified = Some("order_updated")),
-      "local_parks" -> TableOpts(reload = true)))
+      "local_parks" -> TableOpts(reload = ReloadSpec.Always)))
 
   private def wh(maxRecords: Option[Long] = None) =
     new Warehouse(spark, cfg(maxRecords))
@@ -379,7 +379,7 @@ class SyncE2ESpec extends AnyFunSuite {
   test("all loop isolates a failing table and reports it") {
     setupSources()
     val broken = cfg().copy(tables = scala.collection.immutable.ListMap(
-      "no_such_table" -> TableOpts(reload = true),
+      "no_such_table" -> TableOpts(reload = ReloadSpec.Always),
       "users10" -> TableOpts(primaryKey = Some("id"))))
     val w = new Warehouse(spark, broken)
     val results = w.forAll(t => { w.sync(t); () })
@@ -387,5 +387,39 @@ class SyncE2ESpec extends AnyFunSuite {
       "missing table reported as failed")
     assert(results.collectFirst { case ("users10", e) => e }.get.isEmpty,
       "healthy table still synced")
+  }
+
+  test("t17 scheduled reload: a day-matched sync reroutes to full reload; " +
+       "a non-matched day stays incremental (README.md:211-215 'shoppers')") {
+    setupSources()
+    // shoppers shape: last_modified upsert normally, full reload on Sundays
+    val scheduled = cfg().copy(tables = scala.collection.immutable.ListMap(
+      "my_orders" -> TableOpts(primaryKey = Some("id"),
+        lastModified = Some("order_updated"),
+        reload = ReloadSpec.parse("[sun]"))))
+    val sunday = java.time.LocalDate.of(2026, 8, 16)
+    val monday = sunday.plusDays(1)
+
+    graft.catalog.Catalog.dropPath(spark, s"$warehouseDir/my_orders.parquet")
+    val wMon = new Warehouse(spark, scheduled, () => monday)
+    wMon.sync("my_orders") // bootstrap
+    assert(wMon.sync("my_orders") == "merge",
+      "non-matched weekday keeps the incremental last-modified strategy")
+
+    val wSun = new Warehouse(spark, scheduled, () => sunday)
+    assert(wSun.sync("my_orders") == "reload",
+      "Sunday sync reroutes to a full reload")
+    assert(wSun.warehouseTable("my_orders").get.count() == 30,
+      "reloaded table is at source parity")
+
+    // day-of-month form through the same path
+    val dom = cfg().copy(tables = scala.collection.immutable.ListMap(
+      "my_orders" -> TableOpts(primaryKey = Some("id"),
+        lastModified = Some("order_updated"),
+        reload = ReloadSpec.parse("16"))))
+    assert(new Warehouse(spark, dom, () => sunday).strategyFor("my_orders") ==
+      graft.sync.SyncStrategy.Reload, "Aug 16 matches day-of-month 16")
+    assert(new Warehouse(spark, dom, () => monday).strategyFor("my_orders") !=
+      graft.sync.SyncStrategy.Reload, "Aug 17 does not")
   }
 }
