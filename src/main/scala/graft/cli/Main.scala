@@ -151,7 +151,8 @@ object Main {
         println(s"$t: compacted $before files -> $after ($rows rows)")
       }
       case "watch" => each { t =>
-        println(s"$t: watched ${wh.watch(t)} new rows")
+        val n = duck.fold(wh.watch(t))(d => wh.watchDuck(t, d))
+        println(s"$t: watched $n new rows")
       }
       case other => throw new IllegalArgumentException(other)
     }

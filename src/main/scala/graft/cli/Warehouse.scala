@@ -303,6 +303,33 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     duck.count(name)
   }
 
+  /** `watch --backend duckdb`: the same checkpointed drain-and-stop as
+    * `watch`, but each micro-batch lands in the live DuckDB table —
+    * batch → gzip CSV chunks (the engine's interchange format) →
+    * transactional batch-logged COPY. The stream checkpoint makes file
+    * progress survive restarts; the backend's batch log makes a crash
+    * replay of an already-committed batch a no-op, so rows land exactly
+    * once (the reference's cron-poll `sync` loop, README.md:217-225,
+    * pointed at a real warehouse engine).
+    */
+  def watchDuck(name: String, duck: graft.warehouse.DuckDbBackend): Long = {
+    val src = s"${cfg.sourceDir}/$name.parquet"
+    val p = new Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+      s"watch needs a directory source (a landing zone): $src")
+    val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
+    duck.createTable(name, schema, pksFor(name))
+    graft.streaming.StreamingSync.incrementalFileSyncVia(spark, src,
+      s"${cfg.dataDir}/${name}_watch_duck_ckpt") { (batch, batchId) =>
+      val chunks = s"${cfg.dataDir}/${name}_watch_duck_b$batchId"
+      Tables.writeCsvChunks(batch, chunks)
+      duck.appendBatchIdempotent(name, batchId, chunks)
+      val cp = new Path(chunks)
+      cp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cp, true)
+    }
+  }
+
   /** `reload --backend duckdb`: drop + full extract/load. */
   def reloadDuck(name: String, duck: graft.warehouse.DuckDbBackend): Long = {
     extract(name)

@@ -968,7 +968,6 @@ object StreamingSync {
     */
   def incrementalFileSync(spark: SparkSession, srcDir: String,
                           sinkDir: String, checkpointDir: String): Long = {
-    val schema = spark.read.parquet(srcDir).schema
     val hconf = spark.sparkContext.hadoopConfiguration
     // migrate away from any FileStreamSink-era metadata log: once present,
     // it makes batch reads resolve ONLY stream-committed files
@@ -977,6 +976,38 @@ object StreamingSync {
       val fs = meta.getFileSystem(hconf)
       if (fs.exists(meta)) fs.delete(meta, true)
     }
+    incrementalFileSyncVia(spark, srcDir, checkpointDir) { (batch, batchId) =>
+      val sink = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = sink.getFileSystem(hconf)
+      fs.mkdirs(sink)
+      // idempotent replay: clear this batch's prefix before landing it
+      val prefix = s"b$batchId-"
+      fs.listStatus(sink).map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(fs.delete(_, false))
+      // stage under a dot-dir (invisible to batch parquet readers),
+      // then rename each part file in under the batch prefix — rename
+      // is a metadata op, so commit cost is per-file, not per-byte
+      val stage = new org.apache.hadoop.fs.Path(sinkDir, s".stage_b$batchId")
+      batch.write.mode("overwrite").parquet(stage.toString)
+      fs.listStatus(stage).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f, new org.apache.hadoop.fs.Path(sink, prefix + f.getName)))
+      fs.delete(stage, true)
+    }
+  }
+
+  /** The checkpointed drain-and-stop spine shared by every `watch` sink:
+    * stream the landing directory's new-since-checkpoint files and hand
+    * each micro-batch to `land` (which must make its own landing
+    * idempotent — foreachBatch is at-least-once on crash replay; the
+    * parquet sink uses per-batch file prefixes, the DuckDB sink a
+    * batch-id log table). Returns rows drained this invocation.
+    */
+  def incrementalFileSyncVia(spark: SparkSession, srcDir: String,
+                             checkpointDir: String)
+                            (land: (DataFrame, Long) => Unit): Long = {
+    val schema = spark.read.parquet(srcDir).schema
     // same knob as eventsStream: a large backfill drains in bounded
     // micro-batches instead of one giant one (AvailableNow honors it)
     val reader = spark.readStream.schema(schema)
@@ -1007,23 +1038,7 @@ object StreamingSync {
       val q = reader.parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val sink = new org.apache.hadoop.fs.Path(sinkDir)
-          val fs = sink.getFileSystem(hconf)
-          fs.mkdirs(sink)
-          // idempotent replay: clear this batch's prefix before landing it
-          val prefix = s"b$batchId-"
-          fs.listStatus(sink).map(_.getPath)
-            .filter(_.getName.startsWith(prefix))
-            .foreach(fs.delete(_, false))
-          // stage under a dot-dir (invisible to batch parquet readers),
-          // then rename each part file in under the batch prefix — rename
-          // is a metadata op, so commit cost is per-file, not per-byte
-          val stage = new org.apache.hadoop.fs.Path(sinkDir, s".stage_b$batchId")
-          batch.write.mode("overwrite").parquet(stage.toString)
-          fs.listStatus(stage).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-            .foreach(f => fs.rename(f, new org.apache.hadoop.fs.Path(sink, prefix + f.getName)))
-          fs.delete(stage, true)
+          land(batch, batchId)
           ()
         }
         .option("checkpointLocation", checkpointDir)

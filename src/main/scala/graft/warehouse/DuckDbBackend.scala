@@ -161,6 +161,44 @@ class DuckDbBackend(val dbPath: String) {
     files.size.toLong
   }
 
+  /** Exactly-once append of one `watch` micro-batch: COPY every chunk in
+    * `chunkDir` into `table` inside ONE transaction that also claims
+    * (table, batchId) in a batch-log table. foreachBatch is at-least-once
+    * on crash replay; a replayed batch finds its id already claimed and
+    * is skipped whole, so rows land exactly once. The claim and the COPYs
+    * commit together — a crash mid-batch rolls both back, and the replay
+    * then re-lands cleanly. Returns true if the batch was applied, false
+    * if it was a replay of an already-committed batch.
+    *
+    * (Single-writer is a DuckDB file-level guarantee, so check-then-insert
+    * needs no cross-process race handling.)
+    */
+  def appendBatchIdempotent(table: String, batchId: Long,
+                            chunkDir: String): Boolean =
+    withConn { c =>
+      c.setAutoCommit(false)
+      val s = c.createStatement()
+      try {
+        s.execute("CREATE TABLE IF NOT EXISTS _graft_watch_log (" +
+          "watch_table VARCHAR, batch_id BIGINT, " +
+          "PRIMARY KEY (watch_table, batch_id))")
+        val rs = s.executeQuery("SELECT count(*) FROM _graft_watch_log " +
+          s"WHERE watch_table = '${ident(table)}' AND batch_id = $batchId")
+        rs.next()
+        if (rs.getLong(1) > 0) { c.rollback(); false }
+        else {
+          s.execute("INSERT INTO _graft_watch_log VALUES " +
+            s"('${ident(table)}', $batchId)")
+          chunkFiles(chunkDir).foreach { f =>
+            s.execute(
+              s"COPY ${ident(table)} FROM '${f.getAbsolutePath}' (HEADER)")
+          }
+          c.commit(); true
+        }
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally s.close()
+    }
+
   /** Read a full table back ordered by `orderBy` — the spec's cell-level
     * verification surface (small tables only; this is a test/debug aid,
     * not a data path).

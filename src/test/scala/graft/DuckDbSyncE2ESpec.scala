@@ -43,7 +43,8 @@ class DuckDbSyncE2ESpec extends AnyFunSuite {
         lastModified = Some("order_updated")),
       "dparks" -> TableOpts(reload = ReloadSpec.Always),
       "devents" -> TableOpts(primaryKey = Some("site,seq"),
-        lastModified = Some("updated"))),
+        lastModified = Some("updated")),
+      "dkeys" -> TableOpts(primaryKey = Some("code"))),
     duckdbPath = Some(dbPath))
 
   private def wh() = new Warehouse(spark, cfg())
@@ -174,5 +175,69 @@ class DuckDbSyncE2ESpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { d.count("bad-name; drop") }
     d.dropTable("dparks")
     assert(!d.tableExists("dparks"))
+  }
+
+  test("d8 string-PK append-only sync: the warehouse-side max() watermark " +
+       "works on VARCHAR native ordering (the reference calls non-numeric " +
+       "PKs fragile, README.md:258-260)") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val w = wh()
+    val d = duck()
+    def keys(codes: Seq[String]): DataFrame =
+      codes.map(c => (c, s"payload-$c")).toDF("code", "payload")
+    writeSource("dkeys", keys(Seq("k001", "k002", "k007")))
+    assert(w.syncDuck("dkeys", d) == "bootstrap")
+    assert(d.count("dkeys") == 3L)
+    assert(d.maxScalar("dkeys", "code").contains("k007"),
+      "VARCHAR watermark reads back from the live warehouse")
+    // two rows past the string watermark, one below it: strict '>' on
+    // native string ordering appends only the two new ones (the below-
+    // watermark insert is the documented fragility both tools share)
+    writeSource("dkeys", keys(Seq("k001", "k002", "k007", "k010", "k011",
+      "k005")))
+    assert(w.syncDuck("dkeys", d) == "append")
+    assert(d.count("dkeys") == 5L,
+      "only codes > 'k007' landed; k005 is below the watermark by design")
+    val codes = d.selectAll("dkeys", "code").map(_.head.toString)
+    assert(codes == Seq("k001", "k002", "k007", "k010", "k011"))
+    assert(w.syncDuck("dkeys", d) == "noop", "re-sync finds nothing new")
+  }
+
+  test("d7 watch --backend duckdb: two invocations over a growing landing " +
+       "zone yield exactly-once counts in the live table") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    // a directory-source landing zone, as in the parquet watch (t15)
+    val landing = new java.io.File(s"$sourceDir/dfeed.parquet")
+    assert(landing.mkdirs() || landing.isDirectory)
+    def land(name: String, df: DataFrame): Unit = {
+      val stage = TestSpark.tmpDir(s"duckwatch_$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, s"$name.parquet").toPath)
+    }
+    val w = wh()
+    val d = duck()
+    land("w1", users(5))
+    assert(w.watchDuck("dfeed", d) == 5L, "first drain lands the first file")
+    assert(d.count("dfeed") == 5L)
+    assert(w.watchDuck("dfeed", d) == 0L,
+      "no new files → checkpoint drains nothing, live count unchanged")
+    assert(d.count("dfeed") == 5L)
+    land("w2", users(3, from = 200))
+    assert(w.watchDuck("dfeed", d) == 3L,
+      "second drain lands ONLY the new file")
+    assert(d.count("dfeed") == 8L, "live table holds the exactly-once union")
+    // a replayed batch id is a committed no-op, not a double append
+    val claimed = d.selectAll("_graft_watch_log", "batch_id")
+      .collect { case Seq("dfeed", id: java.lang.Long) => id.longValue }
+    assert(claimed.nonEmpty, "watch batches were logged")
+    val chunks = TestSpark.tmpDir("duckwatch_replay")
+    graft.io.Tables.writeCsvChunks(
+      spark.read.parquet(s"$sourceDir/dfeed.parquet/w2.parquet"), chunks)
+    assert(!d.appendBatchIdempotent("dfeed", claimed.max, chunks),
+      "an already-claimed batch id is skipped whole")
+    assert(d.count("dfeed") == 8L, "replay added no rows")
   }
 }
