@@ -369,27 +369,50 @@ object Dedup {
     *      resource);
     *   2. lowercase scheme + authority ONLY (paths are case-sensitive per
     *      RFC 3986; hosts are not) and strip a leading `www.`;
-    *   3. drop tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`),
+    *   3. strip an explicit default port (`:80` for http, `:443` for
+    *      https — RFC 3986 §6.2.3 equivalence; real crawl frontiers carry
+    *      both spellings of every popular origin);
+    *   4. drop tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`),
     *      keeping the rest in their original order;
-    *   4. strip trailing slashes from the path.
+    *   5. strip trailing slashes from the path;
+    *   6. uppercase %XX escape hex in path and query (`%2f` ≡ `%2F`,
+    *      RFC 3986 §6.2.2.1 case normalization) — escape hex only, never
+    *      the escaped bytes themselves.
     *
     * Built from regex/array expressions available identically in Spark and
     * the DuckDB oracle — no engine-private URL parser — and idempotent
     * (canonical(canonical(u)) = canonical(u), the DedupSpec law). Pure
     * per-row codegen work: zero shuffle, zero UDF.
     */
+  /** RFC 3986 §6.2.2.1 percent-encoding case normalization: uppercase the
+    * two hex digits of every %XX escape, leaving everything else (incl.
+    * path letter case) alone. Split on '%', fold each fragment that
+    * OPENS with two hex digits — a fragment that doesn't marks a bare
+    * '%' (invalid escape), which is left untouched rather than corrupted.
+    */
+  private def foldHexEscapes(s: Column): Column =
+    array_join(
+      transform(split(s, "%", -1), (p, i) =>
+        when(i === 0 || !p.rlike("^[0-9a-fA-F]{2}"), p)
+          .otherwise(concat(upper(p.substr(lit(1), lit(2))),
+            p.substr(lit(3), length(p))))),
+      "%")
+
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base = regexp_extract(noFrag, "^([^?]*)", 1)
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     val schemeHost = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
     val path = regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-    val canonHost =
-      regexp_replace(lower(schemeHost), "^([a-z0-9+.-]+://)www\\.", "$1")
-    val canonPath = regexp_replace(path, "/+$", "")
+    val canonHost = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(schemeHost), "^([a-z0-9+.-]+://)www\\.", "$1"),
+        "^(http://[^/]*):80$", "$1"),
+      "^(https://[^/]*):443$", "$1")
+    val canonPath = foldHexEscapes(regexp_replace(path, "/+$", ""))
     val keptParams = filter(split(query, "&"),
       p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= lit(""))
-    val keptQuery = array_join(keptParams, "&")
+    val keptQuery = foldHexEscapes(array_join(keptParams, "&"))
     concat(canonHost, canonPath,
       when(keptQuery =!= "", concat(lit("?"), keptQuery)).otherwise(lit("")))
   }

@@ -44,7 +44,12 @@ object Pipeline {
     val k = (docId % 46).cast("string")
     concat(
       when(docId % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
-      upper(source), lit(".example.com/Docs/"), k,
+      upper(source), lit(".example.com"),
+      // explicit default port (RFC 3986 §6.2.3 — must canonicalize away)
+      when(docId % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), k,
+      // %-escape hex case noise (§6.2.2.1 — %2f ≡ %2F after folding)
+      when(docId % 2 === 0, lit("%2F")).otherwise(lit("%2f")), lit("x"),
       when(docId % 3 === 0, lit("/")).otherwise(lit("")),
       lit("?id="), k, lit("&utm_source=feed"),
       when(docId % 5 === 0, lit("&ref=tw")).otherwise(lit("")),
@@ -58,34 +63,48 @@ object Pipeline {
     * start with `|` after the first strip (a leading `||` concat loses a
     * pipe and becomes bitwise-or); concat operators sit at line ENDS.
     */
+  /** DuckDB twin of [[graft.operators.Dedup.foldHexEscapes]]: uppercase
+    * the two hex digits of every %XX escape in the SQL expression `e`
+    * (lambda vars hp/hi are namespaced to avoid capturing a consumer's
+    * lambda variables). DuckDB list lambdas index from 1.
+    */
+  private def sqlFoldHex(e: String): String =
+    s"array_to_string(list_transform(string_split($e, '%'), (hp, hi) -> " +
+      "CASE WHEN hi = 1 OR NOT regexp_matches(hp, '^[0-9a-fA-F]{2}') " +
+      "THEN hp ELSE upper(hp[1:2]) || hp[3:] END), '%')"
+
   private[graft] val urlCanonCtesSql: String =
-    """uf AS (SELECT doc_id AS id,
+    s"""uf AS (SELECT doc_id AS id,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END ||
-      |     upper(source) || '.example.com/Docs/' ||
-      |     CAST(doc_id % 46 AS VARCHAR) ||
+      |     upper(source) || '.example.com' ||
+      |     CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+      |     '/Docs/' || CAST(doc_id % 46 AS VARCHAR) ||
+      |     CASE WHEN doc_id % 2 = 0 THEN '%2F' ELSE '%2f' END || 'x' ||
       |     CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
       |     '?id=' || CAST(doc_id % 46 AS VARCHAR) || '&utm_source=feed' ||
       |     CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END ||
       |     CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END) AS url
       |  FROM documents),
       |up AS (SELECT id, url,
-      |    regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
-      |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS q
+      |    regexp_extract(regexp_replace(url, '#.*${"$"}', ''), '^([^?]*)', 1) AS base,
+      |    regexp_extract(regexp_replace(url, '#.*${"$"}', ''), '\\?(.*)${"$"}', 1) AS q
       |  FROM uf),
+      |uq AS (SELECT id, url, base,
+      |    array_to_string(list_filter(string_split(q, '&'),
+      |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+      |        AND p <> ''), '&') AS kq
+      |  FROM up),
       |uc AS (SELECT id, url,
-      |    regexp_replace(lower(regexp_extract(base,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(base,
       |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
-      |      '^([a-z0-9+.-]+://)www\.', '\1') ||
-      |    regexp_replace(regexp_replace(base,
-      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), '/+$', '') ||
-      |    CASE WHEN array_to_string(list_filter(string_split(q, '&'),
-      |         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
-      |           AND p <> ''), '&') <> ''
-      |       THEN '?' || array_to_string(list_filter(string_split(q, '&'),
-      |         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
-      |           AND p <> ''), '&')
+      |      '^([a-z0-9+.-]+://)www\\.', '\\1'),
+      |      '^(http://[^/]*):80${"$"}', '\\1'),
+      |      '^(https://[^/]*):443${"$"}', '\\1') ||
+      |    ${sqlFoldHex("regexp_replace(regexp_replace(base, " +
+          "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), '/+$', '')")} ||
+      |    CASE WHEN kq <> '' THEN '?' || ${sqlFoldHex("kq")}
       |       ELSE '' END AS url_canon
-      |  FROM up)""".stripMargin
+      |  FROM uq)""".stripMargin
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
@@ -3726,7 +3745,9 @@ object Pipeline {
         |GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin)),
 
     // ── Hybrid search: reciprocal-rank fusion of the BM25 lexical top-20
-    //    and the vector cosine top-20 for one probe — the standard
+    //    and the vector dot-product top-20 for one probe (bruteForceTopK
+    //    ranks by quantized dot product, which is norm-weighted, not
+    //    angular — the oracle mirrors dot ordering) — the standard
     //    two-leg retrieval stack (lexical catches exact terms, vectors
     //    catch paraphrase; RRF needs no score calibration between them).
     //    rrf = Σ 10000 // (60 + rank), integer-exact, absent leg
@@ -4587,8 +4608,18 @@ object Pipeline {
     //    its first 12 pages as documents land (flatMapGroupsWithState,
     //    ONE counter per host), then drops the rest. Oracle = the batch
     //    cap's kept rows ─────────────────────────────────────────────────
+    //    NOTE: across micro-batches admission is arrival-order (the
+    //    deployed crawl semantics); the min-doc_id oracle is exact only
+    //    for a single-batch drain, so this entry pins the drain to one
+    //    batch by masking the maxFilesPerTrigger knob for its run ─────────
     "stream_domain_cap" -> Q(
-      (s, d) => graft.streaming.StreamingSync.streamingDomainCap(s, d),
+      (s, d) => {
+        val knob = "graft.stream.maxFilesPerTrigger"
+        val prev = s.conf.getOption(knob)
+        prev.foreach(_ => s.conf.unset(knob))
+        try graft.streaming.StreamingSync.streamingDomainCap(s, d)
+        finally prev.foreach(s.conf.set(knob, _))
+      },
       Some(s"""WITH $urlCanonCtesSql,
         |sdc AS (SELECT id AS doc_id,
         |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host
@@ -4938,9 +4969,13 @@ object Pipeline {
             size(filter(pairs, x => x === 0)).cast("long").as("n_green"))
           .select(col("doc_id"), col("n_pairs"), col("n_green"),
             expr("n_green * 10000 div n_pairs").as("green_bp"),
-            (((col("n_green") * 2 - col("n_pairs")) *
-              (col("n_green") * 2 - col("n_pairs"))) >
-              col("n_pairs") * 9).as("watermarked"))
+            // one-sided z-test: a green-list sampler only biases the
+            // green rate UP, so only an excess (2G − P > 0) may flag;
+            // squaring alone would also flag a far-below-½ rate
+            ((col("n_green") * 2 - col("n_pairs")) > 0 &&
+              ((col("n_green") * 2 - col("n_pairs")) *
+                (col("n_green") * 2 - col("n_pairs"))) >
+                col("n_pairs") * 9).as("watermarked"))
       },
       Some("""WITH wm_t AS (SELECT doc_id,
         |    string_split_regex(lower(text),'\s+') AS l FROM documents),
@@ -4952,6 +4987,7 @@ object Pipeline {
         |  FROM wm_t WHERE len(l) >= 2)
         |SELECT doc_id, n_pairs, n_green,
         |  CAST(n_green * 10000 // n_pairs AS BIGINT) AS green_bp,
+        |  (n_green * 2 - n_pairs) > 0 AND
         |  (n_green * 2 - n_pairs) * (n_green * 2 - n_pairs) > n_pairs * 9
         |    AS watermarked
         |FROM wm_p""".stripMargin)),

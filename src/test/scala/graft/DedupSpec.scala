@@ -587,7 +587,13 @@ class DedupSpec extends AnyFunSuite {
       (4L, "http://Example.com/p/?utm_medium=z&gclid=1&ref=tw"), // all params tracking
       (5L, "https://example.com/p///"),             // trailing slashes
       (6L, "https://example.com/p"),
-      (7L, "https://example.com/p?b=2&a=1"))        // param ORDER preserved (no resort)
+      (7L, "https://example.com/p?b=2&a=1"),        // param ORDER preserved (no resort)
+      (8L, "https://example.com:443/p"),            // explicit default port
+      (9L, "http://example.com:80/p"),
+      (10L, "https://example.com:8080/p"),          // NON-default port → distinct
+      (11L, "https://example.com/a%2fb?k=%3dv"),    // escape hex case folds
+      (12L, "https://example.com/a%2Fb?k=%3Dv"),
+      (13L, "https://example.com/100%zz"))          // invalid escape untouched
       .toDF("id", "url")
     val out = Dedup.urlDedup(urls, "id", "url").collect()
       .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3),
@@ -600,6 +606,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L)._1 == out(6L)._1, "trailing slashes erased")
     assert(out(7L)._1 == "https://example.com/p?b=2&a=1",
       "kept params preserve their original order")
+    assert(out(8L)._1 == out(6L)._1 && out(9L)._1 == "http://example.com/p",
+      "explicit default ports (:443 https, :80 http) canonicalize away")
+    assert(out(10L)._1 == "https://example.com:8080/p",
+      "a NON-default port is a distinct origin and must survive")
+    assert(out(11L)._1 == "https://example.com/a%2Fb?k=%3Dv" &&
+      out(11L)._1 == out(12L)._1,
+      "%-escape hex folds uppercase in path AND query")
+    assert(out(13L)._1 == "https://example.com/100%zz",
+      "a bare '%' that opens no hex escape is left untouched, not corrupted")
     // keep-first verdicts: min id per canonical keeps
     assert(out(1L)._3 && !out(2L)._3 && out(1L)._2 == 2L)
     assert(out(5L)._3 && !out(6L)._3)
@@ -610,6 +625,49 @@ class DedupSpec extends AnyFunSuite {
       Dedup.canonicalUrl(col("c")).as("cc")).collect()
     twice.foreach(r => assert(r.getString(0) == r.getString(1),
       s"canonical not a fixpoint: '${r.getString(0)}' → '${r.getString(1)}'"))
+  }
+
+  test("URL canonicalization generative law: random decoration with every " +
+    "equivalence-preserving variant never changes the canonical form, and " +
+    "canonical is a fixpoint on all of them") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randCase(s: String): String =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    val cases = (1 to 300).map { i =>
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val host = s"site${rnd.nextInt(5)}.example.com"
+      val params = Seq("x=1", "y=2%3D3").take(rnd.nextInt(3))
+      val expected = s"$scheme://$host/a/b%2Fc" +
+        (if (params.nonEmpty) "?" + params.mkString("&") else "")
+      // decorate with every rule the canonicalizer must erase
+      val port =
+        if (rnd.nextBoolean()) (if (scheme == "https") ":443" else ":80")
+        else ""
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val trackers = Seq("utm_source=x", "fbclid=1", "ref=tw", "gclid=9")
+        .filter(_ => rnd.nextBoolean())
+      // tracking params interleave at random positions among the kept ones
+      val q = rnd.shuffle(trackers).foldLeft(params) { (acc, t) =>
+        val at = rnd.nextInt(acc.length + 1)
+        acc.take(at) ++ Seq(t) ++ acc.drop(at)
+      }
+      val decorated = randCase(scheme) + "://" + www + randCase(host) + port +
+        "/a/b%" + (if (rnd.nextBoolean()) "2F" else "2f") + "c" +
+        "/" * rnd.nextInt(3) +
+        (if (q.nonEmpty) "?" + q.mkString("&") else "") +
+        (if (rnd.nextBoolean()) "#frag" else "")
+      (i.toLong, decorated, expected)
+    }
+    val out = cases.toDF("id", "url", "expected")
+      .select(col("expected"), Dedup.canonicalUrl(col("url")).as("c"))
+      .withColumn("cc", Dedup.canonicalUrl(col("c"))).collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"decorated URL canonicalized to '${r.getString(1)}', " +
+          s"expected '${r.getString(0)}'")
+      assert(r.getString(2) == r.getString(1), "fixpoint law")
+    }
   }
 
   test("domainCap: host variants collapse before ranking, each host keeps " +

@@ -690,8 +690,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches >= 2, s"expected a multi-batch drain, got $batches")
     assert(out.length == 2 && out.distinct.length == 2,
       s"cross-batch variant must not re-emit: ${out.toSeq}")
-    assert(out.exists(_.endsWith("/Docs/0?id=0")) &&
-      out.exists(_.endsWith("/Docs/1?id=1")), s"got ${out.toSeq}")
+    assert(out.exists(_.endsWith("/Docs/0%2Fx?id=0")) &&
+      out.exists(_.endsWith("/Docs/1%2Fx?id=1")), s"got ${out.toSeq}")
   }
 
   test("streaming domain cap: the per-host admission counter persists " +
