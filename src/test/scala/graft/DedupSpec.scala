@@ -395,6 +395,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: the driverMaxEdges crossover is seamless — at " +
+    "exactly gate and gate-1 edges the driver and distributed paths emit " +
+    "identical clusters") {
+    import spark.implicits._
+    // a mixed topology (chain + triangle + isolated pair + a join edge)
+    // so min-label propagation does real work on both paths
+    val rnd = new scala.util.Random(13)
+    val edges = ((1L to 40L).sliding(2).map(p => (p(0), p(1))).toSeq ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L),
+        (40L, 100L)) ++
+      (0 until 20).map(_ => { val x = 300L + rnd.nextInt(30)
+        (x, 300L + rnd.nextInt(30)) })).distinct
+      .filter(e => e._1 != e._2)
+    val pairs = edges.toDF("a", "b")
+    val n = pairs.count()
+    def run(gate: Long): Map[Long, Long] = {
+      spark.conf.set("graft.clusters.driverMaxEdges", gate.toString)
+      try Dedup.dedupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.clusters.driverMaxEdges")
+    }
+    val driverSide = run(n)      // nPairs <= gate → driver union-find
+    val distributed = run(n - 1) // nPairs >  gate → pointer doubling
+    assert(driverSide == distributed,
+      s"paths diverge at the crossover (n=$n): " +
+        s"driver=${driverSide.toSeq.sorted.take(8)}... " +
+        s"distributed=${distributed.toSeq.sorted.take(8)}...")
+    assert(driverSide.values.toSet.size >= 3,
+      "fixture yields multiple non-trivial components")
+  }
+
   test("dedup clusters: non-convergence at maxIter throws instead of " +
     "returning partial labels") {
     import spark.implicits._

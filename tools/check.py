@@ -2,7 +2,12 @@
 """Local replica of the driver's correctness gate: run graft.Verify output
 against DuckDB oracle SQL over the same parquet tables, compare value-hashes
 with columns sorted by name and rows sorted. Usage:
-  python3 tools/check.py <sfDir> <verifyOutDir>
+  python3 tools/check.py <sfDir> <verifyOutDir> [--json RESULTS.json]
+
+--json writes a per-query artifact in the driver's CORRECTNESS_r{N}.json
+shape (rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err) — used to commit the sf0.1 scale-consistency gate as a verifiable
+artifact rather than a ledger note.
 """
 import sys, os, json, glob
 import duckdb
@@ -25,26 +30,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf, out):
+def main(sf, out, json_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     n_pass = n_fail = 0
+    results = {}
+    def record(name, rows=None, schema=None, hsh=None, sr=None, orr=None, err=None):
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": hsh, "spark_rows": sr,
+                         "oracle_rows": orr, "err": err}
     for name, sql in sorted(oracle.items()):
         pdir = os.path.join(out, name)
         files = glob.glob(os.path.join(pdir, "*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record(name, err="no spark output"); continue
         try:
             got = canon(con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
             want = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            record(name, err=str(e)); continue
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1
+            record(name, schema=False, sr=len(got), orr=len(want)); continue
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1
+            record(name, rows=False, schema=True, sr=len(got), orr=len(want)); continue
         eq = got.equals(want)
         if not eq:
             # detailed diff on first mismatching cell
@@ -68,8 +82,12 @@ def main(sf, out):
             if not shown:
                 print(f"FAIL {name}: frames differ (no per-column diff found)")
             n_fail += 1
+            record(name, rows=True, schema=True, hsh=False,
+                   sr=len(got), orr=len(want))
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            record(name, rows=True, schema=True, hsh=True,
+                   sr=len(got), orr=len(want))
     # rows-only queries (no oracle)
     for pdir in sorted(glob.glob(os.path.join(out, "*"))):
         name = os.path.basename(pdir)
@@ -78,12 +96,24 @@ def main(sf, out):
                 n = len(con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
                 if n == 0:
                     print(f"FAIL {name}: rows-only query returned 0 rows"); n_fail += 1
+                    record(name, rows=False, sr=0, err="rows-only: 0 rows")
                 else:
                     print(f"ROWS {name}: {n} rows (no oracle)")
+                    record(name, rows=True, sr=n)
             except Exception as e:
                 print(f"FAIL {name}: unreadable output: {e}"); n_fail += 1
+                record(name, err=f"unreadable output: {e}")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"wrote {json_path} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jp = None
+    if "--json" in sys.argv:
+        jp = sys.argv[sys.argv.index("--json") + 1]
+        args = [a for a in args if a != jp]
+    sys.exit(main(args[0], args[1], jp))
