@@ -46,6 +46,58 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[ngramOverlapPairs]] with a Bloom-filter gate on the train side —
+    * the 100 TB shape of the same check. The eval set's distinct n-gram
+    * fingerprints aggregate into ONE serialized Bloom filter (a few MB of
+    * bits for millions of grams), which broadcasts with the 1-row cross
+    * join and prunes the train side's gram stream BEFORE anything
+    * shuffles: a train gram that cannot be in the eval set never enters
+    * the df-cap aggregation or the join exchange. At a 5%-eval / 95%-train
+    * split that drops ~the whole train side at the scan. The filter rides
+    * the task closure as a literal (numBits/8 bytes), so the plan gains a
+    * Filter, not a join.
+    *
+    * EXACTLY the ungated result: Bloom filters have no false negatives,
+    * and every false positive fails the exact fingerprint equi-join
+    * downstream (the df-cap verdict is also unchanged — the gate keeps or
+    * drops a gram's occurrences atomically, so surviving grams carry
+    * their full document frequency). Equivalence law pinned in
+    * ContaminationSpec; the gate's plan position in PlanAuditSpec.
+    */
+  def bloomGatedOverlapPairs(evalDocs: DataFrame, trainDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 8, maxDocFreq: Int = 128,
+                             expectedItems: Long = 1L << 20,
+                             numBits: Long = 1L << 23): DataFrame = {
+    def fps(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(as),
+        explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n)))
+          .as("sh"))
+      .select(col(as), md5(col("sh")).as("fp"))
+    val ev = fps(evalDocs, "eval_id")
+    // ONE driver-side scalar: the serialized filter (might_contain requires
+    // a constant/scalar-subquery bloom). Same bounded-collect contract as
+    // the watermark scalars — numBits/8 bytes however large the corpus —
+    // and as a literal it ships with the task closure, so the gate sits
+    // directly on the train scan with no join node at all.
+    val bfBytes = ev.agg(
+      graft.functions.Sketch.bloomAgg(col("fp"), expectedItems, numBits)
+        .as("bf")).head().getAs[Array[Byte]](0)
+    // empty eval set → null filter → nothing can overlap
+    if (bfBytes == null)
+      return evalDocs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("eval_id"), lit(0L).as("train_id"),
+          lit(0L).as("n_shared")).limit(0)
+    val train = fps(trainDocs, "train_id")
+      .where(graft.functions.Sketch.mightContain(lit(bfBytes), col("fp")))
+    val heavy = train.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("fp")
+    ev.join(train.join(heavy, Seq("fp"), "left_anti"), "fp")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Surgical decontamination: instead of DROPPING every training document
     * that overlaps the eval set (ngramOverlapPairs' readout), emit the
     * merged 1-based token ranges inside each training doc that verbatim-

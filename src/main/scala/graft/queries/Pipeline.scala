@@ -73,6 +73,27 @@ object Pipeline {
       "CASE WHEN hi = 1 OR NOT regexp_matches(hp, '^[0-9a-fA-F]{2}') " +
       "THEN hp ELSE upper(hp[1:2]) || hp[3:] END), '%')"
 
+  /** DuckDB twin of the decontamination eval/train split + 8-gram
+    * fingerprint + df-cap machinery (Contamination.ngramOverlapPairs and
+    * its bloom-gated equivalent share it verbatim — the Bloom gate is
+    * invisible to exact results by construction, so ONE oracle fragment
+    * serves both). CTEs: s/trt/evt/trsh/evsh/trfp/evfp/trc.
+    */
+  private[graft] val decontamCtesSql: String =
+    """s AS (SELECT doc_id,
+      |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER)%100 AS h,
+      |  text FROM documents),
+      |trt AS (SELECT doc_id AS train_id, string_split_regex(lower(text),'\s+') AS l FROM s WHERE h < 90),
+      |evt AS (SELECT doc_id AS eval_id, string_split_regex(lower(text),'\s+') AS l FROM s WHERE h >= 95),
+      |trsh AS (SELECT train_id, unnest(list_distinct(CASE WHEN len(l)<8 THEN [array_to_string(l,' ')]
+      |  ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)] END)) AS sh FROM trt),
+      |evsh AS (SELECT eval_id, unnest(list_distinct(CASE WHEN len(l)<8 THEN [array_to_string(l,' ')]
+      |  ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)] END)) AS sh FROM evt),
+      |trfp AS (SELECT train_id, md5(sh) AS fp FROM trsh),
+      |evfp AS (SELECT eval_id, md5(sh) AS fp FROM evsh),
+      |trc AS (SELECT train_id, fp FROM (SELECT train_id, fp,
+      |  count(*) OVER (PARTITION BY fp) AS dfc FROM trfp) WHERE dfc <= 128)""".stripMargin
+
   private[graft] val urlCanonCtesSql: String =
     s"""uf AS (SELECT doc_id AS id,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END ||
@@ -1229,19 +1250,27 @@ object Pipeline {
         Contamination.ngramOverlapPairs(
           docs.where(h >= 95), docs.where(h < 90), "doc_id", "text")
       },
-      Some("""WITH s AS (SELECT doc_id,
-        |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER)%100 AS h,
-        |  text FROM documents),
-        |trt AS (SELECT doc_id AS train_id, string_split_regex(lower(text),'\s+') AS l FROM s WHERE h < 90),
-        |evt AS (SELECT doc_id AS eval_id, string_split_regex(lower(text),'\s+') AS l FROM s WHERE h >= 95),
-        |trsh AS (SELECT train_id, unnest(list_distinct(CASE WHEN len(l)<8 THEN [array_to_string(l,' ')]
-        |  ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)] END)) AS sh FROM trt),
-        |evsh AS (SELECT eval_id, unnest(list_distinct(CASE WHEN len(l)<8 THEN [array_to_string(l,' ')]
-        |  ELSE [array_to_string(l[i:i+7],' ') FOR i IN generate_series(1,len(l)-7)] END)) AS sh FROM evt),
-        |trfp AS (SELECT train_id, md5(sh) AS fp FROM trsh),
-        |evfp AS (SELECT eval_id, md5(sh) AS fp FROM evsh),
-        |trc AS (SELECT train_id, fp FROM (SELECT train_id, fp,
-        |  count(*) OVER (PARTITION BY fp) AS dfc FROM trfp) WHERE dfc <= 128)
+      Some(s"""WITH $decontamCtesSql
+        |SELECT e.eval_id, t.train_id, count(*) AS n_shared
+        |FROM evfp e JOIN trc t USING (fp) GROUP BY 1, 2""".stripMargin)),
+
+    // ── Bloom-gated decontamination — the 100 TB shape of the SAME check:
+    //    the eval grams aggregate into ONE native Bloom filter
+    //    (BloomFilterAggregate, the optimizer's own runtime-filter
+    //    machinery driven explicitly) that broadcasts and prunes the train
+    //    side's gram stream BEFORE the df-cap aggregation and the join
+    //    exchange. No false negatives + exact confirm downstream ⇒ the
+    //    oracle is x_decontaminate's, verbatim — the equivalence IS the
+    //    contract (law in ContaminationSpec, plan shape in PlanAuditSpec) ──
+    "x_bloom_decontaminate" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = t(s, d, "documents")
+        Contamination.bloomGatedOverlapPairs(
+          docs.where(h >= 95), docs.where(h < 90), "doc_id", "text")
+      },
+      Some(s"""WITH $decontamCtesSql
         |SELECT e.eval_id, t.train_id, count(*) AS n_shared
         |FROM evfp e JOIN trc t USING (fp) GROUP BY 1, 2""".stripMargin)),
 

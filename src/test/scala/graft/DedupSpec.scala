@@ -571,6 +571,42 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == 0, "8-grams over the docfreq cap carry no signal")
   }
 
+  test("bloom-gated overlap law: exactly the ungated result on a corpus " +
+    "with planted leaks, boilerplate, and clean docs — and a tight filter " +
+    "whose false positives must be scrubbed by the exact confirm") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def sent(seed: Int) =
+      (0 until 30).map(i => s"w${seed}_$i").mkString(" ")
+    val leak = sent(999)
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val train = ((0 until 40).map(i =>
+      (i.toLong, s"${sent(i)} $boiler")) ++ Seq(
+      (100L, s"${sent(100)} $leak tail tail2"),
+      (101L, s"$leak ${sent(101)}"))).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (200L, s"head words then $leak closing"),
+      (201L, sent(500))).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)
+    val exact = graft.operators.Contamination
+      .ngramOverlapPairs(eval_, train, "doc_id", "text", maxDocFreq = 8)
+      .collect().map(key).toMap
+    val gated = graft.operators.Contamination
+      .bloomGatedOverlapPairs(eval_, train, "doc_id", "text", maxDocFreq = 8)
+      .collect().map(key).toMap
+    assert(exact.nonEmpty, "the planted leak must surface")
+    assert(gated == exact, s"bloom gate changed the result: $gated vs $exact")
+    // a deliberately TINY filter (64 bits for hundreds of grams) is nearly
+    // all-pass — false positives flood the gate and the exact confirm
+    // must scrub every one of them
+    val tiny = graft.operators.Contamination
+      .bloomGatedOverlapPairs(eval_, train, "doc_id", "text", maxDocFreq = 8,
+        expectedItems = 4L, numBits = 64L)
+      .collect().map(key).toMap
+    assert(tiny == exact, "false positives must die at the exact join")
+  }
+
   test("embedding near-dup finds identical vectors within a cell") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),

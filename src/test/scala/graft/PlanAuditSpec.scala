@@ -225,6 +225,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
+      // bloom-gated twin: SAME budget — the gate is a Filter literal on
+      // the train scan, not a join (the bloom build is a separate bounded
+      // driver-scalar job at construction, like the watermark reads)
+      "x_bloom_decontaminate" -> 4,
       // manifest: one partial+final hash agg + the ORDER BY range exchange;
       // stats: fingerprint agg + copy-count agg + the ORDER BY
       "x_shard_manifest" -> 2, "x_dedup_stats" -> 3,
@@ -299,6 +303,30 @@ class PlanAuditSpec extends AnyFunSuite {
       if (n > cap) Some(s"$name: $n exchanges > budget $cap") else None
     }
     assert(over.isEmpty, s"shuffle-budget regressions:\n  ${over.mkString("\n  ")}")
+  }
+
+  test("bloom-gated decontamination: the gate is a scan-side Filter " +
+    "(might_contain on the literal sketch), never a join") {
+    val plan = SparkEntry.queries("x_bloom_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "the Bloom probe must survive into the physical plan")
+    // the probe must sit between its scan and any Exchange: plan dumps
+    // are pre-order, so the gate's subtree prints immediately after it —
+    // no Exchange line may appear between the probe and the next Scan
+    val lines = plan.split("\n").toSeq
+    val probeLine = lines.indexWhere(_.contains("might_contain"))
+    assert(probeLine >= 0)
+    val below = lines.drop(probeLine + 1)
+    val scanAt = below.indexWhere(l =>
+      l.contains("Scan") || l.contains("LocalTableScan"))
+    assert(scanAt >= 0 && !below.take(scanAt).exists(_.contains("Exchange")),
+      "the Bloom gate drifted above an Exchange — rows are shuffling " +
+        "before the sketch can drop them:\n" +
+        below.take(scanAt + 1).mkString("\n"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      "the literal-sketch design must not introduce a join for the filter")
   }
 
   test("round-9 streaming twins stay within their micro-batch shuffle " +
