@@ -73,6 +73,20 @@ object Pipeline {
       "CASE WHEN hi = 1 OR NOT regexp_matches(hp, '^[0-9a-fA-F]{2}') " +
       "THEN hp ELSE upper(hp[1:2]) || hp[3:] END), '%')"
 
+  /** Mask the multi-batch drain knob around a streaming twin whose oracle
+    * is exact only for a single-batch backfill: cross-batch state is
+    * arrival-order (the deployed semantics), while the batch oracles
+    * assert min-doc_id ownership — identical iff the drain is one sorted
+    * micro-batch. The knob is restored afterwards so StreamingSpec's
+    * multi-batch contract tests are unaffected.
+    */
+  private def singleDrain(s: SparkSession)(body: => DataFrame): DataFrame = {
+    val knob = "graft.stream.maxFilesPerTrigger"
+    val prev = s.conf.getOption(knob)
+    prev.foreach(_ => s.conf.unset(knob))
+    try body finally prev.foreach(s.conf.set(knob, _))
+  }
+
   /** DuckDB twin of the decontamination eval/train split + 8-gram
     * fingerprint + df-cap machinery (Contamination.ngramOverlapPairs and
     * its bloom-gated equivalent share it verbatim — the Bloom gate is
@@ -836,6 +850,21 @@ object Pipeline {
     "x_dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text"),
       Some(s"WITH $candCtesSql\nSELECT a, b FROM cand")),
+
+    // ── Structured Streaming: online MinHash-LSH near-dup screen — the
+    //    ingest-time "have we seen something like this" check: a landing
+    //    doc is flagged iff any of its band buckets is owned by an
+    //    earlier doc. Signature = the batch minhash as a per-row array
+    //    expression; state = ONE long per occupied bucket (no pairs, no
+    //    cap needed). Single-drain pinned like stream_domain_cap ──────────
+    "stream_neardup" -> Q(
+      (s, d) => singleDrain(s)(
+        graft.streaming.StreamingSync.streamingNearDup(s, d)),
+      Some(s"""WITH $candCtesSql
+        |SELECT doc AS doc_id, bool_or(mn < doc) AS is_neardup
+        |FROM (SELECT doc, band_idx, band_sig,
+        |  min(doc) OVER (PARTITION BY band_idx, band_sig) AS mn FROM br)
+        |GROUP BY doc""".stripMargin)),
 
     // ── Dedup: LSH-then-verify exact Jaccard over candidate pairs ──────────
     "x_dedup_jaccard" -> Q(
@@ -4642,13 +4671,8 @@ object Pipeline {
     //    for a single-batch drain, so this entry pins the drain to one
     //    batch by masking the maxFilesPerTrigger knob for its run ─────────
     "stream_domain_cap" -> Q(
-      (s, d) => {
-        val knob = "graft.stream.maxFilesPerTrigger"
-        val prev = s.conf.getOption(knob)
-        prev.foreach(_ => s.conf.unset(knob))
-        try graft.streaming.StreamingSync.streamingDomainCap(s, d)
-        finally prev.foreach(s.conf.set(knob, _))
-      },
+      (s, d) => singleDrain(s)(
+        graft.streaming.StreamingSync.streamingDomainCap(s, d)),
       Some(s"""WITH $urlCanonCtesSql,
         |sdc AS (SELECT id AS doc_id,
         |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host

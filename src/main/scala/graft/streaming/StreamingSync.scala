@@ -816,6 +816,74 @@ object StreamingSync {
     runAppendSink(ss, admitted, base, "graft_stream_domain_cap")
   }
 
+  /** Streaming MinHash-LSH near-dup screen — the online twin of the
+    * batch LSH candidate pass: as documents land, each one is flagged
+    * `is_neardup` iff ANY of its band buckets is already owned by an
+    * earlier document (the crawl-ingest "have we seen something like
+    * this" check, answered without pair generation). The signature is
+    * the batch pipeline's 16-way md5 minhash collapsed to a PER-ROW
+    * array expression (array_min over the distinct shingle hashes — the
+    * same values the batch groupBy-min produces, lockstep law in
+    * StreamingSpec), so the stream needs no aggregation before the
+    * stateful step.
+    *
+    * State per (band, bucket) is ONE long — the min doc_id that owns the
+    * bucket — so state volume is bounded by occupied-bucket cardinality
+    * (≤ 4 per document ever seen), NOT by pairs; there is no bucket-cap
+    * concern because nothing fans out. Within a micro-batch the group
+    * sorts by doc_id, so a single-drain backfill reproduces the batch
+    * min-id-ownership verdict exactly; a multi-batch live ingest owns
+    * buckets in arrival order — the deployed semantics, same contract as
+    * [[streamingDomainCap]] (its verify entry pins a single drain).
+    */
+  def streamingNearDup(spark: SparkSession, sfDir: String,
+                       numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val base = freshBase(ss, "neardup")
+    val docs = tableStream(ss, sfDir, "documents", base)
+    val sh = array_distinct(graft.operators.Dedup.shinglesFromTokens(
+      graft.operators.TextAnalysis.tokens(col("text"))))
+    val hs = transform(sh, s => concat(md5(s), md5(concat(lit("#"), s))))
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      val slots = (b * bandSize until (b + 1) * bandSize).map(i =>
+        array_min(transform(col("hs"),
+          x => conv(substring(x, 4 * i + 1, 4), 16, 10).cast("int")))
+          .cast("string"))
+      struct(lit(b).as("band_idx"), concat_ws("|", slots: _*).as("band_sig"))
+    }
+    val bands = docs
+      .select(col("doc_id").cast("long").as("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_sig").as("band_sig"))
+      .as[(Long, Int, String)]
+    val hits = bands.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (bucket: (Int, String), it: Iterator[(Long, Int, String)],
+         state: GroupState[Long]) =>
+          // a doc is hit iff the bucket is already OCCUPIED when it is
+          // processed (in-batch order: ascending doc_id, so a single
+          // drain reproduces min-id ownership; across batches the
+          // earlier arrival owns). The stored owner is the min id seen —
+          // a stable representative, though occupancy alone decides.
+          var owner = state.getOption
+          val out = Vector.newBuilder[(Long, Boolean)]
+          it.toVector.sortBy(_._1).foreach { case (id, _, _) =>
+            out += ((id, owner.isDefined))
+            if (owner.forall(id < _)) owner = Some(id)
+          }
+          owner.foreach(state.update)
+          out.result().iterator
+      }.toDF("doc_id", "hit")
+    // post-drain fold of the 4 per-band verdicts into one per doc
+    runAppendSink(ss, hits, base, "graft_stream_neardup")
+      .groupBy("doc_id")
+      .agg(max(col("hit")).as("is_neardup"))
+  }
+
   /** Streaming quality scoring — the DEPLOYED shape of
     * `x_quality_classifier`: the affinity model trains OFFLINE on the
     * static corpus (one batch pass — Gopher-seeded per-token ‰

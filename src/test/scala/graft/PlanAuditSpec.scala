@@ -349,6 +349,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // per-domain crawl budget: host extraction is per-row; ONE exchange
       // groups by host into the flatMapGroupsWithState counter
       "stream_domain_cap" -> 1,
+      // near-dup screen: signature + band explode are per-row; ONE
+      // exchange groups by (band, bucket) into the ownership state (the
+      // post-drain per-doc fold is a batch job outside this plan)
+      "stream_neardup" -> 1,
       // online quality scoring: the static vocab-model subtree (its own
       // offline exchanges) + the stream-static join + ONE stateful
       // per-doc agg exchange feeding the state store

@@ -668,6 +668,64 @@ class StreamingSpec extends AnyFunSuite {
       "the cap must actually drop pages at this fixture size")
   }
 
+  test("streaming near-dup screen: single-drain flags equal the batch " +
+    "min-id bucket-ownership verdict at sf0.001, and the per-row " +
+    "signature is lockstep with the batch groupBy minhash") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSync.streamingNearDup(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch recompute: doc is near-dup iff some band bucket holds a
+    // smaller doc_id — derived from the SAME band table the LSH
+    // candidate pass uses (uncapped: ownership needs no pair fan-out)
+    val sig = graft.operators.Dedup.minhashSignature(
+      graft.io.Tables.table(spark, sf, "documents"), "doc_id", "text")
+    val bands = graft.operators.Dedup.lshBands(sig)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"))
+    val batch = bands
+      .withColumn("mn", min(col("doc")).over(w))
+      .groupBy(col("doc"))
+      .agg(max(col("mn") < col("doc")).as("is_neardup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed == batch,
+      s"stream/batch diverge on ${streamed.toSet.diff(batch.toSet).take(5)}")
+    assert(streamed.values.exists(identity) &&
+      streamed.values.exists(!_),
+      "fixture must exercise both verdicts")
+  }
+
+  test("streaming near-dup: bucket ownership persists across micro-batches " +
+    "in ARRIVAL order — a doc landing later is flagged against batch-1 " +
+    "owners even with a smaller doc_id") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("neardupmb")
+    val dir = new java.io.File(s"$sf/documents.parquet"); dir.mkdirs()
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def docs(rows: Seq[(Long, String)]) = rows
+      .map { case (id, tx) => (id, tx, "en", "web", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val now = System.currentTimeMillis()
+    // batch 1: doc 10 lands first and OWNS its buckets
+    stageBatchFile(sf, dir, docs(Seq((10L, dupText),
+      (11L, "wholly unrelated content one two three four five six"))),
+      "b1", now - 240000)
+    // batch 2: doc 5 (smaller id, same text) arrives later → flagged;
+    // doc 20 (fresh text) is clean
+    stageBatchFile(sf, dir, docs(Seq((5L, dupText),
+      (20L, "different words entirely seven eight nine ten eleven"))),
+      "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out = try graft.streaming.StreamingSync
+      .streamingNearDup(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    assert(out == Map(10L -> false, 11L -> false, 5L -> true, 20L -> false),
+      s"arrival-order ownership contract broke: $out")
+  }
+
   test("streaming URL seen-set: a canonical URL fetched in batch 1 does " +
     "not re-emit when a VARIANT of it lands in batch 2") {
     import spark.implicits._
