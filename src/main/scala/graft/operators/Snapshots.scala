@@ -86,4 +86,50 @@ object Snapshots {
           .as("drift_e4"))
       .orderBy("source")
   }
+
+  /** Slowly-changing-dimension TYPE-2 history from a change-event stream —
+    * the warehouse pattern the reference's keyed upsert DESTROYS (an
+    * upsert keeps only the last value; SCD2 keeps every value with its
+    * validity interval). From (key, ts, value) change events, emit one
+    * row per VALUE RUN: consecutive identical values collapse into a
+    * single interval, a change opens a new one, and the latest interval
+    * per key is open-ended (`valid_to` null, `is_current` true).
+    *
+    * Output: (key, value, valid_from, valid_to, is_current), ordered
+    * within key by valid_from.
+    *
+    * Scale (100 TB of events): everything is windows over the SAME `key`
+    * partitioning — the change detection (lag), the run numbering
+    * (running count of change points), the per-run collapse (groupBy on
+    * (key, run) — a superset of the window keys, so it rides the same
+    * exchange), and the valid_to carry (lead over key again). ONE hash
+    * exchange total, pinned in PlanAuditSpec. `tsTieCol` breaks
+    * same-timestamp ties deterministically (an event id); runs sort
+    * within a key's partition, bounded by that key's event count.
+    */
+  def scd2History(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, tsTieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("key"))
+    val ordered = byKey.orderBy(col("ts"), col("tie"))
+    val runs = events
+      .select(col(keyCol).as("key"), col(tsCol).as("ts"),
+        col(valueCol).as("value"), col(tsTieCol).as("tie"))
+      .withColumn("chg",
+        when(lag(col("value"), 1).over(ordered).isNull ||
+          lag(col("value"), 1).over(ordered) =!= col("value"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = runs
+      .groupBy(col("key"), col("run"))
+      // all events in a run carry the SAME value (that is what a run is),
+      // so min() is just the deterministic way to read it back
+      .agg(min(col("value")).as("value"), min(col("ts")).as("valid_from"))
+    intervals
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(byKey.orderBy(col("run"))))
+      .select(col("key"), col("value"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

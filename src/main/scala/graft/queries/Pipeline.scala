@@ -3356,6 +3356,37 @@ object Pipeline {
       (s, d) => graft.streaming.StreamingSync.cdcApply(s, d),
       Some(Relational.cdcApplySql)),
 
+    // ── SCD type-2 history — the warehouse pattern the reference's keyed
+    //    upsert destroys: every (user, event_type) VALUE RUN becomes one
+    //    validity interval, consecutive repeats collapse, the latest
+    //    interval stays open. Everything rides ONE user_id exchange (lag
+    //    change detection, run numbering, per-run collapse, valid_to
+    //    carry — all the same partition key; budget-pinned) ───────────────
+    "x_scd2_history" -> Q(
+      (s, d) => graft.operators.Snapshots.scd2History(
+        t(s, d, "events"), "user_id", "ts", "event_type", "event_id")
+        .select(col("key"), col("value"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current")),
+      Some("""WITH sc_e AS (SELECT user_id AS key, ts, event_type AS value,
+        |    event_id AS tie FROM events),
+        |sc_c AS (SELECT key, ts, value, tie,
+        |    CASE WHEN lag(value) OVER w IS NULL
+        |      OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+        |  FROM sc_e WINDOW w AS (PARTITION BY key ORDER BY ts, tie)),
+        |sc_r AS (SELECT key, value, ts,
+        |    sum(chg) OVER (PARTITION BY key ORDER BY ts, tie
+        |      ROWS UNBOUNDED PRECEDING) AS run FROM sc_c),
+        |sc_iv AS (SELECT key, run, min(value) AS value,
+        |    min(ts) AS valid_from FROM sc_r GROUP BY 1, 2)
+        |SELECT key, value, epoch_us(valid_from) AS valid_from_us,
+        |  epoch_us(lead(valid_from) OVER (PARTITION BY key ORDER BY run))
+        |    AS valid_to_us,
+        |  lead(valid_from) OVER (PARTITION BY key ORDER BY run) IS NULL
+        |    AS is_current
+        |FROM sc_iv""".stripMargin)),
+
     // ── Entity resolution: blocked fuzzy self-join on part names. Candidate
     //    pairs come from two equi-join blocking passes (shared 3-char prefix
     //    OR suffix) — never a cross join — then only candidates pay the

@@ -225,6 +225,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
+      // SCD2: lag + run-sum + per-run collapse + valid_to carry ALL ride
+      // one user_id hash exchange (group keys ⊇ window keys; both lead/
+      // lag windows share the key) — a 2nd exchange means the reuse broke
+      "x_scd2_history" -> 1,
       // bloom-gated twin: SAME budget — the gate is a Filter literal on
       // the train scan, not a join (the bloom build is a separate bounded
       // driver-scalar job at construction, like the watermark reads)

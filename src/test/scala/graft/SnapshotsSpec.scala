@@ -137,4 +137,44 @@ class SnapshotsSpec extends AnyFunSuite {
       assert(got == want, s"round $round: $got != $want")
     }
   }
+
+  test("SCD2 history: runs collapse, changes open intervals, valid_to " +
+    "chains exactly, ties break on the tie column, latest stays open") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      // user 1: A A B A — the repeat collapses, the return to A re-opens
+      (1L, ts(1), "A", 10L), (1L, ts(2), "A", 11L),
+      (1L, ts(3), "B", 12L), (1L, ts(4), "A", 13L),
+      // user 2: same-timestamp tie — event_id order decides X then Y
+      (2L, ts(5), "X", 21L), (2L, ts(5), "Y", 22L),
+      // user 3: single event → one open interval
+      (3L, ts(9), "Z", 30L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.operators.Snapshots
+      .scd2History(events, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+        r.getBoolean(4)))
+      .sortBy(r => (r._1, r._3.map(_.getTime),
+        r._4.map(_.getTime).getOrElse(Long.MaxValue)))
+    assert(out.toSeq == Seq(
+      (1L, "A", Some(ts(1)), Some(ts(3)), false),
+      (1L, "B", Some(ts(3)), Some(ts(4)), false),
+      (1L, "A", Some(ts(4)), None, true),
+      (2L, "X", Some(ts(5)), Some(ts(5)), false),
+      (2L, "Y", Some(ts(5)), None, true),
+      (3L, "Z", Some(ts(9)), None, true)),
+      s"got:\n  ${out.mkString("\n  ")}")
+    // interval-chain law: within a key, every valid_to equals the next
+    // valid_from, and exactly one interval per key is open
+    out.groupBy(_._1).foreach { case (k, ivs) =>
+      assert(ivs.count(_._4.isEmpty) == 1, s"key $k open-interval count")
+      ivs.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3, s"key $k chain broke")
+        case _ =>
+      }
+    }
+  }
 }
