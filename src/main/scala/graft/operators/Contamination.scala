@@ -75,7 +75,11 @@ object Contamination {
         explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n)))
           .as("sh"))
       .select(col(as), md5(col("sh")).as("fp"))
-    val ev = fps(evalDocs, "eval_id")
+    // persist the eval fps: the bloom build (eager, below) and the exact
+    // confirm join both consume them — without the persist the eval
+    // tokenize→shingle→md5 pipeline runs twice (no cross-job reuse)
+    val ev = CacheRegistry.register(fps(evalDocs, "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // ONE driver-side scalar: the serialized filter (might_contain requires
     // a constant/scalar-subquery bloom). Same bounded-collect contract as
     // the watermark scalars — numBits/8 bytes however large the corpus —

@@ -1290,7 +1290,12 @@ object Pipeline {
     //    side's gram stream BEFORE the df-cap aggregation and the join
     //    exchange. No false negatives + exact confirm downstream ⇒ the
     //    oracle is x_decontaminate's, verbatim — the equivalence IS the
-    //    contract (law in ContaminationSpec, plan shape in PlanAuditSpec) ──
+    //    contract (law in DedupSpec, plan shape in PlanAuditSpec).
+    //    Measured honestly: at sf0.1 the gate COSTS ~1s over the ungated
+    //    twin (the bloom build is an extra job; both sides are <100k grams
+    //    so there is no shuffle to save) — the gate pays when the train
+    //    side's exchange volume dominates, i.e. at the TB scale the
+    //    operator exists for, and the equivalence law makes the swap free ──
     "x_bloom_decontaminate" -> Q(
       (s, d) => {
         val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
