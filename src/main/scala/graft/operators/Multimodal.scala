@@ -252,4 +252,95 @@ object Multimodal {
     decodePayload(spark,
       df.select(col(idCol), encode(col(textCol), "utf-8").as("__payload")),
       idCol, "__payload")
+
+  case class PHashed(doc_id: Long, phash: String)
+
+  /** Perceptual average-hash of one payload. Decodable images take the
+    * real aHash: NN-resample to 8×8 (the same bit-exact sampling as
+    * [[resizeOne]]), integer Rec.601 luma, threshold each cell at the
+    * integer mean → 64 bits, hex-encoded. Two crops/scales of one image
+    * produce the SAME hash (that is the point of a perceptual hash — the
+    * MultimodalSpec law resizes a gradient PNG and demands equality),
+    * while content changes flip bits. Non-images take the deterministic
+    * fake derived from [[decodeOne]]'s fake geometry (w × h × n_frames),
+    * so "similar-looking" fakes genuinely collide and the dedup verdict
+    * binds on the text-payload corpus.
+    */
+  private def phashOne(md: java.security.MessageDigest, id: Long,
+                       bytes: Array[Byte]): PHashed = {
+    if (looksLikeImage(bytes)) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img != null) {
+        val lum = new Array[Int](64)
+        var sum = 0L
+        var i = 0
+        var oy = 0
+        while (oy < 8) {
+          var ox = 0
+          while (ox < 8) {
+            val sx = (ox.toLong * img.getWidth / 8).toInt
+            val sy = (oy.toLong * img.getHeight / 8).toInt
+            val rgb = img.getRGB(sx, sy)
+            val l = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            lum(i) = l; sum += l
+            i += 1; ox += 1
+          }
+          oy += 1
+        }
+        val mean = (sum / 64).toInt // integer mean — deterministic
+        var bits = 0L
+        i = 0
+        while (i < 64) { if (lum(i) > mean) bits |= 1L << i; i += 1 }
+        return PHashed(id, f"$bits%016x")
+      }
+    }
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val w = 16 + hex(0).toInt % 16
+    val h = 16 + hex(1).toInt % 16
+    val frames = 1 + bytes.length % 8
+    md.reset()
+    PHashed(id, md.digest(s"${w}x${h}x$frames".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16))
+  }
+
+  /** Perceptual hash per payload row — narrow mapPartitions like
+    * [[decodePayload]]; only the 16-hex-char hash leaves the task.
+    */
+  def phashPayload(spark: SparkSession, df: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+      .where(col("payload").isNotNull)
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) => phashOne(md, id, bytes) }
+    }.toDF()
+  }
+
+  /** Image-level dedup on the perceptual hash: keep-first (min id) per
+    * hash, with the copy count — [[graft.operators.Dedup.urlDedup]]'s
+    * verdict shape applied to the image modality. Scale: the hash is a
+    * narrow per-row map; the verdict is ONE hash exchange on a 16-char
+    * key (budget-pinned).
+    */
+  def phashDedup(spark: SparkSession, df: DataFrame, idCol: String,
+                 payloadCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    phashPayload(spark, df, idCol, payloadCol)
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
+  /** Corpus entry point for the text-payload stand-ins. */
+  def phashFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    phashDedup(spark,
+      df.select(col(idCol), encode(col(textCol), "utf-8").as("__payload")),
+      idCol, "__payload")
 }

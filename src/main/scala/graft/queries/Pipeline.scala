@@ -3027,6 +3027,26 @@ object Pipeline {
         |  CAST(list_sum([ascii(c) FOR c IN regexp_extract_all(hx, '.')]) AS DOUBLE) / 32 AS out_mean
         |FROM h""".stripMargin)),
 
+    // ── Multimodal: perceptual-hash image dedup — the third stage of the
+    //    image pipeline (decode → resize → PHASH-dedup): real 8×8 aHash
+    //    for decodable images (scale-invariance law in MultimodalSpec),
+    //    fake-geometry hash for the corpus stand-ins so collisions — and
+    //    therefore the keep/n_copies verdict — genuinely bind at 500 docs
+    //    over 2048 fake-geometry combos. ONE exchange on the 16-char hash ──
+    "x_multimodal_phash" -> Q(
+      (s, d) => Multimodal.phashFeatures(s, t(s, d, "documents"),
+        "doc_id", "text"),
+      Some("""WITH ph AS (SELECT doc_id, md5(text) AS hx,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |pp AS (SELECT doc_id, substr(md5(
+        |    CAST(16 + ascii(substr(hx, 1, 1)) % 16 AS VARCHAR) || 'x' ||
+        |    CAST(16 + ascii(substr(hx, 2, 1)) % 16 AS VARCHAR) || 'x' ||
+        |    CAST(1 + nb % 8 AS VARCHAR)), 1, 16) AS phash FROM ph)
+        |SELECT doc_id, phash,
+        |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_copies,
+        |  doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
+        |FROM pp""".stripMargin)),
+
     // ── Salted equi-join: the generic skew mitigation — the hot side's key
     //    gains an md5 salt (8 shards), the dim side is replicated once per
     //    salt, and the join key becomes (key, salt) so one hot user spreads

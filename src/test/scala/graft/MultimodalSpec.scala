@@ -135,4 +135,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out((1L, 3L)) == (6L, 7 + 8 + 9 + 10, 10L))
     assert(!out.keys.exists(_._1 == 2L), "payload shorter than one frame")
   }
+
+  private def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+    // left half dark, right half bright — survives any NN resample with
+    // the same 8×8 bit pattern, which is the perceptual-hash point
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bright = (x * 2 >= w) != invert
+      img.setRGB(x, y, if (bright) 0xF0F0F0 else 0x101010)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hash: scaled copies of one image collide, different " +
+    "content does not, and the dedup verdict keeps the min id per hash") {
+    val df = Seq(
+      (1L, gradientPng(64, 64, invert = false)),
+      (2L, gradientPng(16, 32, invert = false)), // same picture, resized
+      (3L, gradientPng(64, 64, invert = true)),  // mirrored content
+      (4L, "plain text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.phashDedup(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 == out(2L)._1,
+      "a resize of the same image must produce the SAME perceptual hash")
+    assert(out(1L)._1 != out(3L)._1, "inverted content must differ")
+    assert(out(1L)._2 == 2L && out(1L)._3 && !out(2L)._3,
+      "the scaled pair is one cluster keeping the min id")
+    assert(out(3L)._2 == 1L && out(3L)._3)
+    // the fake path matches the documented derivation
+    val bytes = "plain text payload".getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${16 + hex(0).toInt % 16}x${16 + hex(1).toInt % 16}x${1 + bytes.length % 8}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(out(4L)._1 == expect, "fake phash derivation is the contract")
+  }
 }

@@ -222,6 +222,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // domain cap: canonicalization + host extraction are per-row; ONE
       // hash exchange on the host string for the rank window
       "x_domain_cap" -> 1,
+      // phash dedup: the hash is a narrow mapPartitions; ONE exchange on
+      // the 16-char hash (both window verdicts ride it)
+      "x_multimodal_phash" -> 1,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
