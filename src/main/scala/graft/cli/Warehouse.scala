@@ -263,9 +263,18 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     * checkpoint replacing the reference's high-watermark bookkeeping (file
     * progress survives restarts; a re-run after no new files syncs 0
     * rows). AvailableNow drains-and-stops, so the command composes with
-    * any scheduler; a continuous deployment strips the trigger. Covers the
-    * append-only file-landing shape — keyed upsert streams go through
-    * `sync`'s merge strategies.
+    * any scheduler; a continuous deployment strips the trigger.
+    *
+    * The landing mode follows the table's configured strategy:
+    *  - `primary_key` + `last_modified` → each micro-batch MERGES into
+    *    the warehouse table (last-writer by the lm column, the same
+    *    `Merge.merge` the batch sync uses) with an atomic staged swap.
+    *    Merge is idempotent, so a crash-replayed batch lands unchanged —
+    *    the exactly-once story needs no batch log here.
+    *  - `primary_key` only → pk anti-join append (already-landed keys
+    *    drop, so replay is idempotent the same way).
+    *  - unconfigured / reload-only → raw file landing under per-batch
+    *    prefixes (the original append shape; no row ever rewrites).
     */
   def watch(name: String): Long = {
     val src = s"${cfg.sourceDir}/$name.parquet"
@@ -273,8 +282,43 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
       s"watch needs a directory source (a landing zone): $src")
-    graft.streaming.StreamingSync.incrementalFileSync(spark, src,
-      warehousePath(name), s"${cfg.dataDir}/${name}_watch_ckpt")
+    val ckpt = s"${cfg.dataDir}/${name}_watch_ckpt"
+    // The merge/append land functions reference the micro-batch on BOTH
+    // sides of their plan (anti-join + union), which double-counts the
+    // file source's numInputRows — so these paths count drained rows
+    // themselves (one cached count per batch; the write reuses the cache)
+    // instead of trusting the listener total.
+    def landVia(land: DataFrame => DataFrame): Long = {
+      val drained = new java.util.concurrent.atomic.AtomicLong(0)
+      graft.streaming.StreamingSync.incrementalFileSyncVia(spark, src, ckpt) {
+        (batch, _) =>
+          val b = batch.persist()
+          try {
+            drained.addAndGet(b.count())
+            writeAtomic(land(b), warehousePath(name))
+          } finally { b.unpersist(); () }
+      }
+      drained.get
+    }
+    strategyFor(name) match {
+      case SyncStrategy.Upsert(pks, lm) => landVia { batch =>
+        warehouseTable(name) match {
+          case Some(tgt) => graft.sync.Merge.merge(tgt, batch, pks, lm)
+          case None => graft.sync.Merge.merge(
+            batch.limit(0), batch, pks, lm) // bootstrap: in-batch dedup only
+        }
+      }
+      case SyncStrategy.AppendOnly(pks) => landVia { batch =>
+        warehouseTable(name) match {
+          case Some(tgt) =>
+            tgt.unionByName(batch.join(tgt, pks, "left_anti"))
+          case None => batch
+        }
+      }
+      case _ =>
+        graft.streaming.StreamingSync.incrementalFileSync(spark, src,
+          warehousePath(name), ckpt)
+    }
   }
 
   // ───────────────────────── DuckDB warehouse ─────────────────────────
@@ -320,11 +364,19 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
       s"watch needs a directory source (a landing zone): $src")
     val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
     duck.createTable(name, schema, pksFor(name))
+    // keyed tables land via `INSERT OR REPLACE` (the engine resolves on
+    // the table's PRIMARY KEY), mirroring the parquet watch's strategy
+    // routing; unkeyed tables COPY-append
+    val keyed = strategyFor(name) match {
+      case SyncStrategy.Upsert(_, _) | SyncStrategy.AppendOnly(_) =>
+        Some(schema)
+      case _ => None
+    }
     graft.streaming.StreamingSync.incrementalFileSyncVia(spark, src,
       s"${cfg.dataDir}/${name}_watch_duck_ckpt") { (batch, batchId) =>
       val chunks = s"${cfg.dataDir}/${name}_watch_duck_b$batchId"
       Tables.writeCsvChunks(batch, chunks)
-      duck.appendBatchIdempotent(name, batchId, chunks)
+      duck.appendBatchIdempotent(name, batchId, chunks, keyed)
       val cp = new Path(chunks)
       cp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cp, true)
     }

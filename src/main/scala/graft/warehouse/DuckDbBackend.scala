@@ -174,7 +174,11 @@ class DuckDbBackend(val dbPath: String) {
     * needs no cross-process race handling.)
     */
   def appendBatchIdempotent(table: String, batchId: Long,
-                            chunkDir: String): Boolean =
+                            chunkDir: String,
+                            /** Some(schema) → keyed landing: `INSERT OR
+                              * REPLACE` from schema-pinned read_csv (the
+                              * watch-merge mode); None → plain COPY append. */
+                            mergeSchema: Option[StructType] = None): Boolean =
     withConn { c =>
       c.setAutoCommit(false)
       val s = c.createStatement()
@@ -189,9 +193,23 @@ class DuckDbBackend(val dbPath: String) {
         else {
           s.execute("INSERT INTO _graft_watch_log VALUES " +
             s"('${ident(table)}', $batchId)")
-          chunkFiles(chunkDir).foreach { f =>
-            s.execute(
-              s"COPY ${ident(table)} FROM '${f.getAbsolutePath}' (HEADER)")
+          mergeSchema match {
+            case None =>
+              chunkFiles(chunkDir).foreach { f =>
+                s.execute(
+                  s"COPY ${ident(table)} FROM '${f.getAbsolutePath}' (HEADER)")
+              }
+            case Some(schema) =>
+              val colSpec = schema.fields.map(f =>
+                s"'${WarehouseDdl.DuckDb.quoteName(f.name)}': " +
+                  s"'${WarehouseDdl.DuckDb.colType(WarehouseDdl.pgName(f.dataType))}'")
+                .mkString("{", ", ", "}")
+              chunkFiles(chunkDir).foreach { f =>
+                s.execute(
+                  s"INSERT OR REPLACE INTO ${ident(table)} SELECT * FROM " +
+                    s"read_csv('${f.getAbsolutePath}', header=true, " +
+                    s"columns=$colSpec)")
+              }
           }
           c.commit(); true
         }

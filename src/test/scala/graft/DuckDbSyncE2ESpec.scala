@@ -203,6 +203,39 @@ class DuckDbSyncE2ESpec extends AnyFunSuite {
     assert(w.syncDuck("dkeys", d) == "noop", "re-sync finds nothing new")
   }
 
+  test("d9 keyed watch --backend duckdb lands via INSERT OR REPLACE: an " +
+       "updated key replaces in place in the live table") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val landing = new java.io.File(s"$sourceDir/dkfeed.parquet")
+    assert(landing.mkdirs() || landing.isDirectory)
+    def land(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val df = rows.map { case (id, pl, u) => (id, pl, ts(u)) }
+        .toDF("id", "payload", "updated_at")
+      val stage = TestSpark.tmpDir(s"dkwatch_$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, s"$name.parquet").toPath)
+    }
+    val w = new Warehouse(spark, cfg().copy(tables =
+      scala.collection.immutable.ListMap(
+        "dkfeed" -> TableOpts(primaryKey = Some("id"),
+          lastModified = Some("updated_at")))))
+    val d = duck()
+    land("b1", Seq((1L, "v1", "2024-01-01 00:00:00"),
+      (2L, "w1", "2024-01-01 00:00:00")))
+    assert(w.watchDuck("dkfeed", d) == 2L)
+    land("b2", Seq((1L, "v2", "2024-02-01 00:00:00"),
+      (3L, "x1", "2024-02-01 00:00:00")))
+    assert(w.watchDuck("dkfeed", d) == 2L)
+    assert(d.count("dkfeed") == 3L, "PK conflict replaced, not duplicated")
+    val cells = d.selectAll("dkfeed", "id")
+      .map(r => r.head.asInstanceOf[java.lang.Number].longValue ->
+        r(1).toString).toMap
+    assert(cells == Map(1L -> "v2", 2L -> "w1", 3L -> "x1"), s"got $cells")
+  }
+
   test("d7 watch --backend duckdb: two invocations over a growing landing " +
        "zone yield exactly-once counts in the live table") {
     assume(driverPresent, "DuckDB JDBC driver not on test classpath")

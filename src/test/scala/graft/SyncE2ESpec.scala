@@ -389,6 +389,42 @@ class SyncE2ESpec extends AnyFunSuite {
       "healthy table still synced")
   }
 
+  test("t18 watch on a keyed table MERGES each drained batch: updates " +
+       "replace in place, replay is idempotent, unkeyed landing unchanged") {
+    val landing = new java.io.File(s"$sourceDir/kfeed.parquet")
+    assert(landing.mkdirs() || landing.isDirectory)
+    def land(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val df = rows.toDF("id", "payload", "updated_raw")
+        .select(col("id"), col("payload"),
+          col("updated_raw").cast("timestamp").as("updated_at"))
+      val stage = TestSpark.tmpDir(s"kwatch_$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, s"$name.parquet").toPath)
+    }
+    val w = new Warehouse(spark, cfg().copy(tables =
+      scala.collection.immutable.ListMap(
+        "kfeed" -> TableOpts(primaryKey = Some("id"),
+          lastModified = Some("updated_at")))))
+    land("b1", Seq((1L, "v1", "2024-01-01 00:00:00"),
+      (2L, "w1", "2024-01-01 00:00:00")))
+    assert(w.watch("kfeed") == 2L)
+    // update row 1 (newer lm), add row 3
+    land("b2", Seq((1L, "v2", "2024-02-01 00:00:00"),
+      (3L, "x1", "2024-02-01 00:00:00")))
+    assert(w.watch("kfeed") == 2L, "second drain reads only the new file")
+    val sink = spark.read.parquet(s"$warehouseDir/kfeed.parquet")
+    assert(sink.count() == 3L, "merge, not append: 3 keys, not 4 rows")
+    val byId = sink.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == Map(1L -> "v2", 2L -> "w1", 3L -> "x1"),
+      s"updated cell replaced in place: $byId")
+    assert(w.watch("kfeed") == 0L, "no news → no rows, table unchanged")
+    assert(spark.read.parquet(s"$warehouseDir/kfeed.parquet").count() == 3L)
+  }
+
   test("t17 scheduled reload: a day-matched sync reroutes to full reload; " +
        "a non-matched day stays incremental (README.md:211-215 'shoppers')") {
     setupSources()
