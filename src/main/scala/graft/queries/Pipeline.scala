@@ -87,6 +87,25 @@ object Pipeline {
     try body finally prev.foreach(s.conf.set(knob, _))
   }
 
+  /** DuckDB twin of the SCD2 run construction (Snapshots.scd2History):
+    * change detection → run numbering → per-run interval collapse over
+    * the events table. Shared by the batch query and its streaming twin
+    * (which keeps only the CLOSED intervals) so the two oracles can
+    * never diverge. CTEs: sc_e/sc_c/sc_r/sc_iv.
+    */
+  private[graft] val scd2CtesSql: String =
+    """sc_e AS (SELECT user_id AS key, ts, event_type AS value,
+      |    event_id AS tie FROM events),
+      |sc_c AS (SELECT key, ts, value, tie,
+      |    CASE WHEN lag(value) OVER w IS NULL
+      |      OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+      |  FROM sc_e WINDOW w AS (PARTITION BY key ORDER BY ts, tie)),
+      |sc_r AS (SELECT key, value, ts,
+      |    sum(chg) OVER (PARTITION BY key ORDER BY ts, tie
+      |      ROWS UNBOUNDED PRECEDING) AS run FROM sc_c),
+      |sc_iv AS (SELECT key, run, min(value) AS value,
+      |    min(ts) AS valid_from FROM sc_r GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB twin of the decontamination eval/train split + 8-gram
     * fingerprint + df-cap machinery (Contamination.ngramOverlapPairs and
     * its bloom-gated equivalent share it verbatim — the Bloom gate is
@@ -3394,23 +3413,33 @@ object Pipeline {
           unix_micros(col("valid_from")).as("valid_from_us"),
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("is_current")),
-      Some("""WITH sc_e AS (SELECT user_id AS key, ts, event_type AS value,
-        |    event_id AS tie FROM events),
-        |sc_c AS (SELECT key, ts, value, tie,
-        |    CASE WHEN lag(value) OVER w IS NULL
-        |      OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
-        |  FROM sc_e WINDOW w AS (PARTITION BY key ORDER BY ts, tie)),
-        |sc_r AS (SELECT key, value, ts,
-        |    sum(chg) OVER (PARTITION BY key ORDER BY ts, tie
-        |      ROWS UNBOUNDED PRECEDING) AS run FROM sc_c),
-        |sc_iv AS (SELECT key, run, min(value) AS value,
-        |    min(ts) AS valid_from FROM sc_r GROUP BY 1, 2)
+      Some(s"""WITH $scd2CtesSql
         |SELECT key, value, epoch_us(valid_from) AS valid_from_us,
         |  epoch_us(lead(valid_from) OVER (PARTITION BY key ORDER BY run))
         |    AS valid_to_us,
         |  lead(valid_from) OVER (PARTITION BY key ORDER BY run) IS NULL
         |    AS is_current
         |FROM sc_iv""".stripMargin)),
+
+    // ── Structured Streaming: online SCD2 maintenance — the open
+    //    interval per key lives in state; a value change EMITS the
+    //    closed interval it ends, so append-mode output is exactly the
+    //    batch query's closed-interval set (the open tail is state, not
+    //    output). ONE exchange feeds the state store ─────────────────────
+    "stream_scd2" -> Q(
+      (s, d) => singleDrain(s)(
+        graft.streaming.StreamingSync.streamingScd2(s, d))
+        .select(col("key"), col("value"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us")),
+      Some(s"""WITH $scd2CtesSql,
+        |sc_cl AS (SELECT key, value,
+        |    epoch_us(valid_from) AS valid_from_us,
+        |    epoch_us(lead(valid_from) OVER (PARTITION BY key ORDER BY run))
+        |      AS valid_to_us
+        |  FROM sc_iv)
+        |SELECT key, value, valid_from_us, valid_to_us FROM sc_cl
+        |WHERE valid_to_us IS NOT NULL""".stripMargin)),
 
     // ── Entity resolution: blocked fuzzy self-join on part names. Candidate
     //    pairs come from two equi-join blocking passes (shared 3-char prefix

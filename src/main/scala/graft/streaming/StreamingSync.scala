@@ -884,6 +884,50 @@ object StreamingSync {
       .agg(max(col("hit")).as("is_neardup"))
   }
 
+  /** Streaming SCD type-2 maintenance — the online twin of the batch
+    * `x_scd2_history`: the open interval per key lives in state (ONE
+    * (value, valid_from) pair per key — bounded by key cardinality),
+    * and a value CHANGE emits the closed interval it ends. Append-mode
+    * output is exactly the closed-interval set; the open tail stays in
+    * state until the next change lands, which is the correct streaming
+    * reading of "is_current". Same-value events extend the open run and
+    * emit nothing — including across micro-batches (a run crossing a
+    * batch boundary must not close; pinned in StreamingSpec).
+    */
+  def streamingScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val base = freshBase(ss, "scd2")
+    val ev = tableStream(ss, sfDir, "events", base)
+      .select(col("user_id").cast("long").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_type").as("value"),
+        col("event_id").cast("long").as("tie"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+    val closed = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, java.sql.Timestamp),
+        (Long, String, java.sql.Timestamp, java.sql.Timestamp)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, java.sql.Timestamp, String, Long)],
+         state: GroupState[(String, java.sql.Timestamp)]) =>
+          var open = state.getOption
+          val out = Vector.newBuilder[
+            (Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+          it.toVector.sortBy(r => (r._2.getTime, r._4)).foreach {
+            case (_, ts, v, _) => open match {
+              case Some((ov, of)) if ov != v =>
+                out += ((key, ov, of, ts)); open = Some((v, ts))
+              case Some(_) => () // same value: the run continues silently
+              case None => open = Some((v, ts))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }.toDF("key", "value", "valid_from", "valid_to")
+    runAppendSink(ss, closed, base, "graft_stream_scd2")
+  }
+
   /** Streaming quality scoring — the DEPLOYED shape of
     * `x_quality_classifier`: the affinity model trains OFFLINE on the
     * static corpus (one batch pass — Gopher-seeded per-token ‰

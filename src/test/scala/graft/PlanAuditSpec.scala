@@ -360,6 +360,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // exchange groups by (band, bucket) into the ownership state (the
       // post-drain per-doc fold is a batch job outside this plan)
       "stream_neardup" -> 1,
+      // SCD2 maintenance: ONE exchange groups by key into the
+      // open-interval state
+      "stream_scd2" -> 1,
       // online quality scoring: the static vocab-model subtree (its own
       // offline exchanges) + the stream-static join + ONE stateful
       // per-doc agg exchange feeding the state store

@@ -726,6 +726,38 @@ class StreamingSpec extends AnyFunSuite {
       s"arrival-order ownership contract broke: $out")
   }
 
+  test("streaming SCD2: a same-value run crossing a micro-batch boundary " +
+    "does NOT close; a change in batch 2 closes the batch-1 interval") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("scd2mb")
+    val dir = new java.io.File(s"$sf/events.parquet"); dir.mkdirs()
+    def ev(rows: Seq[(Long, Long, String, Long)]) = rows
+      .map { case (eid, uid, tp, min) =>
+        (eid, java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"),
+          uid, tp, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val now = System.currentTimeMillis()
+    stageBatchFile(sf, dir, ev(Seq(
+      (1L, 7L, "view", 1L), (2L, 7L, "view", 2L),   // open run: view@:01
+      (3L, 8L, "click", 3L))), "b1", now - 240000)
+    stageBatchFile(sf, dir, ev(Seq(
+      (4L, 7L, "view", 5L),                          // run continues: no emit
+      (5L, 7L, "buy", 7L),                           // closes view@:01..:07
+      (6L, 8L, "click", 8L))), "b2", now - 120000)   // continues: no emit
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out = try graft.streaming.StreamingSync.streamingScd2(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString, r.getTimestamp(3).toString))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    assert(out.toSeq == Seq(
+      (7L, "view", "2024-01-01 00:01:00.0", "2024-01-01 00:07:00.0")),
+      s"only the changed run closes, with its batch-1 valid_from: " +
+        out.toSeq.toString)
+  }
+
   test("streaming URL seen-set: a canonical URL fetched in batch 1 does " +
     "not re-emit when a VARIANT of it lands in batch 2") {
     import spark.implicits._
