@@ -165,6 +165,29 @@ object Sketches {
     * single-pass aggregate; Spark scans the table once per column but reads
     * only that column thanks to parquet pruning.
     */
+  /** k-anonymity audit over a quasi-identifier combination — the privacy
+    * check run before releasing a dataset with user-adjacent attributes:
+    * every row whose quasi-identifier tuple is shared by fewer than `k`
+    * rows is re-identifiable by joining on those attributes. One report
+    * row per equivalence class: its size, whether it clears `k`, and the
+    * rows that would need suppression or generalization.
+    *
+    * Scale: ONE hash aggregation on the quasi-identifier tuple — the
+    * report is equivalence-class-sized (≤ the attribute domain product),
+    * never row-sized; the per-row suppress verdict is derivable by
+    * joining the report back (the class key is the join key the release
+    * pipeline already groups on).
+    */
+  def kAnonymity(df: DataFrame, quasiIdCols: Seq[String],
+                 k: Long = 5L): DataFrame = {
+    val keys = quasiIdCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("k_anonymous", col("group_n") >= k)
+      .withColumn("n_suppress",
+        when(col("group_n") >= k, 0L).otherwise(col("group_n")))
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
     cols.map { case (name, c) =>
       df.agg(

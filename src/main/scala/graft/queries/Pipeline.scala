@@ -2866,6 +2866,24 @@ object Pipeline {
         |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin)),
 
+    // ── Safety: k-anonymity audit before a data release — every
+    //    quasi-identifier class smaller than k is re-identifiable by
+    //    joining on those attributes. QIDs = (nation, segment,
+    //    acctbal-thousand band): both verdicts present at sf0.01 AND
+    //    sf0.1, so the threshold binds at verify scale. ONE hash agg on
+    //    the class key; report is class-sized, never row-sized ────────────
+    "x_k_anonymity" -> Q(
+      (s, d) => graft.operators.Sketches.kAnonymity(
+        t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L),
+      Some("""SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_band,
+        |  count(*) AS group_n, count(*) >= 5 AS k_anonymous,
+        |  CAST(CASE WHEN count(*) >= 5 THEN 0 ELSE count(*) END AS BIGINT)
+        |    AS n_suppress
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin)),
+
     // ── Quality filter report: per-document reject reasons + keep verdict
     //    (the audit artifact a curation run emits alongside the kept set;
     //    pure per-row expressions, zero shuffle). Thresholds are tuned so
