@@ -171,4 +171,41 @@ class TablesSpec extends AnyFunSuite {
         "instant is flavor-invariant under UTC session TZ")
     } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
   }
+
+  test("refreshPartitions rewrites ONLY changed partitions, adds new ones, " +
+    "deletes removed ones, and leaves untouched partition files alone") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("partrefresh") + "/t.parquet"
+    def rows(tag: String, parts: (String, Int)*): org.apache.spark.sql.DataFrame =
+      parts.flatMap { case (pt, n) =>
+        (1 to n).map(i => (pt, i.toLong, s"$tag-$pt-$i")) }
+      .toDF("day", "id", "payload")
+    val v1 = rows("v1", "d1" -> 3, "d2" -> 4, "d3" -> 2)
+    val first = Tables.refreshPartitions(spark, v1, dir, Seq("day"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first == Map("day=d1" -> "new", "day=d2" -> "new", "day=d3" -> "new"))
+    val d2Files = new java.io.File(s"$dir/day=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    // v2: d1 content changes, d2 untouched, d3 removed, d4 appears
+    val v2 = rows("v2", "d1" -> 3, "d4" -> 1)
+      .unionByName(rows("v1", "d2" -> 4))
+    val second = Tables.refreshPartitions(spark, v2, dir, Seq("day"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(second == Map("day=d1" -> "changed", "day=d2" -> "unchanged",
+      "day=d3" -> "removed", "day=d4" -> "new"), s"got $second")
+    val after = spark.read.parquet(dir)
+    assert(after.where(col("day") === "d1" &&
+      col("payload").startsWith("v2")).count() == 3, "d1 rewritten to v2")
+    assert(after.where(col("day") === "d2").count() == 4)
+    assert(!new java.io.File(s"$dir/day=d3").exists(), "removed dir deleted")
+    assert(after.where(col("day") === "d4").count() == 1)
+    val d2After = new java.io.File(s"$dir/day=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(d2After == d2Files,
+      "the unchanged partition's files must be byte-level untouched")
+    // idempotence: a second refresh with the same source is all-unchanged
+    val third = Tables.refreshPartitions(spark, v2, dir, Seq("day"))
+      .collect().map(r => r.getString(1)).toSet
+    assert(third == Set("unchanged"))
+  }
 }
