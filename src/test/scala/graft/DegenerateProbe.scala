@@ -34,7 +34,8 @@ class DegenerateProbe extends AnyFunSuite {
     "x_fingerprint", "x_normalize_text", "x_oov_rate", "x_rarity_score",
     "x_bigram_lm", "x_filter_funnel", "x_corpus_diff", "x_corpus_drift",
     "x_cross_source_leakage", "x_filter_fluency_band",
-    "x_pipeline_e2e", "x_multimodal_meta", "x_inverted_index",
+    "x_pipeline_e2e", "x_multimodal_meta", "x_multimodal_phash",
+    "x_bloom_decontaminate", "x_inverted_index",
     "x_search_tfidf",
     "x_incr_agg", "x_funnel_steps", "x_retention_cohort", "x_cdc_apply",
     "x_scd2_history", "x_negative_sample",

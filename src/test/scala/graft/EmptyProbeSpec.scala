@@ -36,7 +36,8 @@ class EmptyProbeSpec extends AnyFunSuite {
       "x_shard_manifest",
       "x_dedup_incremental", "x_filter_length_band", "x_cluster_balance",
       "x_dedup_simhash_pairs", "x_dedup_clusters", "x_dedup_semantic",
-      "x_dedup_keep_best", "x_decontaminate", "x_ann_topk", "x_ann_ivf",
+      "x_dedup_keep_best", "x_decontaminate", "x_bloom_decontaminate",
+      "x_multimodal_phash", "x_ann_topk", "x_ann_ivf",
       "x_ann_ivf_trained", "x_ann_kmeans", "x_ann_lsh", "x_ann_recall",
       "x_ann_pq", "x_ann_ivfpq",
       "x_bpe_pair_stats", "x_lang_id", "x_lang_id_ngram", "x_quality",
