@@ -188,6 +188,28 @@ object Sketches {
         when(col("group_n") >= k, 0L).otherwise(col("group_n")))
   }
 
+  /** Distinct l-diversity audit — the companion check k-anonymity can't
+    * express: a class may clear `k` members yet still leak the sensitive
+    * attribute if every member SHARES its value (homogeneity attack — an
+    * adversary who places a target in the class learns the attribute
+    * without re-identifying the row). One report row per equivalence
+    * class: size, number of distinct sensitive values, and whether it
+    * clears `l`. A release passes only when every class is BOTH
+    * k-anonymous and l-diverse.
+    *
+    * Scale: same ONE hash aggregation as [[kAnonymity]] — count-distinct
+    * of the sensitive column rides the existing exchange as a partial
+    * (map-side) distinct, and the report stays equivalence-class-sized.
+    */
+  def lDiversity(df: DataFrame, quasiIdCols: Seq[String],
+                 sensitiveCol: String, l: Long = 2L): DataFrame = {
+    val keys = quasiIdCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("l_diverse", col("l_distinct") >= l)
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
     cols.map { case (name, c) =>
       df.agg(

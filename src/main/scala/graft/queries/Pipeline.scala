@@ -2884,6 +2884,28 @@ object Pipeline {
         |    AS n_suppress
         |FROM customer GROUP BY 1, 2, 3""".stripMargin)),
 
+    // ── Safety: distinct l-diversity — the homogeneity-attack companion
+    //    k-anonymity misses: a class of >= k members whose sensitive
+    //    attribute (market segment) is UNIFORM still leaks it to anyone
+    //    who can place a target in the class. QIDs = (nation,
+    //    acctbal-hundred band): the finer band keeps class sizes small
+    //    enough that BOTH verdicts appear at sf0.01 and sf0.1 (a
+    //    thousand-band saturates l_diverse=true at sf0.1), so the l=3
+    //    threshold binds at verify scale. Same ONE-exchange shape class
+    //    as k-anonymity, plus the distinct's (QI, segment) pre-exchange ──
+    "x_l_diversity" -> Q(
+      (s, d) => graft.operators.Sketches.lDiversity(
+        t(s, d, "customer").select(col("c_nationkey"),
+          floor(col("c_acctbal") / 100).cast("long").as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 3L),
+      Some("""SELECT c_nationkey,
+        |  CAST(floor(c_acctbal/100) AS BIGINT) AS bal_band,
+        |  count(*) AS group_n,
+        |  count(DISTINCT c_mktsegment) AS l_distinct,
+        |  count(DISTINCT c_mktsegment) >= 3 AS l_diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin)),
+
     // ── Quality filter report: per-document reject reasons + keep verdict
     //    (the audit artifact a curation run emits alongside the kept set;
     //    pure per-row expressions, zero shuffle). Thresholds are tuned so

@@ -225,6 +225,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // phash dedup: the hash is a narrow mapPartitions; ONE exchange on
       // the 16-char hash (both window verdicts ride it)
       "x_multimodal_phash" -> 1,
+      // k-anonymity: ONE hash agg on the QI tuple; l-diversity adds the
+      // (QI, sensitive) pre-distinct exchange Spark plans for an exact
+      // countDistinct alongside another agg — 2 total, both class-keyed
+      "x_k_anonymity" -> 1, "x_l_diversity" -> 2,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,

@@ -193,4 +193,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(out("txt").getAs[Long]("n_null") == 1)
     assert(out("txt").getAs[Long]("n_distinct") == 2)
   }
+
+  test("homogeneity attack: k-anonymous class can still fail l-diversity") {
+    // Class A: 5 members, ALL segment "s1" — clears k=5, fails l=2
+    // (everyone in A leaks their segment). Class B: 5 members, 3 distinct
+    // segments — clears both. Class C: 2 members, 2 distinct — fails k,
+    // clears l. A release must demand BOTH audits green.
+    val rows = Seq.fill(5)(("A", "s1")) ++
+      Seq(("B", "s1"), ("B", "s1"), ("B", "s2"), ("B", "s2"), ("B", "s3")) ++
+      Seq(("C", "s1"), ("C", "s2"))
+    val df = rows.toDF("qi", "seg")
+    val k = Sketches.kAnonymity(df, Seq("qi"), k = 5L)
+      .collect().map(r => r.getAs[String]("qi") -> r.getAs[Boolean]("k_anonymous")).toMap
+    val l = Sketches.lDiversity(df, Seq("qi"), "seg", l = 2L)
+      .collect().map(r => r.getAs[String]("qi") ->
+        (r.getAs[Long]("l_distinct"), r.getAs[Boolean]("l_diverse"))).toMap
+    assert(k == Map("A" -> true, "B" -> true, "C" -> false))
+    assert(l == Map("A" -> (1L, false), "B" -> (3L, true), "C" -> (2L, true)))
+  }
 }
