@@ -2906,6 +2906,38 @@ object Pipeline {
         |  count(DISTINCT c_mktsegment) >= 3 AS l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ── Safety: deletion propagation (right-to-be-forgotten) — one
+    //    subject identity fans out across every derived table under a
+    //    different column name; the audit (rows before / deleted / after,
+    //    residual must re-report 0 post-scrub) matters as much as the
+    //    delete. Docket = custkey % 23 (66 subjects at sf0.01; binds on
+    //    all three tables: 66 customer + 708 order + 457 event rows).
+    //    Docket broadcasts — each table is ONE scan, no subject-key
+    //    shuffle; the reference's nearest surface scrubs one table via
+    //    IN-subquery delete (clickhouse_backend.py:264, §2 P5) ────────────
+    "x_forget_users" -> Q(
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        graft.operators.Privacy.forgetReport(
+          Seq(("customer", cust, "c_custkey"),
+            ("events", t(s, d, "events"), "user_id"),
+            ("orders", t(s, d, "orders"), "o_custkey")),
+          cust.where(col("c_custkey") % 23 === 0).select(col("c_custkey")))
+      },
+      Some("""WITH docket AS (
+        |  SELECT DISTINCT c_custkey AS subj FROM customer WHERE c_custkey % 23 = 0)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name, count(*) AS n_before,
+        |    count(d.subj) AS n_deleted, count(*) - count(d.subj) AS n_after
+        |  FROM customer c LEFT JOIN docket d ON c.c_custkey = d.subj
+        |  UNION ALL
+        |  SELECT 'events', count(*), count(d.subj), count(*) - count(d.subj)
+        |  FROM events e LEFT JOIN docket d ON e.user_id = d.subj
+        |  UNION ALL
+        |  SELECT 'orders', count(*), count(d.subj), count(*) - count(d.subj)
+        |  FROM orders o LEFT JOIN docket d ON o.o_custkey = d.subj
+        |) ORDER BY table_name""".stripMargin)),
+
     // ── Quality filter report: per-document reject reasons + keep verdict
     //    (the audit artifact a curation run emits alongside the kept set;
     //    pure per-row expressions, zero shuffle). Thresholds are tuned so

@@ -300,7 +300,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_hybrid_search" -> 20,
       // epoch shuffle: ONE 8-way shard hash exchange; each shard's rank
       // window rides it — a 2nd exchange means a global sort crept in
-      "x_shuffle_epoch" -> 1)
+      "x_shuffle_epoch" -> 1,
+      // forget-users audit: per table = the docket distinct (docket-sized),
+      // its BroadcastExchange, and the 1-row global agg — 3 x 3; every
+      // shuffle moves docket-sized or 1-row data, the corpus tables never
+      // shuffle (a 4th per-table exchange = the broadcast anti shape broke)
+      "x_forget_users" -> 10)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // drop caches registered by earlier queries' CONSTRUCTION (e.g. the
       // fluency band persists the LM-score subtree it shares with
