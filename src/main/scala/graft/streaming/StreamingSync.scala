@@ -899,10 +899,16 @@ object StreamingSync {
     import ss.implicits._
     val base = freshBase(ss, "scd2")
     val ev = tableStream(ss, sfDir, "events", base)
+      // a change event without a subject or a time cannot version any
+      // entity's history — drop it BEFORE the primitive-keyed encoder
+      // (a NULL there is a NOT_NULL_ASSERT_VIOLATION crash, caught by
+      // the null-heavy probe); the batch twin tolerates such rows only
+      // because its window keys are nullable columns
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("key"),
         col("ts").cast("timestamp").as("ts"),
         col("event_type").as("value"),
-        col("event_id").cast("long").as("tie"))
+        coalesce(col("event_id").cast("long"), lit(0L)).as("tie"))
       .as[(Long, java.sql.Timestamp, String, Long)]
     val closed = ev.groupByKey(_._1)
       .flatMapGroupsWithState[(String, java.sql.Timestamp),
@@ -1049,6 +1055,32 @@ object StreamingSync {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("c_mktsegment"))
     runAppendSink(ss, joined, base, "graft_stream_enrich")
+  }
+
+  /** Ingest-time right-to-be-forgotten screen — the streaming face of
+    * [[graft.operators.Privacy]]: the events stream LEFT-ANTI-joined
+    * against a static deletion docket, so rows for forgotten subjects
+    * never land downstream (scrubbing after ingest is the expensive
+    * path; screening at ingest is free). Stream-static anti is
+    * STATELESS — no state store, no watermark: each micro-batch probes
+    * the docket and drops matches. The docket is broadcast by
+    * construction (a deletion docket, not a corpus), so the stream side
+    * never shuffles. Append mode: each surviving event emits exactly
+    * once, and the kept set is drain-partition-invariant (a per-row
+    * verdict — unlike the arrival-order cap twins).
+    */
+  def streamForgetScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "forget")
+    val ev = eventsStream(ss, sfDir, base)
+    val docket = graft.io.Tables.table(ss, sfDir, "customer")
+      .where(col("c_custkey") % 23 === 0)
+      .select(col("c_custkey"))
+    val kept = ev.join(broadcast(docket),
+        col("user_id") === col("c_custkey"), "left_anti")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    runAppendSink(ss, kept, base, "graft_stream_forget")
   }
 
   /** The reference's flagship — incremental table sync — in streaming form:

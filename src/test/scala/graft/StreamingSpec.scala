@@ -846,6 +846,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("ingest-time forget screen: the static docket drops forgotten " +
+    "subjects in EVERY micro-batch, and the kept set is drain-invariant") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("forgetmb")
+    Seq(23L, 46L, 5L, 7L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$sf/customer.parquet")
+    val dir = new java.io.File(s"$sf/events.parquet"); dir.mkdirs()
+    def ev(rows: Seq[(Long, Long)]) = rows
+      .map { case (eid, uid) =>
+        (eid, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          uid, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val now = System.currentTimeMillis()
+    // docket = custkey % 23 == 0 → {23, 46}; 5 and 7 survive
+    stageBatchFile(sf, dir, ev(Seq((1L, 23L), (2L, 5L))), "b1", now - 240000)
+    // batch 2 re-probes the docket: 23 drops again (stateless per-row
+    // verdict, not a batch-1-only filter), 46 drops, 7 survives
+    stageBatchFile(sf, dir, ev(Seq((3L, 46L), (4L, 7L), (5L, 23L))),
+      "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out = try graft.streaming.StreamingSync.streamForgetScreen(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    assert(out == Set((5L, 2L), (7L, 4L)),
+      s"kept set must be the batch anti-join regardless of drains: $out")
+  }
+
   test("stateful rollup NULL semantics match the batch aggregation: only " +
     "a null KEY drops the row") {
     import spark.implicits._
