@@ -52,4 +52,50 @@ object Privacy {
           (col("n_before") - col("n_deleted")).as("n_after"))
     }.reduce(_ unionByName _).orderBy("table_name")
   }
+
+  /** Inverse-CDF lookup table for the discrete Laplace (two-sided
+    * geometric) mechanism at ε=1, sensitivity 1 (Ghosh, Roughgarden &
+    * Sundararajan, STOC 2009 — the universally-optimal mechanism for
+    * count releases): P(K=k) = (1−α)/(1+α)·α^|k| with α = e^(−ε). 256
+    * equi-spaced quantiles u_i = (i+½)/256, each the smallest k with
+    * CDF(k) ≥ u_i. Built programmatically from closed-form CDFs (k<0:
+    * α^(−k)/(1+α); k≥0: 1−α^(k+1)/(1+α)) so the SAME literal list can be
+    * interpolated into a mirroring engine's SQL — noise is then a pure
+    * integer table lookup, bit-identical everywhere, with no reliance on
+    * cross-engine float `ln`/`exp` agreement at query time.
+    */
+  val dpNoiseTable: IndexedSeq[Long] = {
+    val alpha = math.exp(-1.0)
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+      else 1 - math.pow(alpha, k + 1) / (1 + alpha)
+    (0 until 256).map(i => (-64 to 64).find(cdf(_) >= (i + 0.5) / 256.0)
+      .get.toLong)
+  }
+
+  /** Differentially-private count release: per-group counts + seeded
+    * discrete-Laplace noise, the artifact a platform publishes when the
+    * exact histogram would itself leak (ε=1: any one subject's presence
+    * changes each released count's probability by at most e¹). The
+    * "sampling" is a deterministic per-key multiplicative hash
+    * (Knuth 2654435761 mod 2³²) into [[dpNoiseTable]] — seeded release,
+    * reproducible across engines and re-runs; the key folds through
+    * mod 2³¹ first so the product stays in BIGINT under ANSI. Released
+    * counts clamp at 0 (a negative count is a pure giveaway of noise).
+    * The true count deliberately does NOT appear in the output.
+    *
+    * Scale: ONE hash aggregation on the group key; the noise lookup is a
+    * per-row expression over the group-sized report. The 256-entry table
+    * rides the plan as a literal — no join, no broadcast.
+    */
+  def dpRelease(df: DataFrame, keyCol: String): DataFrame = {
+    val idx = (pmod(pmod(col(keyCol).cast("long"), lit(2147483648L)) *
+      lit(2654435761L), lit(4294967296L)) % 256 + 1).cast("int")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_true"))
+      .select(col(keyCol),
+        greatest(lit(0L), col("n_true") +
+          try_element_at(lit(dpNoiseTable.toArray), idx)).as("noisy_n"),
+        lit(1.0).as("epsilon"))
+  }
 }

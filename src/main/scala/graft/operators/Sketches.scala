@@ -210,6 +210,55 @@ object Sketches {
       .withColumn("l_diverse", col("l_distinct") >= l)
   }
 
+  /** t-closeness audit — the skewness-attack companion l-diversity can't
+    * express (Li, Li & Venkatasubramanian, ICDE 2007): a class may hold
+    * `l` distinct sensitive values yet still leak if its DISTRIBUTION
+    * over them diverges from the table's (an adversary's posterior jumps
+    * from the global prior to the class distribution). Verdict: the total
+    * variation distance between each class's sensitive-value distribution
+    * and the global one must stay ≤ t.
+    *
+    * Integer-exact so the verdict can hash-match any mirroring engine:
+    * with class-value counts n_cv, class size n_c, global value counts
+    * g_v and table size N,
+    *   TVD = [ Σ_{v∈class} |n_cv·N − g_v·n_c| + (N − Σ_{v∈class} g_v)·n_c ]
+    *         / (2·n_c·N)
+    * (the second term is the mass of values ABSENT from the class — TVD
+    * must count them, or a class concentrated on one rare value would
+    * score too close). The report carries the exact numerator and
+    * denominator; `t_close` compares cross-multiplied against t = tNum/tDen,
+    * so no floats anywhere. BIGINT products bound the audit frame at
+    * N ≲ 3×10⁹ rows — beyond that ANSI mode fails loudly (never silently
+    * wraps); swap the products to decimal(38,0) for a larger release.
+    *
+    * Scale: one hash aggregation on (QI, sensitive), one window + final
+    * aggregation on the QI tuple (the groupBy reuses the window's
+    * exchange), and a broadcast of the sensitive-domain-sized global
+    * distribution (its grand total rides a single-partition window over
+    * domain-count rows, never the corpus). The report stays
+    * equivalence-class-sized.
+    */
+  def tCloseness(df: DataFrame, quasiIdCols: Seq[String],
+                 sensitiveCol: String, tNum: Long = 1L,
+                 tDen: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = quasiIdCols.map(col)
+    val cv = df.groupBy(keys :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("n_cv"))
+    val gd = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("g_v"))
+      .withColumn("n_total", sum("g_v").over(Window.partitionBy()))
+    val w = Window.partitionBy(keys: _*)
+    cv.join(broadcast(gd), sensitiveCol)
+      .withColumn("group_n", sum("n_cv").over(w))
+      .withColumn("g_present", sum("g_v").over(w))
+      .groupBy(keys: _*)
+      .agg(max("group_n").as("group_n"),
+        (sum(abs(col("n_cv") * col("n_total") - col("g_v") * col("group_n"))) +
+          (max("n_total") - max("g_present")) * max("group_n")).as("tvd_num"),
+        (max("group_n") * max("n_total") * 2).as("denom"))
+      .withColumn("t_close", col("tvd_num") * tDen <= col("denom") * tNum)
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
     cols.map { case (name, c) =>
       df.agg(

@@ -37,6 +37,49 @@ class PrivacySpec extends AnyFunSuite {
     assert(Privacy.forgetRows(table, "uid", docket).count() == 3L)
   }
 
+  test("dpRelease: the noise table is a valid ε=1 discrete-Laplace " +
+    "inverse CDF and the release applies exactly its entries") {
+    // Table sanity: symmetric support, mode at 0 with probability mass
+    // (1−α)/(1+α) ≈ 0.462 → ~118/256 zeros, monotone non-decreasing
+    assert(Privacy.dpNoiseTable.size == 256)
+    assert(Privacy.dpNoiseTable.min >= -6 && Privacy.dpNoiseTable.max <= 6)
+    assert(Privacy.dpNoiseTable.count(_ == 0L) == 118)
+    assert(Privacy.dpNoiseTable.sliding(2).forall(p => p(0) <= p(1)),
+      "an inverse CDF is monotone in the quantile")
+    // Release law: noisy − true == the table entry the key's hash selects
+    def idx(key: Long): Int =
+      ((((key % 2147483648L) * 2654435761L) % 4294967296L) % 256).toInt
+    val keys = (0L until 40L)
+    val df = keys.flatMap(k => Seq.fill(10)(k)).toDF("k")
+    val out = Privacy.dpRelease(df, "k").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("noisy_n")).toMap
+    keys.foreach { k =>
+      val expected = math.max(0L, 10L + Privacy.dpNoiseTable(idx(k)))
+      assert(out(k) == expected, s"key $k: ${out(k)} != $expected")
+    }
+    // the mechanism must actually perturb something on this key range
+    assert(keys.exists(k => Privacy.dpNoiseTable(idx(k)) != 0L))
+    // determinism: a seeded release is reproducible run to run
+    val again = Privacy.dpRelease(df, "k").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("noisy_n")).toMap
+    assert(again == out)
+  }
+
+  test("dpRelease clamps negative releases to 0 and never emits the " +
+    "true count") {
+    // find a key whose table entry is negative; give it a tiny group
+    def idx(key: Long): Int =
+      ((((key % 2147483648L) * 2654435761L) % 4294967296L) % 256).toInt
+    val negKey = (0L until 256L)
+      .find(k => Privacy.dpNoiseTable(idx(k)) <= -2L).get
+    val df = Seq(negKey).toDF("k")  // true count 1, noise ≤ −2 → clamp
+    val row = Privacy.dpRelease(df, "k").head()
+    assert(row.getAs[Long]("noisy_n") == 0L,
+      "a negative noisy count is a pure noise giveaway — clamp to 0")
+    assert(!Privacy.dpRelease(df, "k").columns.contains("n_true"),
+      "the exact histogram must not ride along with its own DP release")
+  }
+
   test("multi-table report fans the same docket across differing key names") {
     val other = Seq((23L, 1.0), (5L, 2.0)).toDF("user_id", "v")
     val docket = Seq(23L).toDF("subject")

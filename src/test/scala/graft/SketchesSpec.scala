@@ -211,4 +211,55 @@ class SketchesSpec extends AnyFunSuite {
     assert(k == Map("A" -> true, "B" -> true, "C" -> false))
     assert(l == Map("A" -> (1L, false), "B" -> (3L, true), "C" -> (2L, true)))
   }
+
+  test("skewness attack: a k-anonymous AND l-diverse class can still fail " +
+    "t-closeness; a class mirroring the global distribution scores TVD 0") {
+    // Global: 12×s1, 6×s2, 6×s3 (N=24, mix ½:¼:¼). Class M (8 members,
+    // 4:2:2) mirrors the global mix exactly → TVD 0, t-close at any t.
+    // Class S (6 members, 1×s1, 4×s2, 1×s3): clears k=5 and l=3, but its
+    // distribution (1/6, 4/6, 1/6) vs global (½, ¼, ¼) has
+    // TVD = ½(|1/6−½| + |4/6−¼| + |1/6−¼|) = 10/24 ≈ 0.417 > 1/5 —
+    // the audit must reject it. Class T (the rest) fills the global mix.
+    val mirror = Seq.fill(4)(("M", "s1")) ++ Seq.fill(2)(("M", "s2")) ++
+      Seq.fill(2)(("M", "s3"))
+    val skewed = Seq.fill(1)(("S", "s1")) ++ Seq.fill(4)(("S", "s2")) ++
+      Seq.fill(1)(("S", "s3"))
+    val rest = Seq.fill(7)(("T", "s1")) ++ Seq.fill(0)(("T", "s2")) ++
+      Seq.fill(3)(("T", "s3"))
+    val df = (mirror ++ skewed ++ rest).toDF("qi", "seg")
+    // global = 12×s1, 6×s2, 6×s3; N = 24
+    val t = Sketches.tCloseness(df, Seq("qi"), "seg", tNum = 1L, tDen = 5L)
+      .collect().map(r => r.getAs[String]("qi") ->
+        ((r.getAs[Long]("tvd_num"), r.getAs[Long]("denom")),
+          r.getAs[Boolean]("t_close"))).toMap
+    // M mirrors exactly → numerator 0
+    assert(t("M") == ((0L, 2L * 8 * 24), true), s"mirror class: ${t("M")}")
+    // S: TVD = 10/24 → num/den must reduce to 10/24 and fail t=1/5
+    val ((sn, sd), sClose) = t("S")
+    assert(!sClose, s"skewed class must fail t-closeness: ${t("S")}")
+    assert(BigInt(sn) * 24 == BigInt(10) * sd,
+      s"S TVD must equal 10/24 exactly: $sn/$sd")
+    // S clears k=5 AND l=3 — the attack t-closeness uniquely catches
+    val kOk = Sketches.kAnonymity(df, Seq("qi"), k = 5L).collect()
+      .map(r => r.getAs[String]("qi") -> r.getAs[Boolean]("k_anonymous")).toMap
+    val lOk = Sketches.lDiversity(df, Seq("qi"), "seg", l = 3L).collect()
+      .map(r => r.getAs[String]("qi") -> r.getAs[Boolean]("l_diverse")).toMap
+    assert(kOk("S") && lOk("S"))
+  }
+
+  test("t-closeness counts sensitive values ABSENT from the class: a " +
+    "single-value class's TVD includes the missing global mass") {
+    // Global: 4×a, 4×b (N=8). Class U: 2×a only. p_c = (1, 0);
+    // p_g = (½, ½). TVD = ½(|1−½| + |0−½|) = ½ — the |0−½| term comes
+    // entirely from the absent-value correction.
+    val df = (Seq.fill(2)(("U", "a")) ++ Seq.fill(2)(("V", "a")) ++
+      Seq.fill(4)(("V", "b"))).toDF("qi", "seg")
+    val u = Sketches.tCloseness(df, Seq("qi"), "seg", 1L, 2L)
+      .where(col("qi") === "U").head()
+    // num/den = ½ exactly: num = |2·8 − 4·2| + (8−4)·2 = 8+8 = 16;
+    // den = 2·2·8 = 32
+    assert(u.getAs[Long]("tvd_num") == 16L)
+    assert(u.getAs[Long]("denom") == 32L)
+    assert(u.getAs[Boolean]("t_close"), "TVD ½ ≤ t=½ boundary is inclusive")
+  }
 }
