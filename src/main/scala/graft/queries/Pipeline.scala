@@ -2906,6 +2906,62 @@ object Pipeline {
         |  count(DISTINCT c_mktsegment) >= 3 AS l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ── Safety: t-closeness — the skewness-attack check l-diversity
+    //    misses: a class with l distinct segments whose DISTRIBUTION
+    //    diverges from the table's still moves an adversary's posterior.
+    //    Integer-exact TVD (numerator/denominator cross-multiplied
+    //    against t = 1/5); the thousand-band QI makes the verdict split
+    //    at sf0.01 (34/272 close) AND sf0.1 (266/275), so the threshold
+    //    binds at verify scale in both directions ───────────────────────
+    "x_t_closeness" -> Q(
+      (s, d) => graft.operators.Sketches.tCloseness(
+        t(s, d, "customer").select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", tNum = 1L, tDen = 5L),
+      Some("""WITH tc_cv AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS s, count(*) AS n_cv
+        |  FROM customer GROUP BY 1, 2, 3),
+        |tc_gd AS (
+        |  SELECT c_mktsegment AS s, count(*) AS g_v,
+        |    CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+        |  FROM customer GROUP BY 1),
+        |tc_j AS (
+        |  SELECT cv.c_nationkey, cv.bal_band, cv.n_cv, gd.g_v, gd.n_total,
+        |    sum(cv.n_cv) OVER (PARTITION BY cv.c_nationkey, cv.bal_band)
+        |      AS group_n,
+        |    sum(gd.g_v) OVER (PARTITION BY cv.c_nationkey, cv.bal_band)
+        |      AS g_present
+        |  FROM tc_cv cv JOIN tc_gd gd ON cv.s = gd.s)
+        |SELECT c_nationkey, bal_band,
+        |  CAST(max(group_n) AS BIGINT) AS group_n,
+        |  CAST(sum(abs(n_cv*n_total - g_v*group_n))
+        |    + (max(n_total) - max(g_present)) * max(group_n) AS BIGINT)
+        |    AS tvd_num,
+        |  CAST(2 * max(group_n) * max(n_total) AS BIGINT) AS denom,
+        |  CAST(sum(abs(n_cv*n_total - g_v*group_n))
+        |    + (max(n_total) - max(g_present)) * max(group_n) AS BIGINT) * 5
+        |    <= CAST(2 * max(group_n) * max(n_total) AS BIGINT) AS t_close
+        |FROM tc_j GROUP BY 1, 2""".stripMargin)),
+
+    // ── Safety: differentially-private count release — seeded discrete
+    //    Laplace (ε=1) per nation; the noise is an integer inverse-CDF
+    //    table lookup keyed by a multiplicative hash of the group key, so
+    //    the SAME 256-entry table (built in Privacy.dpNoiseTable and
+    //    interpolated verbatim into this SQL) makes the release
+    //    bit-reproducible on both engines. True counts never leave ──────
+    "x_dp_release" -> Q(
+      (s, d) => graft.operators.Privacy.dpRelease(
+        t(s, d, "customer").select(col("c_nationkey")), "c_nationkey"),
+      Some("SELECT c_nationkey,\n" +
+        "  greatest(0, count(*) + ([" +
+        graft.operators.Privacy.dpNoiseTable.mkString(",") + "])[\n" +
+        "    CAST((((c_nationkey % 2147483648) * 2654435761)\n" +
+        "      % 4294967296) % 256 AS INT) + 1]) AS noisy_n,\n" +
+        "  1.0 AS epsilon\n" +
+        "FROM customer GROUP BY 1")),
+
     // ── Safety: deletion propagation (right-to-be-forgotten) — one
     //    subject identity fans out across every derived table under a
     //    different column name; the audit (rows before / deleted / after,
@@ -3313,6 +3369,17 @@ object Pipeline {
       Some("""SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
         |  c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
+
+    // ── Structured Streaming: ingest-time forget screen — stream-static
+    //    LEFT ANTI against the same docket as x_forget_users; stateless
+    //    (no state store), docket broadcasts, kept set is per-row so the
+    //    oracle is drain-invariant (21st twin) ────────────────────────────
+    "stream_forget" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamForgetScreen(s, d),
+      Some("""SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us
+        |FROM events e WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_custkey % 23 = 0 AND c.c_custkey = e.user_id)""".stripMargin)),
 
     // ── Structured Streaming: exact dedup with engine state (append mode
     //    emits each distinct key exactly once) ───────────────────────────────

@@ -22,6 +22,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_corpus_hist", "stream_quality_gate", "stream_decontaminate",
       "stream_event_spikes", "stream_attribution", "stream_cell_occupancy",
       "stream_url_dedup", "stream_domain_cap", "stream_quality_score",
+      "stream_neardup", "stream_scd2", "stream_forget",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
@@ -229,6 +230,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // (QI, sensitive) pre-distinct exchange Spark plans for an exact
       // countDistinct alongside another agg — 2 total, both class-keyed
       "x_k_anonymity" -> 1, "x_l_diversity" -> 2,
+      // t-closeness: (QI, sensitive) agg + the QI window the final agg
+      // reuses + the sensitive-domain agg + its single-partition totals
+      // window + its BroadcastExchange — every one class/domain-sized,
+      // the corpus never shuffles raw rows
+      "x_t_closeness" -> 5,
+      // DP release: ONE group-key agg; the noise table is a literal
+      "x_dp_release" -> 1,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
@@ -372,6 +380,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // SCD2 maintenance: ONE exchange groups by key into the
       // open-interval state
       "stream_scd2" -> 1,
+      // forget screen: STATELESS stream-static broadcast anti-join —
+      // the stream side never shuffles and there is no state store; the
+      // only Exchange is the docket's BroadcastExchange, printed twice
+      // because a stateless micro-batch keeps AQE (initial + final plan)
+      "stream_forget" -> 2,
       // online quality scoring: the static vocab-model subtree (its own
       // offline exchanges) + the stream-static join + ONE stateful
       // per-doc agg exchange feeding the state store
