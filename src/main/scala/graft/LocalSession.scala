@@ -33,6 +33,10 @@ object LocalSession {
       // at a fraction of the CPU — the difference is the bulk of the
       // extract path's runtime on wide tables
       .config("spark.hadoop.zlib.compress.level", "BEST_SPEED")
+      // bucketed-table writes (Tables.writeBucketed) land in a throwaway
+      // dir, never ./spark-warehouse inside the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark

@@ -328,7 +328,13 @@ object Tables {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket column first: HashPartitioning and bucket
+    // assignment share the same murmur3 hash, so each write task holds
+    // exactly one bucket → ONE file per bucket — the layout Spark's
+    // reader requires to trust the per-bucket sort (multiple files per
+    // bucket force a re-Sort above every bucketed scan)
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)

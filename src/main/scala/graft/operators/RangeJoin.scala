@@ -51,4 +51,41 @@ object RangeJoin {
       .select(keyCols ++ Seq(col("l_id"), col("l_us"),
         col("r_id"), col("r_us")): _*)
   }
+
+  /** Interval-overlap join: pairs of (left, right) rows under the same key
+    * whose µs intervals [l_lo, l_hi] and [r_lo, r_hi] intersect
+    * (`l_lo <= r_hi && r_lo <= l_hi`) — the interval×interval
+    * generalization of [[timeRangePairs]] (whose right side is a point).
+    *
+    * Scale: BOTH sides explode to the width-`widthUs` buckets their
+    * interval touches and equi-join on (key, bucket) — hash-partitioned,
+    * codegen'd, never a per-key cross product. A pair that overlaps shares
+    * every bucket in the intersection, so it would surface once per common
+    * bucket; the emit-once rule keeps only the bucket containing
+    * `max(l_lo, r_lo)` (overlap ⇒ `max(lo) <= min(hi)` ⇒ both intervals
+    * touch that bucket, and exactly one bucket contains any instant) — a
+    * per-row predicate, NO dedup shuffle. Replication factor is
+    * 2 + span/width per row; size `widthUs` to the typical interval span.
+    * Inputs must carry (keys, idCol, loUs, hiUs); empty intervals
+    * (hi < lo) and NULL endpoints produce no pairs on either engine.
+    */
+  def intervalOverlapPairs(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], widthUs: Long): DataFrame = {
+    require(widthUs > 0, "bucket width must be positive")
+    val keyCols = keys.map(col)
+    // drop inverted (empty) intervals BEFORE bucketing: Spark's `sequence`
+    // DESCENDS when stop < start, which would fabricate buckets for an
+    // interval that contains no instants
+    val lB = left.where(col("l_hi") >= col("l_lo")).withColumn("bucket",
+      explode(sequence(expr(s"l_lo div ${widthUs}L"),
+        expr(s"l_hi div ${widthUs}L"))))
+    val rB = right.where(col("r_hi") >= col("r_lo")).withColumn("bucket",
+      explode(sequence(expr(s"r_lo div ${widthUs}L"),
+        expr(s"r_hi div ${widthUs}L"))))
+    lB.join(rB, keys :+ "bucket")
+      .where(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi") &&
+        col("bucket") === expr(s"greatest(l_lo, r_lo) div ${widthUs}L"))
+      .select(keyCols ++ Seq(col("l_id"), col("l_lo"), col("l_hi"),
+        col("r_id"), col("r_lo"), col("r_hi")): _*)
+  }
 }

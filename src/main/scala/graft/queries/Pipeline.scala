@@ -1425,6 +1425,43 @@ object Pipeline {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin)),
 
+    // ── Interval-overlap join: incident correlation — which purchases'
+    //    ±1h windows intersect an error's 12h outage window, per 50-way
+    //    user cohort. The interval×interval shape x_range_join (point in
+    //    window) can't express; both sides explode to 24h buckets, the
+    //    exact overlap predicate runs on equi-join survivors, and the
+    //    emit-once rule (keep only the bucket holding max(l_lo, r_lo))
+    //    makes multi-bucket pairs surface exactly once with NO dedup
+    //    shuffle. The oracle is the naive theta join — tractable at
+    //    oracle scale, the very shape the binning replaces at 100 TB ─────
+    "x_interval_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val err = ev.where(col("event_type") === "error")
+          .select((col("user_id") % 50).as("cohort"),
+            col("event_id").as("l_id"),
+            unix_micros(col("ts")).as("l_lo"),
+            (unix_micros(col("ts")) + 43200000000L).as("l_hi"))
+        val buy = ev.where(col("event_type") === "purchase")
+          .select((col("user_id") % 50).as("cohort"),
+            col("event_id").as("r_id"),
+            (unix_micros(col("ts")) - 3600000000L).as("r_lo"),
+            (unix_micros(col("ts")) + 3600000000L).as("r_hi"))
+        RangeJoin.intervalOverlapPairs(err, buy, Seq("cohort"),
+          widthUs = 86400000000L)
+      },
+      Some("""WITH ivl_err AS (SELECT user_id % 50 AS cohort,
+        |    event_id AS l_id, epoch_us(ts) AS l_lo,
+        |    epoch_us(ts) + 43200000000 AS l_hi
+        |  FROM events WHERE event_type = 'error'),
+        |ivl_buy AS (SELECT user_id % 50 AS cohort,
+        |    event_id AS r_id, epoch_us(ts) - 3600000000 AS r_lo,
+        |    epoch_us(ts) + 3600000000 AS r_hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.cohort, l_id, l_lo, l_hi, r_id, r_lo, r_hi
+        |FROM ivl_err e JOIN ivl_buy b ON e.cohort = b.cohort
+        |  AND l_lo <= r_hi AND r_lo <= l_hi""".stripMargin)),
+
     // ── Similarity: brute-force top-5 by exact integer dot product ─────────
     "x_ann_topk" -> Q(
       (s, d) => {

@@ -263,6 +263,35 @@ object Relational {
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderpriority = '1-URGENT')")),
 
+    // ── J7: bucketed co-located join — the 100 TB join strategy: both
+    //    sides pre-hash-partitioned + per-bucket-sorted on the key at
+    //    write time (Tables.writeBucketed), so the join plans with ZERO
+    //    Exchange on either side — pay the shuffle once at write time,
+    //    never again on any subsequent join/agg on that key (TablesSpec
+    //    pins the no-Exchange plan; the merge hint keeps the demo honest
+    //    where the dim side would broadcast). The only shuffle here is
+    //    the final segment rollup over the joined stream ─────────────────
+    "j7_bucket_join" -> Q(
+      (s, d) => {
+        val tag = math.abs(d.hashCode).toString
+        val ot = s"graft_bkt_orders_$tag"; val ct = s"graft_bkt_cust_$tag"
+        Tables.writeBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          ot, "o_custkey", 8)
+        Tables.writeBucketed(
+          t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+          ct, "c_custkey", 8)
+        s.table(ot).hint("merge")
+          .join(s.table(ct).hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_okey"))
+      },
+      Some("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_okey " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1")),
+
     // ── A1: whole-table count ──────────────────────────────────────────────
     "a1_count" -> Q(
       (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")),

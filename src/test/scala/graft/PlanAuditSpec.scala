@@ -237,6 +237,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "x_t_closeness" -> 5,
       // DP release: ONE group-key agg; the noise table is a literal
       "x_dp_release" -> 1,
+      // interval-overlap join: the two (key, bucket) side exchanges of
+      // the equi-join (AQE may collapse the small side to a broadcast);
+      // a 3rd exchange means a dedup shuffle crept in — the emit-once
+      // bucket rule must stay a per-row predicate
+      "x_interval_join" -> 2,
+      // bucketed co-located join: ZERO exchanges below the
+      // SortMergeJoin (both scans are Bucketed: true) — the only
+      // shuffle is the final segment rollup
+      "j7_bucket_join" -> 1,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
