@@ -2943,6 +2943,71 @@ object Pipeline {
         |  count(DISTINCT c_mktsegment) >= 3 AS l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ── Data-quality constraint audit: did the sync land consistent
+    //    data? One report row per (table, constraint) across four tables
+    //    — every constraint CLASS appears with both verdicts on this
+    //    corpus (122 negative balances fail the check, 75 zh docs fail
+    //    the language set, one-order-per-customer fails unique; the FK,
+    //    not-null, and doc_id-unique constraints pass), so neither
+    //    branch is vacuous. Row-local constraints share ONE scan per
+    //    table (stack-unpivoted conditional sums); fk broadcasts the
+    //    distinct parent domain — child tables never shuffle ────────────
+    "x_constraint_audit" -> Q(
+      (s, d) => {
+        import graft.operators.Constraints._
+        val cust = t(s, d, "customer")
+        audit(Seq(
+          ("customer", cust, Seq(
+            Check("acctbal_non_negative", col("c_acctbal") >= 0),
+            NotNull("c_mktsegment"))),
+          ("documents", t(s, d, "documents"), Seq(
+            InSet("lang", Seq("en", "de", "fr", "es")),
+            Unique(Seq("doc_id")), NotNull("text"))),
+          ("orders", t(s, d, "orders"), Seq(
+            Unique(Seq("o_custkey")),
+            ForeignKey("o_custkey", "customer", cust, "c_custkey"))),
+          ("events", t(s, d, "events"), Seq(
+            ForeignKey("user_id", "customer", cust, "c_custkey")))))
+      },
+      Some("""WITH ct_c AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE NOT coalesce(c_acctbal >= 0, FALSE)) AS v0,
+        |    count(*) FILTER (WHERE c_mktsegment IS NULL) AS v1
+        |  FROM customer),
+        |ct_d AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      lang IN ('en','de','fr','es'), FALSE)) AS v0,
+        |    count(*) - count(DISTINCT doc_id) AS vu,
+        |    count(*) FILTER (WHERE text IS NULL) AS v1
+        |  FROM documents),
+        |ct_o AS (SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT o_custkey) AS vu,
+        |    count(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey
+        |      NOT IN (SELECT c_custkey FROM customer
+        |              WHERE c_custkey IS NOT NULL)) AS vf
+        |  FROM orders),
+        |ct_e AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE user_id IS NOT NULL AND user_id
+        |      NOT IN (SELECT c_custkey FROM customer
+        |              WHERE c_custkey IS NOT NULL)) AS vf
+        |  FROM events),
+        |rep AS (
+        |  SELECT 'customer' AS table_name,
+        |    'check(acctbal_non_negative)' AS constraint_name,
+        |    n AS n_rows, v0 AS n_violations FROM ct_c
+        |  UNION ALL SELECT 'customer', 'not_null(c_mktsegment)', n, v1
+        |    FROM ct_c
+        |  UNION ALL SELECT 'documents', 'in_set(lang)', n, v0 FROM ct_d
+        |  UNION ALL SELECT 'documents', 'unique(doc_id)', n, vu FROM ct_d
+        |  UNION ALL SELECT 'documents', 'not_null(text)', n, v1 FROM ct_d
+        |  UNION ALL SELECT 'orders', 'unique(o_custkey)', n, vu FROM ct_o
+        |  UNION ALL SELECT 'orders', 'fk(o_custkey -> customer.c_custkey)',
+        |    n, vf FROM ct_o
+        |  UNION ALL SELECT 'events', 'fk(user_id -> customer.c_custkey)',
+        |    n, vf FROM ct_e)
+        |SELECT table_name, constraint_name, n_rows, n_violations,
+        |  n_violations = 0 AS ok
+        |FROM rep""".stripMargin)),
+
     // ── Safety: t-closeness — the skewness-attack check l-diversity
     //    misses: a class with l distinct segments whose DISTRIBUTION
     //    diverges from the table's still moves an adversary's posterior.

@@ -246,6 +246,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // SortMergeJoin (both scans are Bucketed: true) — the only
       // shuffle is the final segment rollup
       "j7_bucket_join" -> 1,
+      // constraint audit, 8 constraints over 4 tables: per-table 1-row
+      // global aggs (row-local constraints share ONE scan each), the
+      // two unique count-distincts' partial+final pairs, the two fk
+      // parent-domain distincts + their BroadcastExchanges, and the
+      // report's final sort — every exchange moves 1-row, key-domain,
+      // or report-sized data; the audited tables never shuffle raw rows
+      "x_constraint_audit" -> 12,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
