@@ -90,6 +90,31 @@ object Catalog {
       .toDF("column_name", "data_type", "nullable")
   }
 
+  /** Freshness report — which synced tables lag the freshest one and by
+    * how much, the staleness monitor a watch/sync deployment reads before
+    * trusting a cross-table join (a join between a fresh and a stale
+    * table silently produces partial results; the reference leaves this
+    * to the operator's eyeball). Lag is measured against the corpus-wide
+    * max event time, not wall clock, so the report is deterministic and
+    * re-checkable. Each table contributes ONE scalar aggregate row
+    * (max over its event-time column + count); the global max rides a
+    * single-partition window over the table-count-sized report.
+    */
+  def freshness(tables: Seq[(String, org.apache.spark.sql.DataFrame,
+                             String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    tables.map { case (name, df, tsCol) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          max(unix_micros(col(tsCol).cast("timestamp"))).as("max_ts_us"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("max_ts_us"))
+    }.reduce(_ unionByName _)
+      .withColumn("lag_us",
+        max("max_ts_us").over(Window.partitionBy()) - col("max_ts_us"))
+      .withColumn("fresh", col("lag_us") === 0L)
+      .orderBy("table_name")
+  }
+
   /** S8: drop a managed table / delete a path-addressed one. */
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$name`")

@@ -2943,6 +2943,54 @@ object Pipeline {
         |  count(DISTINCT c_mktsegment) >= 3 AS l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ── Freshness report: which synced tables lag the freshest one —
+    //    staleness measured against the corpus-wide max event time (not
+    //    wall clock), so the report is deterministic. One scalar agg per
+    //    table + a single-partition window over the 3-row report ─────────
+    "x_freshness" -> Q(
+      (s, d) => graft.catalog.Catalog.freshness(Seq(
+        ("events", t(s, d, "events"), "ts"),
+        ("lineitem", t(s, d, "lineitem"), "l_shipdate"),
+        ("orders", t(s, d, "orders"), "o_orderdate"))),
+      Some("""WITH fr AS (
+        |  SELECT 'events' AS table_name, count(*) AS n_rows,
+        |    max(epoch_us(ts)) AS max_ts_us FROM events
+        |  UNION ALL SELECT 'lineitem', count(*), max(epoch_us(l_shipdate))
+        |    FROM lineitem
+        |  UNION ALL SELECT 'orders', count(*), max(epoch_us(o_orderdate))
+        |    FROM orders)
+        |SELECT table_name, n_rows, max_ts_us,
+        |  CAST(max(max_ts_us) OVER () - max_ts_us AS BIGINT) AS lag_us,
+        |  (max(max_ts_us) OVER () - max_ts_us) = 0 AS fresh
+        |FROM fr""".stripMargin)),
+
+    // ── Incremental view maintenance: a per-customer order rollup
+    //    refreshed by aggregating ONLY the post-split delta and merging
+    //    the two partial states (counts/sums combine by SUM, max by MAX)
+    //    — never rescanning history. The oracle is the full recompute:
+    //    the IVM law says they must be identical. The base filter
+    //    null-coalesces so a dateless order lands in exactly one state ──
+    "x_ivm_agg" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("od"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val split = to_timestamp(lit("2001-01-01"))
+        def state(df: DataFrame) = df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"),
+            max(unix_micros(col("od"))).as("max_date_us"))
+        graft.operators.Ivm.mergeStates(
+          Seq(state(o.where(coalesce(col("od") < split, lit(true)))),
+            state(o.where(col("od") >= split))),
+          Seq("o_custkey"), Seq("n_orders", "sum_cents"),
+          Seq("max_date_us"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  max(epoch_us(o_orderdate)) AS max_date_us
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     // ── Data-quality constraint audit: did the sync land consistent
     //    data? One report row per (table, constraint) across four tables
     //    — every constraint CLASS appears with both verdicts on this

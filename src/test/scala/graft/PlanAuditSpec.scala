@@ -253,6 +253,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // report's final sort — every exchange moves 1-row, key-domain,
       // or report-sized data; the audited tables never shuffle raw rows
       "x_constraint_audit" -> 12,
+      // freshness: one 1-row global agg per monitored table; the global
+      // max rides the table-count-sized report without its own exchange
+      "x_freshness" -> 3,
+      // IVM merge: the two partial-state key exchanges (the merge's
+      // re-agg reuses their partitioning through the union)
+      "x_ivm_agg" -> 2,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
