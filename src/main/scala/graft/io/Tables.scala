@@ -320,6 +320,73 @@ object Tables {
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  // ── Versioned snapshots: poor-man's time travel without a lakehouse
+  //    format. Every publish stages a new immutable `v=N` directory and
+  //    RENAMES it into place — rename is the atomic primitive, so readers
+  //    either see a whole version or none, and a crashed publish leaves
+  //    only a stage dir the next publish overwrites. Version discovery is
+  //    a directory listing (no manifest); readers pin a version or take
+  //    the latest; vacuum keeps the newest `keep`. Storage is the cost —
+  //    the Delta/Iceberg tradeoff minus their manifest machinery. Single
+  //    writer per table, matching the reference's one-sync-process model
+  //    (pgwarehouse.py runs one sync per config) ─────────────────────────
+
+  private val VersionDir = "^v=(\\d+)$".r
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Published versions of a snapshot table root, ascending; empty if the
+    * root does not exist yet. */
+  def listVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VersionDir(n) => Some(n.toLong)
+          case _             => None
+        }
+    }.flatten.sorted
+  }
+
+  /** Publish the frame as the next version; returns its number. */
+  def publishVersion(spark: SparkSession, df: DataFrame,
+                     root: String): Long = {
+    val next = listVersions(spark, root).lastOption.getOrElse(0L) + 1
+    val stage = new Path(root, s".stage_v$next")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val dst = new Path(root, s"v=$next")
+    val fs = fsOf(spark, new Path(root))
+    require(fs.rename(stage, dst),
+      s"version v=$next already exists or rename failed — " +
+        "snapshot tables are single-writer")
+    next
+  }
+
+  /** Read a pinned version, or the latest when `version` is None. */
+  def readVersion(spark: SparkSession, root: String,
+                  version: Option[Long] = None): DataFrame = {
+    val vs = listVersions(spark, root)
+    require(vs.nonEmpty, s"no published versions under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    spark.read.parquet(new Path(root, s"v=$v").toString)
+  }
+
+  /** Drop all but the newest `keep` versions; returns the dropped ones.
+    * Time travel reaches only what vacuum has not reclaimed. */
+  def vacuumVersions(spark: SparkSession, root: String,
+                     keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val vs = listVersions(spark, root)
+    val drop = vs.dropRight(keep)
+    val fs = fsOf(spark, new Path(root))
+    drop.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+    drop
+  }
+
   /** Bucketed catalog table: pre-hash-partitioned and sorted on the join
     * key, so repeated equi-joins/aggregations on that key run with ZERO
     * shuffle on either side (the 100 TB co-location strategy: pay the

@@ -2943,6 +2943,43 @@ object Pipeline {
         |  count(DISTINCT c_mktsegment) >= 3 AS l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ── Versioned snapshots (time travel): publish orders as v1, apply a
+    //    simulated retention delete (drop pre-1996) as v2, then read BOTH
+    //    versions back FROM DISK and report them side by side — the
+    //    auditable "what did the table say before the delete" a keyed
+    //    upsert destroys. Publishes are atomic renames of immutable v=N
+    //    dirs (Tables.publishVersion); the history is recreated fresh
+    //    each run so the version numbers are deterministic ────────────────
+    "x_time_travel" -> Q(
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_tt_${math.abs(d.hashCode)}"
+        graft.catalog.Catalog.dropPath(s, root)
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("od"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        Tables.publishVersion(s, o, root)
+        Tables.publishVersion(s, o.where(
+          coalesce(col("od") >= to_timestamp(lit("1996-01-01")),
+            lit(true))), root)
+        def report(v: Long) = Tables.readVersion(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("cents"), lit(0L)).as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+        report(1L).unionByName(report(2L))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+        |    AS BIGINT)
+        |FROM orders
+        |WHERE coalesce(o_orderdate >= TIMESTAMP '1996-01-01',
+        |  TRUE)""".stripMargin)),
+
     // ── Freshness report: which synced tables lag the freshest one —
     //    staleness measured against the corpus-wide max event time (not
     //    wall clock), so the report is deterministic. One scalar agg per

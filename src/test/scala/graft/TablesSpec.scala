@@ -86,6 +86,33 @@ class TablesSpec extends AnyFunSuite {
     assert(System.nanoTime() - t0 < 20L * 1000 * 1000 * 1000)
   }
 
+  test("versioned snapshots: atomic publish, pinned + latest reads, " +
+    "vacuum reclaims oldest, crashed stage dirs are inert") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("vsnap") + "/tbl"
+    assert(Tables.listVersions(spark, root).isEmpty)
+    assert(Tables.publishVersion(spark,
+      Seq(1L, 2L, 3L).toDF("x"), root) == 1L)
+    assert(Tables.publishVersion(spark, Seq(1L, 2L).toDF("x"), root) == 2L)
+    // a crashed publish leaves only a stage dir — it must neither surface
+    // as a version nor block the next publish
+    new java.io.File(s"$root/.stage_v99").mkdirs()
+    assert(Tables.listVersions(spark, root) == Seq(1L, 2L))
+    assert(Tables.publishVersion(spark, Seq(9L).toDF("x"), root) == 3L)
+    // time travel: pinned reads see history, default sees latest
+    assert(Tables.readVersion(spark, root, Some(1L)).count() == 3L)
+    assert(Tables.readVersion(spark, root, Some(2L)).count() == 2L)
+    assert(Tables.readVersion(spark, root).count() == 1L)
+    // vacuum keeps the newest `keep`; reclaimed versions are unreachable
+    assert(Tables.vacuumVersions(spark, root, keep = 2) == Seq(1L))
+    assert(Tables.listVersions(spark, root) == Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      Tables.readVersion(spark, root, Some(1L))
+    }
+    // publishing after vacuum continues the numbering, never reuses
+    assert(Tables.publishVersion(spark, Seq(7L).toDF("x"), root) == 4L)
+  }
+
   test("bucketed tables join with zero shuffle on either side") {
     val left = (1 to 200).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("id", "rv")
