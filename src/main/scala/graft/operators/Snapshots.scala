@@ -41,6 +41,38 @@ object Snapshots {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Row-level change-data-feed between two keyed snapshots: one record
+    * per CHANGED key with op ∈ insert | delete | update and the compared
+    * value before/after — the export a downstream consumer replays to
+    * stay in sync (what lakehouse formats call a change data feed,
+    * derived here from any two immutable versions of
+    * [[graft.io.Tables.publishVersion]]'s store). Update detection is
+    * null-safe (`<=>`), so null→value and value→null are updates, not
+    * misses. Unchanged keys are dropped BEFORE the output: the feed is
+    * change-sized, never table-sized.
+    *
+    * Scale: ONE full-outer hash join on the key — both sides shuffle
+    * once on the key they are already keyed by; for partitioned tables
+    * prefer fingerprint-gated partition diff
+    * ([[graft.io.Tables.refreshPartitions]]-style) to skip unchanged
+    * partitions before this row-level pass.
+    */
+  def cdcDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+              valueCol: String): DataFrame = {
+    val o = oldDf.select(keys.map(col) :+ col(valueCol).as("before_v") :+
+      lit(true).as("in_o"): _*)
+    val n = newDf.select(keys.map(col) :+ col(valueCol).as("after_v") :+
+      lit(true).as("in_n"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("in_o").isNull, "insert")
+          .when(col("in_n").isNull, "delete")
+          .when(!(col("before_v") <=> col("after_v")), "update"))
+      .where(col("op").isNotNull)
+      .select(keys.map(col) ++
+        Seq(col("op"), col("before_v"), col("after_v")): _*)
+  }
+
   /** Per-source distribution-drift report between two corpus snapshots:
     * (source, n_old, n_new, drift_e4). Catches a truncation bug or a
     * boilerplate influx even when document counts look fine, by comparing

@@ -2980,6 +2980,59 @@ object Pipeline {
         |WHERE coalesce(o_orderdate >= TIMESTAMP '1996-01-01',
         |  TRUE)""".stripMargin)),
 
+    // ── Change-data-feed between snapshot versions: publish orders as
+    //    v1; v2 = retention delete (pre-1996 dropped) + a correction
+    //    (+1 cent where key % 97 = 0) + late inserts (key-shifted rows)
+    //    — then derive the row-level CDC export FROM THE DISK VERSIONS:
+    //    one record per changed key (insert/delete/update with
+    //    before/after), unchanged keys dropped before output so the feed
+    //    is change-sized. All three ops appear at verify scale ───────────
+    "x_snapshot_cdc" -> Q(
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_cdc_${math.abs(d.hashCode)}"
+        graft.catalog.Catalog.dropPath(s, root)
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("od"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        Tables.publishVersion(s, o.select("o_orderkey", "cents"), root)
+        val v2 = o.where(coalesce(
+            col("od") >= to_timestamp(lit("1996-01-01")), lit(true)))
+          .select(col("o_orderkey"),
+            (col("cents") + when(col("o_orderkey") % 97 === 0, 1L)
+              .otherwise(0L)).as("cents"))
+          .unionByName(o.where(col("o_orderkey") % 1000 === 0)
+            .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+              lit(42L).as("cents")))
+        Tables.publishVersion(s, v2, root)
+        graft.operators.Snapshots.cdcDiff(
+          Tables.readVersion(s, root, Some(1L)),
+          Tables.readVersion(s, root, Some(2L)),
+          Seq("o_orderkey"), "cents")
+      },
+      Some("""WITH cdc_base AS (SELECT o_orderkey, o_orderdate AS od,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cdc_v1 AS (SELECT o_orderkey, cents FROM cdc_base),
+        |cdc_v2 AS (
+        |  SELECT o_orderkey, cents + CASE WHEN o_orderkey % 97 = 0
+        |      THEN 1 ELSE 0 END AS cents
+        |  FROM cdc_base
+        |  WHERE coalesce(od >= TIMESTAMP '1996-01-01', TRUE)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 42 FROM cdc_base
+        |  WHERE o_orderkey % 1000 = 0),
+        |cdc_j AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |         WHEN b.o_orderkey IS NULL THEN 'delete'
+        |         WHEN a.cents IS DISTINCT FROM b.cents THEN 'update'
+        |    END AS op, a.cents AS before_v, b.cents AS after_v
+        |  FROM cdc_v1 a FULL OUTER JOIN cdc_v2 b
+        |    ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, op, before_v, after_v
+        |FROM cdc_j WHERE op IS NOT NULL""".stripMargin)),
+
     // ── Freshness report: which synced tables lag the freshest one —
     //    staleness measured against the corpus-wide max event time (not
     //    wall clock), so the report is deterministic. One scalar agg per

@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_url_dedup", "stream_domain_cap", "stream_quality_score",
       "stream_neardup", "stream_scd2", "stream_forget",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune",
-      "x_time_travel")
+      "x_time_travel", "x_snapshot_cdc")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
   // x_ann_kmeans / x_ann_ivf / x_ann_ivf_multiprobe: k tiny centroid rows
   // broadcast against every vector (assign/probe-selection step) —

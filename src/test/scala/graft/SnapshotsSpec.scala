@@ -138,6 +138,29 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcDiff: null-safe updates, change-sized output, and every op " +
+    "carries the right before/after") {
+    val v1 = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Option.empty[Long]),
+      (4L, Some(40L)), (5L, Some(50L))).toDF("k", "v")
+    val v2 = Seq((1L, Some(10L)),   // unchanged → NOT in the feed
+      (2L, Option.empty[Long]),     // value→null is an UPDATE, not a miss
+      (3L, Some(30L)),              // null→value is an UPDATE
+      (5L, Some(55L)),              // plain update
+      (9L, Some(90L)))              // insert; 4 deleted
+      .toDF("k", "v")
+    val got = Snapshots.cdcDiff(v1, v2, Seq("k"), "v").collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("op"),
+        Option(r.getAs[java.lang.Long]("before_v")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("after_v")).map(_.toLong))).toMap
+    assert(got == Map(
+      2L -> (("update", Some(20L), None)),
+      3L -> (("update", None, Some(30L))),
+      4L -> (("delete", Some(40L), None)),
+      5L -> (("update", Some(50L), Some(55L))),
+      9L -> (("insert", None, Some(90L)))), s"got $got")
+    assert(!got.contains(1L), "unchanged keys must not enter the feed")
+  }
+
   test("SCD2 history: runs collapse, changes open intervals, valid_to " +
     "chains exactly, ties break on the tie column, latest stays open") {
     import spark.implicits._
