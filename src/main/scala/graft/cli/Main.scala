@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   *   graft reload  <table|all> ...   drop + full reload
   *   graft watch   <table|all> ...   drain newly landed source files
   *                                   (checkpointed streaming append)
+  *   graft snapshot <table|all> ...  publish/inspect/vacuum immutable
+  *                                   versions of the warehouse table
   *
   * `all` iterates the configured tables with per-table error isolation
   * (pgwarehouse.py:97-110). Run via `sbt "runMain graft.cli.Main sync all
@@ -25,7 +27,7 @@ object Main {
 
   private val commands =
     Set("init", "list", "listwh", "extract", "load", "sync", "reload", "ddl",
-      "profile", "compact", "card", "watch")
+      "profile", "compact", "card", "watch", "snapshot")
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -46,7 +48,7 @@ object Main {
     val command = positional.headOption.getOrElse("")
     if (!commands(command)) {
       System.err.println(
-        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact|card|watch> " +
+        "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact|card|watch|snapshot> " +
           "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake] " +
           "[--backend duckdb]")
       sys.exit(2)
@@ -88,14 +90,15 @@ object Main {
       try run(new Warehouse(spark, cfg), cfg, command,
         positional.drop(1).headOption.getOrElse("all"),
         flags.getOrElse("dialect", "duckdb"),
-        flags.get("backend"))
+        flags.get("backend"), flags)
       finally spark.stop()
     if (code != 0) sys.exit(code)
   }
 
   private def run(wh: Warehouse, cfg: GraftConfig, command: String,
                   table: String, dialect: String,
-                  backend: Option[String] = None): Int = {
+                  backend: Option[String] = None,
+                  flags: Map[String, String] = Map.empty): Int = {
     // `--backend duckdb`: warehouse side executed by the in-process
     // DuckDB engine (reference duckdb_backend.py), db file from
     // `warehouse.duckdb_path` (default duck.db beside the warehouse dir).
@@ -153,6 +156,22 @@ object Main {
       case "watch" => each { t =>
         val n = duck.fold(wh.watch(t))(d => wh.watchDuck(t, d))
         println(s"$t: watched $n new rows")
+      }
+      // snapshot <table>            publish the live table as v(N+1)
+      // snapshot <table> --show versions | --show N (row count of vN)
+      // snapshot <table> --vacuum K (keep newest K)
+      case "snapshot" => each { t =>
+        (flags.get("show"), flags.get("vacuum")) match {
+          case (Some("versions"), _) =>
+            println(s"$t: versions ${wh.snapshotVersions(t).mkString(",")}")
+          case (Some(v), _) =>
+            println(s"$t: v$v ${wh.snapshotRead(t, Some(v.toLong)).count()} rows")
+          case (_, Some(k)) =>
+            val dropped = wh.snapshotVacuum(t, k.toInt)
+            println(s"$t: vacuumed ${dropped.mkString(",")}")
+          case _ =>
+            println(s"$t: published snapshot v${wh.snapshotPublish(t)}")
+        }
       }
       case other => throw new IllegalArgumentException(other)
     }

@@ -256,6 +256,36 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     (before.length.toLong, dataFiles.length.toLong, rows)
   }
 
+  // ── Snapshots: versioned, immutable copies of a warehouse table for
+  //    time travel and pre-migration audits (graft's extension — the
+  //    reference's reload/upsert destroys history in place). Backed by
+  //    Tables.publishVersion's atomic-rename store, rooted beside the
+  //    live table ───────────────────────────────────────────────────────
+
+  private def snapshotRoot(name: String) =
+    s"${cfg.warehouseDir}/$name.snapshots"
+
+  /** Publish the CURRENT warehouse table as the next snapshot version. */
+  def snapshotPublish(name: String): Long = {
+    val path = warehousePath(name)
+    require(Catalog.tableExists(spark, cfg.warehouseDir, name),
+      s"no warehouse table $name to snapshot")
+    Tables.publishVersion(spark, spark.read.parquet(path),
+      snapshotRoot(name))
+  }
+
+  /** Published snapshot versions of a table, ascending. */
+  def snapshotVersions(name: String): Seq[Long] =
+    Tables.listVersions(spark, snapshotRoot(name))
+
+  /** A pinned snapshot version (or the latest) as a DataFrame. */
+  def snapshotRead(name: String, version: Option[Long] = None): DataFrame =
+    Tables.readVersion(spark, snapshotRoot(name), version)
+
+  /** Keep the newest `keep` versions; returns the reclaimed ones. */
+  def snapshotVacuum(name: String, keep: Int): Seq[Long] =
+    Tables.vacuumVersions(spark, snapshotRoot(name), keep)
+
   /** `watch`: the reference's cron-poll incremental loop (README.md:217-225
     * tells users to re-run `sync` on a schedule) as ONE checkpointed
     * streaming query — newly landed source files since the last invocation

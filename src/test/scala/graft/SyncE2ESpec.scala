@@ -376,6 +376,40 @@ class SyncE2ESpec extends AnyFunSuite {
       "stream batches land under b<batchId>- names for idempotent replay")
   }
 
+  test("t19 snapshot lifecycle: publish after each sync, time-travel " +
+    "reads see pre-delete history, vacuum reclaims") {
+    setupSources()
+    val w = wh()
+    w.sync("users10")
+    val n1 = w.warehouseTable("users10").get.count()
+    assert(w.snapshotPublish("users10") == 1L)
+    // grow the source past the live watermark (earlier tests may have
+    // appended arbitrary ids), re-sync, snapshot again
+    val maxId = w.warehouseTable("users10").get
+      .agg(max(col("id"))).head().getLong(0)
+    writeSource("users10", users(5, from = maxId.toInt + 1))
+    w.sync("users10")
+    val n2 = w.warehouseTable("users10").get.count()
+    assert(n2 > n1, "re-sync after source growth must append")
+    assert(w.snapshotPublish("users10") == 2L)
+    assert(w.snapshotVersions("users10") == Seq(1L, 2L))
+    // pinned reads: v1 is the pre-growth table, latest is current
+    assert(w.snapshotRead("users10", Some(1L)).count() == n1)
+    assert(w.snapshotRead("users10").count() == n2)
+    // the live table is untouched by snapshot reads
+    assert(w.warehouseTable("users10").get.count() == n2)
+    // vacuum to 1: history beyond the newest is reclaimed
+    assert(w.snapshotVacuum("users10", keep = 1) == Seq(1L))
+    assert(w.snapshotVersions("users10") == Seq(2L))
+    intercept[IllegalArgumentException] {
+      w.snapshotRead("users10", Some(1L))
+    }
+    // snapshotting a never-synced table refuses loudly
+    intercept[IllegalArgumentException] {
+      w.snapshotPublish("never_synced")
+    }
+  }
+
   test("all loop isolates a failing table and reports it") {
     setupSources()
     val broken = cfg().copy(tables = scala.collection.immutable.ListMap(
