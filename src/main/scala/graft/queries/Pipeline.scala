@@ -3440,6 +3440,45 @@ object Pipeline {
     //    over 8 partitions instead of stalling one. Result is EXACTLY the
     //    plain join (oracle proves it); the replicate factor trades dim-side
     //    volume for hot-key parallelism ─────────────────────────────────────
+    // ── Pre-join skew diagnostic: BEFORE running a big self/equi join,
+    //    rank the keys by their output contribution (n_left × n_right) —
+    //    the report that decides broadcast vs salt vs AQE-skew-split at
+    //    100 TB. Both sides collapse to per-key counts FIRST (two
+    //    combiner aggs), the contribution join runs on the key domain
+    //    (never raw rows), the total is a 1-row broadcast, and top-20 is
+    //    TakeOrdered — no single-partition window over the key domain ────
+    "x_join_skew_report" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        def sideCounts(tpe: String, as: String) = ev
+          .where(col("event_type") === tpe)
+          .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+        val contrib = sideCounts("click", "n_left")
+          .join(sideCounts("purchase", "n_right"), "user_id")
+          .withColumn("contribution", col("n_left") * col("n_right"))
+        val total = contrib.agg(
+          sum(col("contribution")).as("total_contribution"))
+        contrib.crossJoin(broadcast(total))
+          .withColumn("share_e4", expr(
+            "contribution * 10000 div total_contribution"))
+          .orderBy(col("contribution").desc, col("user_id"))
+          .limit(20)
+          .select("user_id", "n_left", "n_right", "contribution",
+            "share_e4")
+      },
+      Some("""WITH sk_l AS (SELECT user_id, count(*) AS n_left
+        |    FROM events WHERE event_type = 'click' GROUP BY 1),
+        |sk_r AS (SELECT user_id, count(*) AS n_right
+        |    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sk_c AS (SELECT l.user_id, n_left, n_right,
+        |    n_left * n_right AS contribution
+        |  FROM sk_l l JOIN sk_r r ON l.user_id = r.user_id),
+        |sk_t AS (SELECT CAST(sum(contribution) AS BIGINT) AS tc FROM sk_c)
+        |SELECT user_id, n_left, n_right, contribution,
+        |  contribution * 10000 // tc AS share_e4
+        |FROM sk_c CROSS JOIN sk_t
+        |ORDER BY contribution DESC, user_id LIMIT 20""".stripMargin)),
+
     "x_skew_join_salted" -> Q(
       (s, d) => {
         val nSalts = 8

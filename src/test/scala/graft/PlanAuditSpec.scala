@@ -59,7 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x_importance_weights" -> 1L, // the 1-row token-totals broadcast
     "x_pmi_bigrams" -> 1L,        // the 1-row corpus-total broadcast
     "x_quality_classifier" -> 1L, // the 1-row seed-mass-baseline broadcast
-    "x_hybrid_search" -> 1L)      // 1-row probe + 1-row corpus-stats broadcasts
+    "x_hybrid_search" -> 1L,      // 1-row probe + 1-row corpus-stats broadcasts
+    "x_join_skew_report" -> 1L)   // the 1-row total-contribution broadcast
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -260,6 +261,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // IVM merge: the two partial-state key exchanges (the merge's
       // re-agg reuses their partitioning through the union)
       "x_ivm_agg" -> 2,
+      // join-skew report: the two side-count partial+final agg pairs,
+      // the key-domain contribution join's exchanges, the 1-row total
+      // broadcast, and TakeOrdered — key-domain-sized throughout
+      "x_join_skew_report" -> 8,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
