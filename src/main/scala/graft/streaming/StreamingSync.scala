@@ -842,8 +842,17 @@ object StreamingSync {
     import ss.implicits._
     val base = freshBase(ss, "neardup")
     val docs = tableStream(ss, sfDir, "documents", base)
-    val sh = array_distinct(graft.operators.Dedup.shinglesFromTokens(
-      graft.operators.TextAnalysis.tokens(col("text"))))
+      // STAGED projection: materialize the token array as a column before
+      // the shingle lambda — inlining tokens(text) into shinglesFromTokens
+      // substitutes the whole split expression into every lambda element
+      // and re-tokenizes the text once PER SHINGLE (O(tokens²) per doc;
+      // the same trap shinglesFromTokens' scaladoc documents for the
+      // batch twin). This cut the sf0.1 drain from ~10s to batch-twin
+      // territory.
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val sh = array_distinct(
+      graft.operators.Dedup.shinglesFromTokens(col("toks")))
     val hs = transform(sh, s => concat(md5(s), md5(concat(lit("#"), s))))
     val bandCols = (0 until numHashes / bandSize).map { b =>
       val slots = (b * bandSize until (b + 1) * bandSize).map(i =>
@@ -853,7 +862,7 @@ object StreamingSync {
       struct(lit(b).as("band_idx"), concat_ws("|", slots: _*).as("band_sig"))
     }
     val bands = docs
-      .select(col("doc_id").cast("long").as("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_sig").as("band_sig"))
