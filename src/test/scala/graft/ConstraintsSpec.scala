@@ -56,6 +56,37 @@ class ConstraintsSpec extends AnyFunSuite {
       .values.forall { case (n, viol, ok) => n == 0L && viol == 0L && ok })
   }
 
+  test("generative law: every violation count equals the plain-Scala " +
+    "recompute on random tables (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def maybe[A](a: A): Option[A] = if (rnd.nextInt(5) == 0) None else Some(a)
+      val rows = Seq.fill(120)((maybe(rnd.nextInt(30).toLong),
+        maybe(Seq("a", "b", "c", "zz")(rnd.nextInt(4)))))
+      val parentKeys = Seq.fill(20)(rnd.nextInt(30).toLong).distinct
+      val df = rows.toDF("pid", "v")
+      val parent = parentKeys.toDF("id")
+      val out = report(Constraints.audit(Seq(("t", df, Seq(
+        NotNull("pid"), InSet("v", Seq("a", "b")),
+        Check("small", col("pid") < 15), Unique(Seq("pid")),
+        ForeignKey("pid", "parent", parent, "id"))))))
+      val want = Map(
+        "not_null(pid)" -> rows.count(_._1.isEmpty).toLong,
+        "in_set(v)" -> rows.count(r =>
+          !r._2.exists(Set("a", "b"))).toLong,
+        "check(small)" -> rows.count(r =>
+          !r._1.exists(_ < 15)).toLong,
+        "unique(pid)" ->
+          (rows.size - rows.flatMap(_._1).distinct.size).toLong,
+        "fk(pid -> parent.id)" -> rows.count(r =>
+          r._1.exists(k => !parentKeys.contains(k))).toLong)
+      want.foreach { case (name, viol) =>
+        assert(out(("t", name)) == ((120L, viol, viol == 0L)),
+          s"seed $seed $name: got ${out(("t", name))}, want $viol")
+      }
+    }
+  }
+
   test("all row-local constraints on a table share ONE scan") {
     val df = Seq((1L, "a")).toDF("pid", "v")
     val plan = Constraints.audit(Seq(("t", df,
