@@ -450,7 +450,6 @@ object Pipeline {
         docs.select(col("doc_id"), col("n_chars")).limit(0)
       else docs.select(col("doc_id"), col("n_chars"))
         .where(col("n_chars").between(bounds.getLong(0), bounds.getLong(1)))
-        .orderBy("doc_id")
     }
   }
 
@@ -482,7 +481,6 @@ object Pipeline {
         min(when(col("cum") >= kHi, col("avg_bits_e2"))).as("hi")).head()
       scores.select(col("doc_id"), col("avg_bits_e2"))
         .where(col("avg_bits_e2").between(bounds.getLong(0), bounds.getLong(1)))
-        .orderBy("doc_id")
     }
   }
 
@@ -2124,7 +2122,6 @@ object Pipeline {
         membered.select(col("doc_id"), col("cluster"),
           when(h < 90, "train").when(h < 95, "val").otherwise("test")
             .as("split"))
-          .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $candCtesSql,
         |edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
@@ -2196,7 +2193,6 @@ object Pipeline {
         val neu = docs.where(col("doc_id") % 7 =!= 0)
           .select(col("doc_id"), col("text"))
         graft.operators.Snapshots.corpusDiff(old, neu, "doc_id", "text")
-          .orderBy("doc_id")
       },
       Some("""WITH old AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 0 THEN reverse(text) ELSE text END AS text
@@ -3537,7 +3533,7 @@ object Pipeline {
     //    token frame is persisted because it feeds BOTH the docfreq agg
     //    and the join side (no ReusedExchange across a self-join) ──────────
     "x_rarity_score" -> Q(
-      (s, d) => Pipeline.rarityScores(s, d).orderBy("doc_id"),
+      (s, d) => Pipeline.rarityScores(s, d),
       Some(s"""WITH $rarityCtesSql
         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
         |       CAST((bits_sq * 100) // n_toks AS BIGINT) AS rarity_e2
@@ -3554,8 +3550,7 @@ object Pipeline {
     //    shape ───────────────────────────────────────────────────────────
     "x_bigram_lm" -> Q(
       (s, d) => graft.operators.LangModel
-        .bigramLmScores(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
+        .bigramLmScores(t(s, d, "documents"), "doc_id", "text"),
       Some(s"""WITH $bigramLmCtesSql
         |SELECT doc_id, n_bigrams, nll_bits, avg_bits_e2
         |FROM blm ORDER BY doc_id""".stripMargin)),
