@@ -3655,6 +3655,19 @@ object Pipeline {
         |  SELECT 1 FROM customer c
         |  WHERE c.c_custkey % 23 = 0 AND c.c_custkey = e.user_id)""".stripMargin)),
 
+    // ── Structured Streaming: ingest-time constraint screen — the
+    //    row-local half of x_constraint_audit applied at the door;
+    //    stateless per-row verdict ⇒ drain-invariant oracle (22nd twin).
+    //    NULL semantics match the batch audit: unverifiable rows screen
+    //    out ──────────────────────────────────────────────────────────────
+    "stream_constraint_gate" -> Q(
+      (s, d) => graft.streaming.StreamingSync.streamConstraintScreen(s, d),
+      Some("""SELECT doc_id, lang, length(text) AS n_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  AND coalesce(lang IN ('en','de','fr','es'), FALSE)
+        |  AND coalesce(length(text) >= 10, FALSE)""".stripMargin)),
+
     // ── Structured Streaming: exact dedup with engine state (append mode
     //    emits each distinct key exactly once) ───────────────────────────────
     "stream_dedup" -> Q(

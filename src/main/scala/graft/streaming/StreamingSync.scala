@@ -1092,6 +1092,31 @@ object StreamingSync {
     runAppendSink(ss, kept, base, "graft_stream_forget")
   }
 
+  /** Ingest-time constraint screen — the streaming face of
+    * [[graft.operators.Constraints]]: rows violating the row-local
+    * constraints (not-null key/text, language in set, minimum length)
+    * never land downstream, the same admit-at-the-door economics as
+    * [[streamForgetScreen]]. STATELESS — every verdict is per-row, so
+    * no state store, no watermark, and the kept set is
+    * drain-partition-invariant (the oracle binds for any
+    * micro-batching). NULL semantics follow the batch audit: an
+    * unverifiable row (NULL where the predicate needs a value) is a
+    * violation, so it screens out.
+    */
+  def streamConstraintScreen(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = freshBase(ss, "constraint")
+    val docs = tableStream(ss, sfDir, "documents", base)
+    val kept = docs.where(
+        col("doc_id").isNotNull && col("text").isNotNull &&
+        coalesce(col("lang").isin("en", "de", "fr", "es"), lit(false)) &&
+        coalesce(length(col("text")) >= 10, lit(false)))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"))
+    runAppendSink(ss, kept, base, "graft_stream_constraint")
+  }
+
   /** The reference's flagship — incremental table sync — in streaming form:
     * new files in the source directory append to the warehouse table
     * exactly once (the checkpoint is the high-watermark; re-running after

@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_event_spikes", "stream_attribution", "stream_cell_occupancy",
       "stream_url_dedup", "stream_domain_cap", "stream_quality_score",
       "stream_neardup", "stream_scd2", "stream_forget",
+      "stream_constraint_gate",
       "s2_csv_roundtrip", "s4_orc_roundtrip", "s5_partitioned_prune",
       "x_time_travel", "x_snapshot_cdc")
   // x_ann_topk: documented brute-force baseline; x_ann_kmeans_assign /
@@ -413,6 +414,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // only Exchange is the docket's BroadcastExchange, printed twice
       // because a stateless micro-batch keeps AQE (initial + final plan)
       "stream_forget" -> 2,
+      // constraint screen: pure per-row filter + project — NO Exchange
+      // of any kind in the micro-batch plan
+      "stream_constraint_gate" -> 0,
       // online quality scoring: the static vocab-model subtree (its own
       // offline exchanges) + the stream-static join + ONE stateful
       // per-doc agg exchange feeding the state store

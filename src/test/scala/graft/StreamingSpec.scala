@@ -876,6 +876,36 @@ class StreamingSpec extends AnyFunSuite {
       s"kept set must be the batch anti-join regardless of drains: $out")
   }
 
+  test("ingest-time constraint screen: per-row verdicts apply in every " +
+    "micro-batch; unverifiable rows screen out") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("consmb")
+    val dir = new java.io.File(s"$sf/documents.parquet"); dir.mkdirs()
+    def docs(rows: Seq[(java.lang.Long, String, String)]) = rows
+      .map { case (id, text, lang) => (id, text, lang, "src", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val now = System.currentTimeMillis()
+    stageBatchFile(sf, dir, docs(Seq(
+      (1L, "a proper document", "en"),     // kept
+      (2L, "short", "en"),                 // length violation
+      (3L, "long enough text", null))),    // NULL lang unverifiable → out
+      "b1", now - 240000)
+    stageBatchFile(sf, dir, docs(Seq(
+      (4L, "another fine document", "de"), // kept — rules bind in batch 2
+      (5L, null, "en"),                    // NULL text → out
+      (null, "valid text but no id", "en"))), // NULL key → out
+      "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out = try graft.streaming.StreamingSync
+      .streamConstraintScreen(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    assert(out == Set((1L, "en"), (4L, "de")), s"got $out")
+  }
+
   test("stateful rollup NULL semantics match the batch aggregation: only " +
     "a null KEY drops the row") {
     import spark.implicits._
