@@ -22,6 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Constraints {
 
+  /** The corpus's shared row-local document rules, defined ONCE and
+    * referenced by the batch audit (`x_constraint_audit`), the streaming
+    * ingest gate ([[graft.streaming.StreamingSync.streamConstraintScreen]]),
+    * and both of their oracle SQL strings (interpolated, not retyped) — so
+    * the three copies cannot silently drift. `MinLength` is GATE-only: the
+    * batch audit reports lang/null/unique violations for triage, while the
+    * gate additionally refuses under-length rows at the door. */
+  object DocRules {
+    val AllowedLangs: Seq[String] = Seq("en", "de", "fr", "es")
+    /** Gate-only minimum `length(text)` for admission. */
+    val MinLength: Int = 10
+    /** `lang ∈ AllowedLangs`, NULL → false (an unverifiable row is not a
+      * verified row — same convention as [[Check]]). */
+    def langInSet: Column =
+      coalesce(col("lang").isin(AllowedLangs: _*), lit(false))
+    /** `length(text) >= MinLength`. NULL contract: callers conjoin
+      * `text.isNotNull` first, so `length(text)` is never NULL here. */
+    def minLengthOk: Column = length(col("text")) >= MinLength
+    /** `'en','de','fr','es'` — the SQL-literal list for oracle IN-sets. */
+    def langsSql: String = AllowedLangs.map("'" + _ + "'").mkString(",")
+  }
+
   sealed trait Constraint
 
   /** Violated when the column is NULL. */

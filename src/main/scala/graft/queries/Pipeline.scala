@@ -3095,7 +3095,7 @@ object Pipeline {
             Check("acctbal_non_negative", col("c_acctbal") >= 0),
             NotNull("c_mktsegment"))),
           ("documents", t(s, d, "documents"), Seq(
-            InSet("lang", Seq("en", "de", "fr", "es")),
+            InSet("lang", graft.operators.Constraints.DocRules.AllowedLangs),
             Unique(Seq("doc_id")), NotNull("text"))),
           ("orders", t(s, d, "orders"), Seq(
             Unique(Seq("o_custkey")),
@@ -3103,13 +3103,13 @@ object Pipeline {
           ("events", t(s, d, "events"), Seq(
             ForeignKey("user_id", "customer", cust, "c_custkey")))))
       },
-      Some("""WITH ct_c AS (SELECT count(*) AS n,
+      Some(s"""WITH ct_c AS (SELECT count(*) AS n,
         |    count(*) FILTER (WHERE NOT coalesce(c_acctbal >= 0, FALSE)) AS v0,
         |    count(*) FILTER (WHERE c_mktsegment IS NULL) AS v1
         |  FROM customer),
         |ct_d AS (SELECT count(*) AS n,
         |    count(*) FILTER (WHERE NOT coalesce(
-        |      lang IN ('en','de','fr','es'), FALSE)) AS v0,
+        |      lang IN (${graft.operators.Constraints.DocRules.langsSql}), FALSE)) AS v0,
         |    count(*) - count(DISTINCT doc_id) AS vu,
         |    count(*) FILTER (WHERE text IS NULL) AS v1
         |  FROM documents),
@@ -3662,11 +3662,11 @@ object Pipeline {
     //    out ──────────────────────────────────────────────────────────────
     "stream_constraint_gate" -> Q(
       (s, d) => graft.streaming.StreamingSync.streamConstraintScreen(s, d),
-      Some("""SELECT doc_id, lang, length(text) AS n_chars
+      Some(s"""SELECT doc_id, lang, length(text) AS n_chars
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |  AND coalesce(lang IN ('en','de','fr','es'), FALSE)
-        |  AND coalesce(length(text) >= 10, FALSE)""".stripMargin)),
+        |  AND coalesce(lang IN (${graft.operators.Constraints.DocRules.langsSql}), FALSE)
+        |  AND length(text) >= ${graft.operators.Constraints.DocRules.MinLength}""".stripMargin)),
 
     // ── Structured Streaming: exact dedup with engine state (append mode
     //    emits each distinct key exactly once) ───────────────────────────────

@@ -854,15 +854,29 @@ object StreamingSync {
     val sh = array_distinct(
       graft.operators.Dedup.shinglesFromTokens(col("toks")))
     val hs = transform(sh, s => concat(md5(s), md5(concat(lit("#"), s))))
+    // ONE `aggregate` pass over the staged hash array computes ALL
+    // numHashes slot-mins at once (an Int.MaxValue-seeded running min,
+    // zip_with(least)), where the previous shape ran numHashes separate
+    // array_min(transform(...)) traversals — 16 passes over every doc's
+    // hash array per micro-batch row (round-11 verdict's top lever for
+    // this twin). A null/shingle-less hash array yields NULL mins →
+    // NULL slots → concat_ws skips them, identical to array_min's
+    // null-on-empty, so the batch-twin lockstep law is unchanged.
+    val slotMins = when(size(col("hs")) > 0, aggregate(
+      col("hs"),
+      array((0 until numHashes).map(_ => lit(Int.MaxValue)): _*),
+      (acc, x) => zip_with(acc,
+        array((0 until numHashes).map(i =>
+          conv(substring(x, 4 * i + 1, 4), 16, 10).cast("int")): _*),
+        (a, b) => least(a, b))))
     val bandCols = (0 until numHashes / bandSize).map { b =>
       val slots = (b * bandSize until (b + 1) * bandSize).map(i =>
-        array_min(transform(col("hs"),
-          x => conv(substring(x, 4 * i + 1, 4), 16, 10).cast("int")))
-          .cast("string"))
+        element_at(col("mins"), i + 1).cast("string"))
       struct(lit(b).as("band_idx"), concat_ws("|", slots: _*).as("band_sig"))
     }
     val bands = docs
       .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), slotMins.as("mins"))
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_sig").as("band_sig"))
@@ -902,6 +916,17 @@ object StreamingSync {
     * reading of "is_current". Same-value events extend the open run and
     * emit nothing — including across micro-batches (a run crossing a
     * batch boundary must not close; pinned in StreamingSpec).
+    *
+    * Memory bound: the per-key `it.toVector.sortBy` buffers one key's
+    * slice of ONE micro-batch (events arrive time-unordered within a
+    * batch, so the sort is semantically required) — bounded by trigger
+    * size, never by history (state itself is one (value, from) pair per
+    * key). A backfill draining a giant corpus as a single AvailableNow
+    * batch concentrates every row of its hottest key in one buffer, so
+    * cap the trigger for backfills (`graft.stream.maxFilesPerTrigger`;
+    * a cluster deployment would use maxBytesPerTrigger) — the skewed-key
+    * StreamingSpec case pins that a hot key split across two triggers
+    * produces the identical closed-interval set.
     */
   def streamingScd2(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -1101,17 +1126,20 @@ object StreamingSync {
     * drain-partition-invariant (the oracle binds for any
     * micro-batching). NULL semantics follow the batch audit: an
     * unverifiable row (NULL where the predicate needs a value) is a
-    * violation, so it screens out.
+    * violation, so it screens out. The rule set itself lives in
+    * [[graft.operators.Constraints.DocRules]], shared with the batch
+    * audit and both oracles; the min-length rule is gate-only (see the
+    * DocRules scaladoc).
     */
   def streamConstraintScreen(spark: SparkSession,
                              sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val base = freshBase(ss, "constraint")
+    val rules = graft.operators.Constraints.DocRules
     val docs = tableStream(ss, sfDir, "documents", base)
     val kept = docs.where(
         col("doc_id").isNotNull && col("text").isNotNull &&
-        coalesce(col("lang").isin("en", "de", "fr", "es"), lit(false)) &&
-        coalesce(length(col("text")) >= 10, lit(false)))
+        rules.langInSet && rules.minLengthOk)
       .select(col("doc_id"), col("lang"),
         length(col("text")).as("n_chars"))
     runAppendSink(ss, kept, base, "graft_stream_constraint")

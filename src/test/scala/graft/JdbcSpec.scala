@@ -44,6 +44,31 @@ class JdbcSpec extends AnyFunSuite {
     assert(part.count() == 40)
   }
 
+  test("plan audit: P3/P4 watermark predicates compile into the JDBC scan " +
+    "(PushedFilters on the remote relation — the reference's whole perf " +
+    "story, clickhouse_backend.py:217,227 / pgwarehouse.py:275)") {
+    seeded("t_pushdown")
+    val p3 = graft.sync.Watermark.newerThan(
+      Tables.jdbcTable(spark, url, "t_pushdown"), "id", Some(30L))
+    val plan3 = p3.queryExecution.executedPlan.toString
+    assert(plan3.contains("PushedFilters") &&
+      plan3.contains("GreaterThan(id,30"),
+      s"P3 watermark did not push into the JDBC scan:\n$plan3")
+    assert(p3.count() == 10)
+
+    Tables.jdbcAppend((1 to 20).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")))
+      .toDF("id", "lm"), url, "t_pushdown_lm")
+    val p4 = graft.sync.Watermark.modifiedSince(
+      Tables.jdbcTable(spark, url, "t_pushdown_lm"), "lm",
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:15:00")))
+    val plan4 = p4.queryExecution.executedPlan.toString
+    assert(plan4.contains("PushedFilters") &&
+      plan4.contains("GreaterThanOrEqual(lm,"),
+      s"P4 watermark did not push into the JDBC scan:\n$plan4")
+    assert(p4.count() == 6)
+  }
+
   test("append mode accumulates, matching warehouse bulk-insert semantics") {
     seeded("t_append")
     Tables.jdbcAppend(Seq((100L, "x", 1.0)).toDF("id", "name", "amount"),

@@ -758,6 +758,42 @@ class StreamingSpec extends AnyFunSuite {
         out.toSeq.toString)
   }
 
+  test("streaming SCD2: a SKEWED key (one user dominating both triggers) " +
+    "drains across two micro-batches into the identical closed-interval " +
+    "tiling — per-key buffering is per-trigger, state stays one pair") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("scd2skew")
+    val dir = new java.io.File(s"$sf/events.parquet"); dir.mkdirs()
+    val n = 300 // per batch; values alternate a/b so EVERY event closes a run
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(from: Int, until: Int) = (from until until).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0 + i * 1000L), 7L,
+        if (i % 2 == 0) "a" else "b", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val now = System.currentTimeMillis()
+    stageBatchFile(sf, dir, ev(0, n), "b1", now - 240000)
+    stageBatchFile(sf, dir, ev(n, 2 * n), "b2", now - 120000)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val out = try graft.streaming.StreamingSync.streamingScd2(spark, sf)
+      .orderBy("valid_from").collect()
+      .map(r => (r.getString(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val batches = graft.streaming.StreamingSync.lastRunProgress
+      .count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    // 2n alternating events = 2n-1 closed intervals (the last run stays
+    // open in state), tiling [t0, t0+(2n-1)s] with no gap at the batch
+    // boundary — the interval OPEN in batch 1 must close with batch 2's
+    // first event, not re-open or duplicate
+    assert(out.length == 2 * n - 1, s"expected ${2 * n - 1} closed, got ${out.length}")
+    out.zipWithIndex.foreach { case ((v, from, to), i) =>
+      assert(v == (if (i % 2 == 0) "a" else "b"))
+      assert(from == t0 + i * 1000L && to == t0 + (i + 1) * 1000L,
+        s"interval $i does not tile: ($v, $from, $to)")
+    }
+  }
+
   test("streaming URL seen-set: a canonical URL fetched in batch 1 does " +
     "not re-emit when a VARIANT of it lands in batch 2") {
     import spark.implicits._

@@ -58,6 +58,26 @@ def main():
     only_new = sorted(set(nq) - set(oq))
     if only_new:
         print(f"\nnew-only queries: {', '.join(only_new)}")
+
+    # r12: contention attribution from the NEW artifact's raw reps — a
+    # query whose max-rep/min-rep spread exceeds 2x was NOT uniformly slow,
+    # so its median is contention-suspect (the r11 stream_neardup lesson:
+    # 16.8s median / 10.1s min on the driver vs 2.95s committed was
+    # unattributable without the raw reps).
+    reps = new.get("queries_reps", {})
+    spread = []
+    for q, ts in reps.items():
+        ts = [t for t in ts if t > 0]
+        if len(ts) >= 2 and max(ts) / min(ts) >= 2.0:
+            spread.append((max(ts) / min(ts), q, ts))
+    if spread:
+        spread.sort(reverse=True)
+        print(f"\nrep-spread >2x in {sys.argv[2]} (contention-suspect medians):")
+        for r, q, ts in spread:
+            print(f"  {q:36s} reps={[round(t, 3) for t in ts]}  ({r:.1f}x spread)")
+    env = new.get("env")
+    if env:
+        print(f"\nnew env: {env}")
     return 0
 
 

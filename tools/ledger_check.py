@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Guard SURVEY.md's CURRENT-round ledger claims against the committed
+artifacts, so typed numbers can never drift from measured ones again
+(the round-11 lesson: the ledger said "3.2 s" and "265/265" while the
+committed artifacts said 16.8 s and 266 — a judge caught both).
+
+Usage: python3 tools/ledger_check.py [SURVEY.md]   (exit 1 on drift)
+
+Checks, scoped to the LATEST "### Round N" section only (earlier
+sections legitimately quote their own era's numbers):
+
+1. all-pass claims "X/X" (3+ digits): X must equal the query count in
+   the newest CORRECTNESS_r*.json AND that artifact must be all-green.
+2. per-query timing claims "<query_name> ... <float> s" where the name
+   is a bench.json query: the float must be within TOLERANCE of the
+   committed median, or equal the committed min (ledgers may quote the
+   contention floor), or match a raw rep when queries_reps is present.
+3. suite-total claims "<float> s total" / "total ... <float> s": must
+   be within TOLERANCE of bench.json's "value".
+
+This is a heuristic gate (regex, not a parser): it can miss a claim,
+but anything it flags IS a number that does not reproduce from the
+committed artifacts and must be regenerated, not argued with.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+TOLERANCE = 0.25  # |claim/actual - 1| beyond this flags drift
+
+
+def latest_round_section(text):
+    starts = [(m.start(), int(m.group(1)))
+              for m in re.finditer(r"^### Round (\d+)\b", text, re.M)]
+    if not starts:
+        return text, None
+    pos, n = max(starts, key=lambda t: t[1])
+    nxt = [p for p, k in starts if p > pos]
+    return text[pos:min(nxt) if nxt else len(text)], n
+
+
+def load_artifacts(repo):
+    corr_files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    corr = json.load(open(corr_files[-1])) if corr_files else None
+    bench_path = os.path.join(repo, "bench.json")
+    bench = json.load(open(bench_path)) if os.path.exists(bench_path) else None
+    return corr, (corr_files[-1] if corr_files else None), bench
+
+
+def close(claim, actual):
+    return actual > 0 and abs(claim / actual - 1) <= TOLERANCE
+
+
+def main():
+    survey = sys.argv[1] if len(sys.argv) > 1 else "SURVEY.md"
+    repo = os.path.dirname(os.path.abspath(survey)) or "."
+    text = open(survey).read()
+    section, round_n = latest_round_section(text)
+    corr, corr_file, bench = load_artifacts(repo)
+    flags = []
+
+    # 1. all-pass claims X/X
+    if corr is not None:
+        n = len(corr)
+        bad = [k for k, v in corr.items()
+               if not (v.get("rows_match") and v.get("schema_match")
+                       and v.get("hash_match"))]
+        for m in re.finditer(r"\b(\d{3,})/(\d{3,})\b", section):
+            a, b = int(m.group(1)), int(m.group(2))
+            if a == b:
+                if a != n:
+                    flags.append(f"claim '{a}/{b}' != {n} queries in "
+                                 f"{os.path.basename(corr_file)}")
+                elif bad:
+                    flags.append(f"claim '{a}/{b}' but {len(bad)} queries "
+                                 f"fail in {os.path.basename(corr_file)}: "
+                                 f"{bad[:5]}")
+
+    # 2. per-query timing claims
+    if bench:
+        qmed = bench.get("queries", {})
+        qmin = bench.get("queries_min", {})
+        qreps = bench.get("queries_reps", {})
+        # anchor on KNOWN query names (a generic word+number regex is
+        # non-overlapping and lets an unrelated earlier word consume the
+        # window holding the real claim), then read the first "<float> s"
+        # within 80 chars after the name
+        num = re.compile(r"(\d+(?:\.\d+)?)\s*s\b")
+        claims = []
+        for name in qmed:
+            for m in re.finditer(re.escape(name) + r"\b", section):
+                n = num.search(section[m.end():m.end() + 80])
+                if n:
+                    claims.append((name, float(n.group(1))))
+        for name, val in claims:
+            candidates = [qmed[name]] + \
+                ([qmin[name]] if name in qmin else []) + qreps.get(name, [])
+            if not any(close(val, c) or abs(val - c) < 0.05
+                       for c in candidates):
+                flags.append(
+                    f"'{name}' claimed {val}s; bench.json median="
+                    f"{qmed[name]}s min={qmin.get(name)}s "
+                    f"reps={qreps.get(name)}")
+
+        # 3. suite-total claims
+        total = bench.get("value")
+        for m in re.finditer(
+                r"(\d+(?:\.\d+)?)\s*s\s+total|total[^\n]{0,40}?"
+                r"(\d+(?:\.\d+)?)\s*s\b", section):
+            val = float(m.group(1) or m.group(2))
+            if total and val > 10 and not close(val, total):
+                flags.append(f"suite-total claim {val}s vs bench.json "
+                             f"value={total}s")
+
+    label = f"round {round_n}" if round_n else "whole file"
+    if flags:
+        print(f"ledger_check: {len(flags)} claim(s) in {survey} ({label}) "
+              f"do not reproduce from committed artifacts:")
+        for f in flags:
+            print(f"  DRIFT: {f}")
+        return 1
+    print(f"ledger_check: OK — no drift found in {survey} ({label}) "
+          f"vs {os.path.basename(corr_file) if corr_file else 'n/a'} "
+          f"and bench.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
