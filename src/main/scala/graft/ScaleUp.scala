@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   *     sizes and dup-cluster shapes stay sf0.1-like instead of inflating
   *     `factor`× (which would make dedup queries look superlinear for
   *     data-shape reasons, not plan reasons);
-  *   - replica embeddings get a per-slot hash epsilon (±0.1 max), keeping
-  *     vectors distinct without moving the global distribution;
+  *   - replica embeddings are DIMENSION-ROTATED (slots shifted by
+  *     (7·i) mod dim — an isometry, so every within-replica pairwise
+  *     similarity and the global norm distribution are preserved exactly)
+  *     plus a per-slot hash epsilon (±0.1). Rotation matters for the same
+  *     reason as the text permutation: an epsilon alone leaves each
+  *     replica cosine≈0.99 to its original, so semantic near-dup
+  *     clusters inflate `factor`× and candidate pairs `factor`²× — the
+  *     first sf1 run measured x_dedup_semantic 58× at 10× data purely
+  *     from that data-shape artifact (SCALE_sf1 history);
   *   - region/nation are fixed dimensions and are copied once.
   *
   * Tables land as ONE parquet file each (`<dst>/<table>.parquet`), the
@@ -64,8 +71,11 @@ object ScaleUp {
     val spark = LocalSession.build(logLevel = "ERROR")
     new java.io.File(dstDir).mkdirs()
     def t(name: String): DataFrame = graft.io.Tables.table(spark, srcDir, name)
+    // replica key stride: max+1, NOT max — 0-based key spaces (documents'
+    // doc_id runs 0..4999) would otherwise collide at every replica
+    // boundary (i*max + max == (i+1)*max + 0)
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0)
+      df.agg(max(col(c))).head().getLong(0) + 1
 
     val (cust, supp, part0, ord, li, ev, docs, emb) =
       (t("customer"), t("supplier"), t("part"), t("orders"),
@@ -115,11 +125,17 @@ object ScaleUp {
       dstDir, "documents")
     one(spark, reps(emb)((d, i) =>
       if (i == 0) d
-      else d
-        .withColumn("vec_id", col("vec_id") + lit(i * mV))
-        .withColumn("embedding", transform(col("embedding"), (x, j) =>
-          (x + (pmod(hash(col("vec_id"), j, lit(i)), lit(2001)) - lit(1000))
-            .cast("float") / lit(10000.0f)).cast("float")))),
+      else {
+        val e = col("embedding")
+        val k = ((i * 7) % 64).max(1)
+        d.withColumn("vec_id", col("vec_id") + lit(i * mV))
+          .withColumn("embedding", when(e.isNull, e).otherwise(
+            concat(slice(e, lit(k + 1), size(e) - lit(k)),
+              slice(e, lit(1), lit(k)))))
+          .withColumn("embedding", transform(col("embedding"), (x, j) =>
+            (x + (pmod(hash(col("vec_id"), j, lit(i)), lit(2001)) - lit(1000))
+              .cast("float") / lit(10000.0f)).cast("float")))
+      }),
       dstDir, "embeddings")
 
     spark.stop()

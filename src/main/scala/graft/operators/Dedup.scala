@@ -988,10 +988,20 @@ object Dedup {
     * tables are OR-ed (union of candidate pairs) for recall; each join
     * partition is a (cell, table, bucket) bucket — never a whole cell, so the
     * pair space is bounded by bucket collisions at any corpus size.
+    *
+    * `maxBucket` is the SAME pair-explosion guard as the minhash/simhash
+    * paths ([[capBuckets]]): a (cell, table, bucket) bucket larger than the
+    * cap is a semantic mega-cluster (boilerplate embeddings, template
+    * pages) whose O(bucket²) pairing yields no information — collapse it
+    * upstream with exact dedup instead. The r12 sf1 scale run motivated
+    * closing this gap: an embedding corpus whose cluster density grows
+    * with size turns the uncapped self-join quadratic (measured 58× wall
+    * at 10× data before the guard; the text paths were already guarded).
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        cellCol: String, threshold: Double,
-                       nTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
+                       nTables: Int = 4, bitsPerTable: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val totalPlanes = nTables * bitsPerTable
     val base = df.select(col(idCol).as("id"), col(cellCol).as("cell"),
       Similarity.quantize(col(vecCol)).as("vq"))
@@ -1000,11 +1010,12 @@ object Dedup {
       struct(lit(t).as("tbl"),
         Similarity.signLshBucket(col("vq"), planes, totalPlanes).as("bkt"))
     }
-    val bucketed = base
+    val bucketed = capBuckets(base
       .select(col("id"), col("cell"), col("vq"),
         explode(array(tables: _*)).as("tb"))
       .select(col("id"), col("cell"), col("vq"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt")),
+      Seq("cell", "tbl", "bkt"), maxBucket)
     val a = bucketed.select(col("id").as("a_id"), col("cell"),
       col("tbl"), col("bkt"), col("vq").as("a_vq"))
     val b = bucketed.select(col("id").as("b_id"), col("cell"),

@@ -1163,8 +1163,11 @@ object Pipeline {
         |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
         |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
         |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |brf AS (SELECT vec_id, label, tbl, bkt FROM (SELECT vec_id, label, tbl, bkt,
+        |  count(*) OVER (PARTITION BY label, tbl, bkt) AS bsz FROM br)
+        |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id, x.label AS cell
-        |  FROM br x JOIN br y ON x.label = y.label AND x.tbl = y.tbl
+        |  FROM brf x JOIN brf y ON x.label = y.label AND x.tbl = y.tbl
         |  AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
         |SELECT c.a_id, c.b_id, c.cell, $cosSql AS cosine
         |FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
@@ -1199,8 +1202,11 @@ object Pipeline {
         |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
         |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
         |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |brf AS (SELECT vec_id, label, tbl, bkt FROM (SELECT vec_id, label, tbl, bkt,
+        |  count(*) OVER (PARTITION BY label, tbl, bkt) AS bsz FROM br)
+        |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
         |sd_c AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-        |  FROM br x JOIN br y ON x.label = y.label AND x.tbl = y.tbl
+        |  FROM brf x JOIN brf y ON x.label = y.label AND x.tbl = y.tbl
         |  AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
         |sd_p AS (SELECT c.a_id, c.b_id, $cosSql AS cosine
         |  FROM sd_c c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id
@@ -1271,8 +1277,11 @@ object Pipeline {
         |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
         |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
         |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |brf AS (SELECT vec_id, label, tbl, bkt FROM (SELECT vec_id, label, tbl, bkt,
+        |  count(*) OVER (PARTITION BY label, tbl, bkt) AS bsz FROM br)
+        |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-        |  FROM br x JOIN br y ON x.label = y.label AND x.tbl = y.tbl
+        |  FROM brf x JOIN brf y ON x.label = y.label AND x.tbl = y.tbl
         |  AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
         |prs AS (SELECT c.a_id AS a, c.b_id AS b
         |  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id

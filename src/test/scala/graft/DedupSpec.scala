@@ -620,6 +620,28 @@ class DedupSpec extends AnyFunSuite {
       "only the same-cell identical pair qualifies (cells are hard shards)")
   }
 
+  test("embedding near-dup: the hot-bucket cap drops a semantic " +
+    "mega-cluster from pairing while small clusters still pair") {
+    // 40 identical vectors = every (cell, table, bucket) holds 40 rows;
+    // with maxBucket=8 the mega-cluster must emit ZERO pairs, while the
+    // planted 2-member cluster in another cell still pairs
+    val mega = (1L to 40L).map(i => (i, Array(1.0f, 0.5f, -0.25f, 0.75f), 7))
+    val smallPair = Seq(
+      (100L, Array(0.5f, -1.0f, 0.75f, 0.25f), 8),
+      (101L, Array(0.5f, -1.0f, 0.75f, 0.25f), 8))
+    val vecs = (mega ++ smallPair).toDF("vec_id", "embedding", "label")
+    val capped = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", "label",
+        0.95, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"mega-cluster must be dropped by the cap, small cluster kept: $capped")
+    val uncapped = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        "label", 0.95, maxBucket = Int.MaxValue)
+      .count()
+    assert(uncapped == 40L * 39 / 2 + 1,
+      s"uncapped control must pair the full mega-cluster: $uncapped")
+  }
+
   test("within-doc passage dedup: a repeated 8-token passage collapses to " +
     "its first occurrence; the kept fingerprint is the deduped sequence") {
     import spark.implicits._
