@@ -263,7 +263,7 @@ object Pipeline {
       |  FROM sm_p),
       |sm_r AS (SELECT a, b, diff, isl, count(*) AS run, min(pb) AS pb_start
       |  FROM sm_i GROUP BY 1,2,3,4),
-      |sm_c AS (SELECT b AS doc, CAST(pb_start AS BIGINT) AS st,
+      |sm_c AS (SELECT DISTINCT b AS doc, CAST(pb_start AS BIGINT) AS st,
       |    CAST(pb_start + run + 6 AS BIGINT) AS en
       |  FROM sm_r WHERE run + 7 >= 16),
       |sm_m AS (SELECT doc, st, en,
@@ -4227,7 +4227,7 @@ object Pipeline {
         |  FROM dm_p),
         |dm_r AS (SELECT eval_id, train_id, diff, isl, count(*) AS run, min(pt) AS pt_start
         |  FROM dm_i GROUP BY 1,2,3,4),
-        |dm_c AS (SELECT train_id AS doc, CAST(pt_start AS BIGINT) AS st,
+        |dm_c AS (SELECT DISTINCT train_id AS doc, CAST(pt_start AS BIGINT) AS st,
         |    CAST(pt_start + run + 6 AS BIGINT) AS en
         |  FROM dm_r WHERE run + 7 >= 16),
         |dm_m AS (SELECT doc, st, en,

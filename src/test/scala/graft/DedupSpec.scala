@@ -620,6 +620,31 @@ class DedupSpec extends AnyFunSuite {
       "only the same-cell identical pair qualifies (cells are hard shards)")
   }
 
+  test("substring removal mask: a span shared with TWO lower-id partners " +
+    "emits one merged cut, same as with one partner (duplicate-interval " +
+    "merge invariance — the law that lets the oracle DISTINCT its ranges)") {
+    // span sits at position 3 in the copier, so both partners contribute
+    // the IDENTICAL (st, en) range — at sf1 this duplicate-interval shape
+    // made the DuckDB oracle's two-stage window merge nondeterministic
+    // (tie order differed between the flag pass and the sum pass) until
+    // the oracle deduped; Spark's single-window merge was already stable
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    def doc(id: Long, prefix: String) = (id, s"$prefix x$id y$id $span")
+    val two = Seq(doc(1, "alpha"), doc(2, "beta"), doc(9, "gamma"))
+      .toDF("doc_id", "text")
+    val one = Seq(doc(1, "alpha"), doc(9, "gamma"))
+      .toDF("doc_id", "text")
+    def cuts(df: org.apache.spark.sql.DataFrame) =
+      Dedup.substringRemovalRanges(df, "doc_id", "text")
+        .where(col("doc_id") === 9)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val withTwo = cuts(two)
+    assert(withTwo == cuts(one),
+      s"duplicate ranges from a second partner must not change the merge: $withTwo")
+    assert(withTwo.size == 1 && withTwo.head._2 >= 16L,
+      s"the shared 16-token span must merge to one cut: $withTwo")
+  }
+
   test("embedding near-dup: the hot-bucket cap drops a semantic " +
     "mega-cluster from pairing while small clusters still pair") {
     // 40 identical vectors = every (cell, table, bucket) holds 40 rows;
