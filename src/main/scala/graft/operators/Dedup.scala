@@ -1010,12 +1010,16 @@ object Dedup {
       struct(lit(t).as("tbl"),
         Similarity.signLshBucket(col("vq"), planes, totalPlanes).as("bkt"))
     }
-    val bucketed = capBuckets(base
+    // persist the capped bucket table: Spark plans no CSE across the two
+    // sides of a self-join, so without this the quantize→bucket→cap chain
+    // runs TWICE (same reason minhashCandidates persists its band table)
+    val bucketed = registerPersisted(capBuckets(base
       .select(col("id"), col("cell"), col("vq"),
         explode(array(tables: _*)).as("tb"))
       .select(col("id"), col("cell"), col("vq"),
         col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt")),
       Seq("cell", "tbl", "bkt"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = bucketed.select(col("id").as("a_id"), col("cell"),
       col("tbl"), col("bkt"), col("vq").as("a_vq"))
     val b = bucketed.select(col("id").as("b_id"), col("cell"),
