@@ -75,6 +75,67 @@ def main():
         print(f"\nrep-spread >2x in {sys.argv[2]} (contention-suspect medians):")
         for r, q, ts in spread:
             print(f"  {q:36s} reps={[round(t, 3) for t in ts]}  ({r:.1f}x spread)")
+
+    # r13: contention-WINDOW attribution. Execution order is name order
+    # (Bench sorts); reps are interleaved round-robin since r13, so a
+    # multi-minute host-contention window lands on the SAME rep column of
+    # an execution-order-contiguous block of queries. Flag maximal runs of
+    # >=3 consecutive queries whose rep[k] is >=2x their own fastest rep
+    # as ONE suspected window (the r12 driver artifact's five contiguous
+    # x_approx_*..x_attribution_* outliers were exactly this shape, but
+    # with back-to-back reps they were uniformly slow on all reps and
+    # invisible to the spread flag above).
+    if reps:
+        names = sorted(reps)
+        n_reps = max(len(ts) for ts in reps.values())
+        windows = []
+        for k in range(n_reps):
+            run = []
+            for q in names:
+                ts = reps[q]
+                pos = [t for t in ts if t > 0]
+                hot = (len(ts) > k and ts[k] > 0 and len(pos) >= 2
+                       and ts[k] >= 2.0 * min(pos))
+                if hot:
+                    run.append(q)
+                else:
+                    if len(run) >= 3:
+                        windows.append((k, list(run)))
+                    run = []
+            if len(run) >= 3:
+                windows.append((k, list(run)))
+        if windows:
+            print("\nsuspected contention windows (contiguous >=3-query "
+                  "blocks >=2x slow in one rep column):")
+            for k, qs in windows:
+                worst = max(max(t for t in reps[q] if t > 0)
+                            / min(t for t in reps[q] if t > 0) for q in qs)
+                print(f"  rep {k + 1}: {qs[0]} .. {qs[-1]} "
+                      f"({len(qs)} queries, worst spread {worst:.1f}x) — "
+                      f"treat these medians' slow reps as environmental")
+    # Old-format artifacts (back-to-back reps, pre-r13) can't localize a
+    # window to a rep column; fall back to flagging an execution-order-
+    # contiguous block among the >2x-SLOWER comparison flags.
+    elif flagged:
+        slower = sorted(q for r, q, a, b in flagged if r > 1)
+        allq = sorted(set(oq) & set(nq))
+        pos = {q: i for i, q in enumerate(allq)}
+        block, blocks = [], []
+        for q in slower:
+            if block and pos[q] == pos[block[-1]] + 1:
+                block.append(q)
+            else:
+                if len(block) >= 3:
+                    blocks.append(list(block))
+                block = [q]
+        if len(block) >= 3:
+            blocks.append(list(block))
+        for b in blocks:
+            print(f"\nsuspected contention window (execution-order-"
+                  f"contiguous slowdowns): {b[0]} .. {b[-1]} "
+                  f"({len(b)} queries) — re-run these with "
+                  f"SPARK_GRAFT_BENCH_ONLY before concluding regression")
+
     env = new.get("env")
     if env:
         print(f"\nnew env: {env}")

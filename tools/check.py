@@ -3,13 +3,23 @@
 against DuckDB oracle SQL over the same parquet tables, compare value-hashes
 with columns sorted by name and rows sorted. Usage:
   python3 tools/check.py <sfDir> <verifyOutDir> [--json RESULTS.json]
+                                                [--bench BENCH.json]
 
 --json writes a per-query artifact in the driver's CORRECTNESS_r{N}.json
 shape (rows_match / schema_match / hash_match / spark_rows / oracle_rows /
 err) — used to commit the sf0.1 scale-consistency gate as a verifiable
-artifact rather than a ledger note.
+artifact rather than a ledger note. Since r13 each record also carries
+`oracle_s`, the DuckDB wall-clock of that oracle query (execute + fetch),
+so "Spark vs baseline" is a measured per-query number instead of a
+convention — BASELINE.md publishes no timings.
+
+--bench joins those oracle times against a committed bench artifact's
+Spark medians and prints the per-query spark/oracle ratio distribution,
+flagging only >5x outliers: single-node DuckDB SHOULD win at toy scale
+(no scheduler, no shuffle framework), so the flag is a plan-read lead,
+not a failure.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
 
@@ -30,17 +40,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf, out, json_path=None):
+def main(sf, out, json_path=None, bench_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     n_pass = n_fail = 0
     results = {}
+    oracle_s = {}
     def record(name, rows=None, schema=None, hsh=None, sr=None, orr=None, err=None):
         results[name] = {"rows_match": rows, "schema_match": schema,
                          "hash_match": hsh, "spark_rows": sr,
-                         "oracle_rows": orr, "err": err}
+                         "oracle_rows": orr, "err": err,
+                         "oracle_s": oracle_s.get(name)}
     for name, sql in sorted(oracle.items()):
         pdir = os.path.join(out, name)
         files = glob.glob(os.path.join(pdir, "*.parquet"))
@@ -49,7 +61,10 @@ def main(sf, out, json_path=None):
             record(name, err="no spark output"); continue
         try:
             got = canon(con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
-            want = canon(con.sql(sql).df())
+            t0 = time.monotonic()
+            want = con.sql(sql).df()
+            oracle_s[name] = round(time.monotonic() - t0, 3)
+            want = canon(want)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1
             record(name, err=str(e)); continue
@@ -104,16 +119,42 @@ def main(sf, out, json_path=None):
                 print(f"FAIL {name}: unreadable output: {e}"); n_fail += 1
                 record(name, err=f"unreadable output: {e}")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if oracle_s:
+        print(f"oracle wall-clock: {sum(oracle_s.values()):.1f}s total over "
+              f"{len(oracle_s)} queries (DuckDB execute+fetch)")
     if json_path:
         with open(json_path, "w") as f:
             json.dump(results, f, indent=2, sort_keys=True)
         print(f"wrote {json_path} ({len(results)} queries)")
+    if bench_path and oracle_s:
+        b = json.load(open(bench_path))
+        if isinstance(b.get("parsed"), dict):
+            b = b["parsed"]
+        sq = b.get("queries", {})
+        ratios = sorted(((sq[q] / oracle_s[q], q) for q in sq
+                         if q in oracle_s and oracle_s[q] > 0), reverse=True)
+        if ratios:
+            rs = [r for r, _ in ratios]
+            med = rs[len(rs) // 2]
+            print(f"\nspark/oracle ratio over {len(rs)} shared queries "
+                  f"(bench={bench_path}): median {med:.1f}x, "
+                  f"best {rs[-1]:.2f}x, worst {rs[0]:.1f}x")
+            print("  (single-node DuckDB is EXPECTED to win at toy scale; "
+                  "only >5x outliers merit a plan read)")
+            outliers = [(r, q) for r, q in ratios if r > 5]
+            for r, q in outliers[:15]:
+                print(f"  OUTLIER {q:36s} spark={sq[q]:7.3f}s "
+                      f"oracle={oracle_s[q]:7.3f}s  ({r:.1f}x)")
+            if len(outliers) > 15:
+                print(f"  ... and {len(outliers) - 15} more >5x")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    jp = None
-    if "--json" in sys.argv:
-        jp = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != jp]
-    sys.exit(main(args[0], args[1], jp))
+    def opt(flag):
+        if flag in sys.argv:
+            return sys.argv[sys.argv.index(flag) + 1]
+        return None
+    jp, bp = opt("--json"), opt("--bench")
+    args = [a for a in sys.argv[1:]
+            if not a.startswith("--") and a not in (jp, bp)]
+    sys.exit(main(args[0], args[1], jp, bp))

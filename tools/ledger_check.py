@@ -13,10 +13,16 @@ sections legitimately quote their own era's numbers):
    the newest CORRECTNESS_r*.json AND that artifact must be all-green.
 2. per-query timing claims "<query_name> ... <float> s" where the name
    is a bench.json query: the float must be within TOLERANCE of the
-   committed median, or equal the committed min (ledgers may quote the
-   contention floor), or match a raw rep when queries_reps is present.
+   committed MEDIAN (r13 — previously matching the min or any raw rep
+   also validated, which with a 2x contention spread let almost any
+   number pass). A claim matching only the min or a single rep now
+   prints a WARNING (non-fatal: ledgers may legitimately quote the
+   contention floor, but must say so).
 3. suite-total claims "<float> s total" / "total ... <float> s": must
    be within TOLERANCE of bench.json's "value".
+4. scale claims (r13): "N sublinear", "N linear", "N SUPERLINEAR" and
+   "worst exponent F" in the latest section must match the newest
+   committed SCALE_sf*.json's verdict counts / max exponent.
 
 This is a heuristic gate (regex, not a parser): it can miss a claim,
 but anything it flags IS a number that does not reproduce from the
@@ -60,6 +66,7 @@ def main():
     section, round_n = latest_round_section(text)
     corr, corr_file, bench = load_artifacts(repo)
     flags = []
+    warns = []
 
     # 1. all-pass claims X/X
     if corr is not None:
@@ -94,11 +101,19 @@ def main():
                 n = num.search(section[m.end():m.end() + 80])
                 if n:
                     claims.append((name, float(n.group(1))))
+        def matches(val, c):
+            return close(val, c) or abs(val - c) < 0.05
         for name, val in claims:
-            candidates = [qmed[name]] + \
-                ([qmin[name]] if name in qmin else []) + qreps.get(name, [])
-            if not any(close(val, c) or abs(val - c) < 0.05
-                       for c in candidates):
+            if matches(val, qmed[name]):
+                continue
+            floor = ([qmin[name]] if name in qmin else []) + \
+                qreps.get(name, [])
+            if any(matches(val, c) for c in floor):
+                warns.append(
+                    f"'{name}' claimed {val}s matches only the min/a raw "
+                    f"rep, not the median ({qmed[name]}s) — if quoting "
+                    f"the contention floor, say so in the ledger")
+            else:
                 flags.append(
                     f"'{name}' claimed {val}s; bench.json median="
                     f"{qmed[name]}s min={qmin.get(name)}s "
@@ -114,7 +129,38 @@ def main():
                 flags.append(f"suite-total claim {val}s vs bench.json "
                              f"value={total}s")
 
+    # 4. scale claims vs the newest committed SCALE_sf*.json
+    scale_files = sorted(glob.glob(os.path.join(repo, "SCALE_sf*.json")),
+                         key=os.path.getmtime)
+    if scale_files and re.search(r"\bsublinear\b", section, re.I):
+        sc = json.load(open(scale_files[-1]))
+        sc_name = os.path.basename(scale_files[-1])
+        verd = [r["verdict"] for r in sc.get("queries", [])]
+        # "superlinear" accepts the gated count or the gated+small total —
+        # either is an honest reading of the artifact
+        actual = {"sublinear": {sum(v == "sublinear" for v in verd)},
+                  "linear": {sum(v == "linear" for v in verd)},
+                  "superlinear": {sum(v == "SUPERLINEAR" for v in verd),
+                                  sum(v.startswith("SUPERLINEAR")
+                                      for v in verd)}}
+        for m in re.finditer(
+                r"(\d+)\s+(sublinear|linear|superlinear)\b", section, re.I):
+            n, kind = int(m.group(1)), m.group(2).lower()
+            if n not in actual[kind]:
+                flags.append(f"claim '{n} {kind}' != {sorted(actual[kind])} "
+                             f"in {sc_name}")
+        expos = [r["exponent"] for r in sc.get("queries", [])]
+        if expos:
+            worst = max(expos)
+            for m in re.finditer(
+                    r"worst exponent\s+(\d+(?:\.\d+)?)", section, re.I):
+                if abs(float(m.group(1)) - worst) > 0.015:
+                    flags.append(f"claim 'worst exponent {m.group(1)}' != "
+                                 f"{worst} in {sc_name}")
+
     label = f"round {round_n}" if round_n else "whole file"
+    for w in warns:
+        print(f"  WARN: {w}")
     if flags:
         print(f"ledger_check: {len(flags)} claim(s) in {survey} ({label}) "
               f"do not reproduce from committed artifacts:")
@@ -122,8 +168,10 @@ def main():
             print(f"  DRIFT: {f}")
         return 1
     print(f"ledger_check: OK — no drift found in {survey} ({label}) "
-          f"vs {os.path.basename(corr_file) if corr_file else 'n/a'} "
-          f"and bench.json")
+          f"vs {os.path.basename(corr_file) if corr_file else 'n/a'}, "
+          f"bench.json"
+          + (f", {os.path.basename(scale_files[-1])}" if scale_files else "")
+          + (f" ({len(warns)} warning(s))" if warns else ""))
     return 0
 
 
