@@ -73,9 +73,13 @@ object ScaleUp {
     def t(name: String): DataFrame = graft.io.Tables.table(spark, srcDir, name)
     // replica key stride: max+1, NOT max — 0-based key spaces (documents'
     // doc_id runs 0..4999) would otherwise collide at every replica
-    // boundary (i*max + max == (i+1)*max + 0)
-    def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0) + 1
+    // boundary (i*max + max == (i+1)*max + 0). Cast to long (int-typed key
+    // columns would ClassCastException on getLong) and treat an empty /
+    // all-null table as stride 1 instead of NPE-ing on the null max.
+    def maxOf(df: DataFrame, c: String): Long = {
+      val row = df.agg(max(col(c).cast("long"))).head()
+      if (row.isNullAt(0)) 1L else row.getLong(0) + 1
+    }
 
     val (cust, supp, part0, ord, li, ev, docs, emb) =
       (t("customer"), t("supplier"), t("part"), t("orders"),
@@ -123,11 +127,18 @@ object ScaleUp {
           when(col("text").isNull, col("n_chars"))
             .otherwise(length(col("text")).cast("long")))),
       dstDir, "documents")
+    // rotation modulus = the actual embedding dimension (a 64-slot
+    // hard-code would slice a negative length on dims < 64); empty table
+    // → dim 1, the rotation degenerates to identity harmlessly
+    val embDim = {
+      val row = emb.agg(max(size(col("embedding")))).head()
+      if (row.isNullAt(0)) 1 else math.max(row.getInt(0), 1)
+    }
     one(spark, reps(emb)((d, i) =>
       if (i == 0) d
       else {
         val e = col("embedding")
-        val k = ((i * 7) % 64).max(1)
+        val k = ((i * 7) % embDim).max(1)
         d.withColumn("vec_id", col("vec_id") + lit(i * mV))
           .withColumn("embedding", when(e.isNull, e).otherwise(
             concat(slice(e, lit(k + 1), size(e) - lit(k)),

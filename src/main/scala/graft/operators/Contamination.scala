@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * contamination check run before training on a scraped corpus (the same
   * n-gram-overlap formulation the GPT-3/PaLM/Llama reports describe).
   *
-  * Shape: each side emits its distinct n-gram fingerprints (md5 — the
-  * 32-byte shuffle key, never the text), non-discriminative n-grams that
-  * occur in more than `maxDocFreq` training docs are dropped (boilerplate
-  * carries no contamination signal and would otherwise fan the join out
-  * quadratically — same guard philosophy as Dedup's LSH bucket cap), and
-  * one equi-join on the fingerprint + count aggregation yields
-  * (eval_id, train_id, n_shared). Everything shuffles by fingerprint or by
-  * doc pair — no cross join at any corpus size.
+  * Shape: each side emits its distinct n-gram fingerprints (XXH64 over
+  * the token-array slice — an 8-byte shuffle key, never the text; see
+  * Dedup.gramHashes for the collision argument), non-discriminative
+  * n-grams that occur in more than `maxDocFreq` training docs are dropped
+  * (boilerplate carries no contamination signal and would otherwise fan
+  * the join out quadratically — same guard philosophy as Dedup's LSH
+  * bucket cap), and one equi-join on the fingerprint + count aggregation
+  * yields (eval_id, train_id, n_shared). Everything shuffles by
+  * fingerprint or by doc pair — no cross join at any corpus size.
   */
 object Contamination {
 
@@ -29,10 +30,12 @@ object Contamination {
     def fps(df: DataFrame, as: String): DataFrame = df
       .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col(as),
-        explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n)))
-          .as("sh"))
-      .select(col(as), md5(col("sh")).as("fp"))
-    val train = fps(trainDocs, "train_id")
+        explode(array_distinct(Dedup.gramHashes(col("toks"), n))).as("fp"))
+    // persist the train fingerprints: the df-cap aggregation and the
+    // anti-join side both consume them — without the persist the
+    // tokenize→gram-hash pipeline runs twice over the (large) train side
+    val train = CacheRegistry.register(fps(trainDocs, "train_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // boilerplate blocklist: n-grams in > maxDocFreq train docs. The
     // groupBy partial-aggregates map-side; the heavy-fp list is usually
     // small (the boilerplate tail) but grows with corpus size, so NO
@@ -72,12 +75,10 @@ object Contamination {
     def fps(df: DataFrame, as: String): DataFrame = df
       .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col(as),
-        explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n)))
-          .as("sh"))
-      .select(col(as), md5(col("sh")).as("fp"))
+        explode(array_distinct(Dedup.gramHashes(col("toks"), n))).as("fp"))
     // persist the eval fps: the bloom build (eager, below) and the exact
     // confirm join both consume them — without the persist the eval
-    // tokenize→shingle→md5 pipeline runs twice (no cross-job reuse)
+    // tokenize→gram-hash pipeline runs twice (no cross-job reuse)
     val ev = CacheRegistry.register(fps(evalDocs, "eval_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // ONE driver-side scalar: the serialized filter (might_contain requires
@@ -120,14 +121,14 @@ object Contamination {
                           idCol: String, textCol: String,
                           n: Int = 8, minSpanTokens: Int = 16,
                           maxDocFreq: Int = 128): DataFrame = {
-    def posts(df: DataFrame, as: String, posAs: String): DataFrame = df
-      .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col(as), posexplode(
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))))
-      .select(col(as), (col("pos") + 1).as(posAs), col("col").as("h"))
-    val tr = posts(trainDocs, "train_id", "pt")
+    def posts(df: DataFrame, as: String, posAs: String): DataFrame =
+      Dedup.postings(df, idCol, textCol, n)
+        .select(col("doc").as(as), col("pos").as(posAs), col("h"))
+    // persist the train postings: the df-cap aggregation and the anti-join
+    // side both consume them — without the persist the tokenize→gram-hash
+    // pipeline runs twice over the (large) train side
+    val tr = CacheRegistry.register(posts(trainDocs, "train_id", "pt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val heavy = tr.groupBy("h").agg(countDistinct(col("train_id")).as("__df"))
       .where(col("__df") > maxDocFreq).select("h")
     val ranges = posts(evalDocs, "eval_id", "pe")

@@ -73,6 +73,22 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(TextAnalysis.tokens(text), n)
 
+  /** 64-bit n-gram fingerprints from a materialized token array — the
+    * hash-keyed twin of [[shinglesFromTokens]]: XXH64 is computed DIRECTLY
+    * over each n-token array slice (no joined string ever materializes)
+    * and the keys downstream exchanges carry are 8-byte longs instead of
+    * 32-char md5 hex. Matches shinglesFromTokens' short-doc rule: a
+    * document shorter than `n` tokens contributes its whole token array
+    * as one fingerprint. Sequence-determined: token arrays of different
+    * lengths hash differently, so a short doc's whole-array fingerprint
+    * can never alias a longer doc's n-slice (same disjointness the string
+    * form had — a join of k tokens is injective over token sequences).
+    */
+  def gramHashes(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(xxhash64(toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(slice(toks, i, lit(n)))))
+
   /** Per-doc MinHash signature: the shingle is hashed just twice
     * (md5(sh) ++ md5('#'+sh) = 64 hex chars) and the 16 disjoint 4-hex-char
     * chunks — decoded to 16-bit INTS — serve as 16 independent uniform
@@ -893,27 +909,54 @@ object Dedup {
       .select(col("doc").as("doc_id"), col("cut_start"), col("cut_len"))
   }
 
+  /** Positional n-gram postings (doc, pos, h): one row per n-token gram,
+    * keyed by the 64-bit XXH64 of the token-array slice. The hash is
+    * computed DIRECTLY over the array slice (no concat_ws string ever
+    * materializes — r13, ~2× less per-gram CPU than the previous
+    * md5-of-joined-string) and the key is an 8-byte long instead of a
+    * 32-char md5 hex string, so every downstream exchange carries 6×
+    * narrower keys. Collisions cannot corrupt the substring family's
+    * output in practice: a false SPAN requires ≥ minSpan−n+1 *consecutive
+    * diagonal-aligned* 64-bit collisions between the same two documents —
+    * astronomically unlikely even at 10^12 grams (a single stray collision
+    * only seeds a length-n island, below any real `minSpanTokens`).
+    */
+  private[operators] def postings(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int): DataFrame = df
+    .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    .where(size(col("toks")) >= n)
+    .select(col("doc"), posexplode(
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => xxhash64(slice(col("toks"), i, lit(n))))))
+    .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("h"))
+
   /** Shared core of the substring family: per (pair, diagonal, island) the
     * consecutive-gram run length and where the run starts on each side.
     * See `substringSpans` for the method and the 100 TB cost contract.
+    *
+    * Pairing (r13): instead of a posting self-join (two exchanges + two
+    * sorts of the full posting table), the df-capped postings group ONCE
+    * by gram hash into per-gram (doc, pos) arrays — bounded by the df cap
+    * times per-doc repeats, the same bound the old join's fan-out had —
+    * and each array emits its cross pairs (a < b) with a per-row nested
+    * explode. One exchange of the posting table replaces the join's two,
+    * and nothing is ever sorted by gram.
     */
   private def spanRuns(df: DataFrame, idCol: String, textCol: String,
                        n: Int, maxDf: Int): DataFrame = {
-    val grams = registerPersisted(df
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc"), posexplode(
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))))
-      .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("h"))
-      .persist())
+    val grams = registerPersisted(
+      postings(df, idCol, textCol, n).persist())
     val heavy = grams.groupBy("h").agg(countDistinct(col("doc")).as("__df"))
       .where(col("__df") > maxDf).select("h")
     val post = grams.join(heavy, Seq("h"), "left_anti")
-    post.select(col("doc").as("a"), col("pos").as("pa"), col("h"))
-      .join(post.select(col("doc").as("b"), col("pos").as("pb"), col("h")),
-        Seq("h"))
-      .where(col("a") < col("b"))
+    post.groupBy("h")
+      .agg(collect_list(struct(col("doc"), col("pos"))).as("ps"))
+      .select(col("ps"), explode(col("ps")).as("x"))
+      .select(col("x"),
+        explode(filter(col("ps"), y => col("x.doc") < y.getField("doc")))
+          .as("y"))
+      .select(col("x.doc").as("a"), col("x.pos").as("pa"),
+        col("y.doc").as("b"), col("y.pos").as("pb"))
       .withColumn("diff", col("pa") - col("pb"))
       .withColumn("isl", col("pa") - row_number().over(
         Window.partitionBy(col("a"), col("b"), col("diff")).orderBy(col("pa"))))

@@ -244,12 +244,13 @@ object StreamingSync {
     val base = freshBase(ss, "decon")
     def slice(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("int") % 100
+    // 64-bit gram fingerprints (Dedup.gramHashes): the broadcast probe set
+    // carries 8-byte longs instead of 32-char md5 hex, and each micro-batch
+    // hashes array slices directly — no shingle string ever materializes
     def fps(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), 8)))
-          .as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("fp"))
+        explode(array_distinct(Dedup.gramHashes(col("toks"), 8))).as("fp"))
     val evalFps = fps(graft.io.Tables.table(ss, sfDir, "documents")
       .where(slice(col("doc_id")) >= 95))
     val probes = evalFps.groupBy("fp")
