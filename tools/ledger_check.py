@@ -129,34 +129,41 @@ def main():
                 flags.append(f"suite-total claim {val}s vs bench.json "
                              f"value={total}s")
 
-    # 4. scale claims vs the newest committed SCALE_sf*.json
-    scale_files = sorted(glob.glob(os.path.join(repo, "SCALE_sf*.json")),
-                         key=os.path.getmtime)
+    # 4. scale claims vs the committed SCALE_sf*.json artifacts. A round
+    # may quote several scale points (sf1 AND sf3); a count/exponent claim
+    # passes if ANY committed scale artifact backs it, and flags only when
+    # no artifact does.
+    scale_files = sorted(glob.glob(os.path.join(repo, "SCALE_sf*.json")))
     if scale_files and re.search(r"\bsublinear\b", section, re.I):
-        sc = json.load(open(scale_files[-1]))
-        sc_name = os.path.basename(scale_files[-1])
-        verd = [r["verdict"] for r in sc.get("queries", [])]
-        # "superlinear" accepts the gated count or the gated+small total —
-        # either is an honest reading of the artifact
-        actual = {"sublinear": {sum(v == "sublinear" for v in verd)},
-                  "linear": {sum(v == "linear" for v in verd)},
-                  "superlinear": {sum(v == "SUPERLINEAR" for v in verd),
-                                  sum(v.startswith("SUPERLINEAR")
-                                      for v in verd)}}
+        names = [os.path.basename(p) for p in scale_files]
+        actuals = []   # per artifact: {kind: set(acceptable counts)}
+        worsts = []    # per artifact: max exponent
+        for p in scale_files:
+            sc = json.load(open(p))
+            verd = [r["verdict"] for r in sc.get("queries", [])]
+            # "superlinear" accepts the gated count or the gated+small
+            # total — either is an honest reading of the artifact
+            actuals.append(
+                {"sublinear": {sum(v == "sublinear" for v in verd)},
+                 "linear": {sum(v == "linear" for v in verd)},
+                 "superlinear": {sum(v == "SUPERLINEAR" for v in verd),
+                                 sum(v.startswith("SUPERLINEAR")
+                                     for v in verd)}})
+            expos = [r["exponent"] for r in sc.get("queries", [])]
+            if expos:
+                worsts.append(max(expos))
         for m in re.finditer(
                 r"(\d+)\s+(sublinear|linear|superlinear)\b", section, re.I):
             n, kind = int(m.group(1)), m.group(2).lower()
-            if n not in actual[kind]:
-                flags.append(f"claim '{n} {kind}' != {sorted(actual[kind])} "
-                             f"in {sc_name}")
-        expos = [r["exponent"] for r in sc.get("queries", [])]
-        if expos:
-            worst = max(expos)
-            for m in re.finditer(
-                    r"worst exponent\s+(\d+(?:\.\d+)?)", section, re.I):
-                if abs(float(m.group(1)) - worst) > 0.015:
-                    flags.append(f"claim 'worst exponent {m.group(1)}' != "
-                                 f"{worst} in {sc_name}")
+            if not any(n in a[kind] for a in actuals):
+                flags.append(
+                    f"claim '{n} {kind}' backed by none of {names} "
+                    f"(actuals: {[sorted(a[kind]) for a in actuals]})")
+        for m in re.finditer(
+                r"worst exponent\s+(\d+(?:\.\d+)?)", section, re.I):
+            if not any(abs(float(m.group(1)) - w) <= 0.015 for w in worsts):
+                flags.append(f"claim 'worst exponent {m.group(1)}' backed "
+                             f"by none of {names} (actuals: {worsts})")
 
     label = f"round {round_n}" if round_n else "whole file"
     for w in warns:
