@@ -1040,6 +1040,19 @@ object Dedup {
     * closing this gap: an embedding corpus whose cluster density grows
     * with size turns the uncapped self-join quadratic (measured 58× wall
     * at 10× data before the guard; the text paths were already guarded).
+    *
+    * SIZING AT SCALE (r13): the bucket space per (cell, table) is fixed at
+    * 2^bitsPerTable, so mean occupancy grows linearly with corpus size and
+    * will eventually cross `maxBucket` — at which point the guard
+    * (correctly) drops everything and recall collapses to zero. Grow
+    * `bitsPerTable` with the corpus: bitsPerTable ≈ log2(n_vectors /
+    * (n_cells · targetOccupancy)), keeping targetOccupancy well under
+    * `maxBucket` (~16–32 is a good operating point). Measured at a 30×
+    * corpus (60k vectors, 20 cells): bits=4 → 0 pairs (every bucket past
+    * the cap), bits=6 → 80,682 candidate pairs in 20 s, bits=8 → 31,955
+    * in 11 s (finer buckets trade recall for cost, the standard LSH
+    * dial). The cap stays CONSTANT — it bounds worst-case skew, not mean
+    * occupancy.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        cellCol: String, threshold: Double,
