@@ -930,4 +930,27 @@ class DedupSpec extends AnyFunSuite {
     assert(diverged > identical + 1000,
       s"diverged tail must raise NCD: $diverged vs $identical")
   }
+
+  test("gramHashes law: short docs emit ONE whole-array fingerprint, long " +
+    "docs emit tokens-n+1, equal sequences agree, lengths never alias") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "a b c"),                       // 3 tokens < n=8 -> whole-array fp
+      (2L, "a b c"),                       // identical short doc
+      (3L, "one two three four five six seven eight nine")) // 9 -> 2 grams
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.Dedup.gramHashes(
+          graft.operators.TextAnalysis.tokens(col("text")), 8).as("fps"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).size == 1, "short doc emits exactly one fingerprint")
+    assert(rows(3L).size == 2, "9 tokens at n=8 emit 2 positional grams")
+    assert(rows(1L) == rows(2L), "equal token sequences hash equal")
+    // a short doc's whole-array fp must not alias any n-slice of a longer
+    // doc (different array lengths hash differently)
+    assert(rows(3L).intersect(rows(1L)).isEmpty,
+      "length-3 whole-array fp aliased an 8-slice fp")
+  }
 }
