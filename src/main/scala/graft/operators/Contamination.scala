@@ -129,8 +129,8 @@ object Contamination {
     // pipeline runs twice over the (large) train side
     val tr = CacheRegistry.register(posts(trainDocs, "train_id", "pt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val heavy = tr.groupBy("h").agg(countDistinct(col("train_id")).as("__df"))
-      .where(col("__df") > maxDocFreq).select("h")
+    // df-cap without shuffling raw posting volume: see Dedup.heavyGrams
+    val heavy = Dedup.heavyGrams(tr, "train_id", maxDocFreq)
     val ranges = posts(evalDocs, "eval_id", "pe")
       .join(tr.join(heavy, Seq("h"), "left_anti"), Seq("h"))
       .withColumn("diff", col("pe") - col("pt"))

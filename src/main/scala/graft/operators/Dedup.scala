@@ -930,6 +930,28 @@ object Dedup {
         i => xxhash64(slice(col("toks"), i, lit(n))))))
     .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("h"))
 
+  /** Grams whose DISTINCT-document frequency exceeds `maxDf`, computed
+    * without ever shuffling raw posting volume (r13): a plain
+    * `groupBy(h).count()` map-side-combines (the exchange carries one row
+    * per partition-distinct gram, not one per posting — the old
+    * `countDistinct` planned a first exchange keyed (h, doc) that moved
+    * every posting row), and since total posting count ≥ distinct-doc
+    * count, only grams whose TOTAL count exceeds the cap can possibly
+    * exceed it in distinct docs. The exact countDistinct then runs over
+    * just those suspects (the boilerplate tail — broadcast-joined back,
+    * aggregating a vanishing fraction of the postings). Result identical
+    * to countDistinct-over-everything; oracle parity pinned by the same
+    * queries.
+    */
+  private[operators] def heavyGrams(posts: DataFrame, docCol: String,
+                                    maxDf: Int): DataFrame = {
+    val suspects = posts.groupBy("h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxDf).select("h")
+    posts.join(suspects, Seq("h"))
+      .groupBy("h").agg(countDistinct(col(docCol)).as("__df"))
+      .where(col("__df") > maxDf).select("h")
+  }
+
   /** Shared core of the substring family: per (pair, diagonal, island) the
     * consecutive-gram run length and where the run starts on each side.
     * See `substringSpans` for the method and the 100 TB cost contract.
@@ -946,8 +968,7 @@ object Dedup {
                        n: Int, maxDf: Int): DataFrame = {
     val grams = registerPersisted(
       postings(df, idCol, textCol, n).persist())
-    val heavy = grams.groupBy("h").agg(countDistinct(col("doc")).as("__df"))
-      .where(col("__df") > maxDf).select("h")
+    val heavy = heavyGrams(grams, "doc", maxDf)
     val post = grams.join(heavy, Seq("h"), "left_anti")
     post.groupBy("h")
       .agg(collect_list(struct(col("doc"), col("pos"))).as("ps"))

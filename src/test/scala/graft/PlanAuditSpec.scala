@@ -330,15 +330,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // robots policy: the sources-sized DISTINCT (its partial+final
       // agg) feeding the broadcast; the corpus side never shuffles
       "x_robots_block" -> 2,
-      // substring/posting family (r13 shape): the df-cap countDistinct
-      // pair of exchanges, ONE groupBy(h) collect exchange replacing the
-      // old self-join's two (+sorts), the (a,b,diff) islands window, and
-      // the final per-pair agg — a 7th exchange means the single-exchange
-      // pair generation regressed to a posting self-join
-      "x_dedup_substring" -> 6, "x_dedup_substring_mask" -> 6,
-      "x_decontaminate_mask" -> 6,
+      // substring/posting family (r13 shape): node count is 8, but only
+      // TWO exchanges carry posting-order volume — the map-side-combined
+      // groupBy(h).count() of the df-cap suspect pass (Dedup.heavyGrams;
+      // replacing countDistinct's full-volume (h,doc) exchange bought 2×
+      // at sf1) and the ONE groupBy(h) collect that replaced the old
+      // posting self-join's two; the rest are the tiny suspect-confirm
+      // pair, the (a,b,diff) islands window, and the per-pair aggs.
+      // A 9th exchange means one of those reductions regressed.
+      "x_dedup_substring" -> 8, "x_dedup_substring_mask" -> 8,
+      "x_decontaminate_mask" -> 8,
       // surgery report adds the per-doc cut agg + the source rollup on top
-      "x_surgery_report" -> 8,
+      "x_surgery_report" -> 10,
       // hybrid search: textual count — the persisted BM25 tf subtree is
       // re-counted in its consumers (same accounting as x_search_tfidf)
       // + the 1-row-probe vector leg's rank window + the 20x20
