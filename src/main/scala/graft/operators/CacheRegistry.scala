@@ -44,17 +44,29 @@ private[graft] object CacheRegistry {
     df
   }
 
-  /** Eagerly unpersist one registered table (reference identity) and drop
-    * it from the registry. Operators that can bound an intermediate's
-    * lifetime — an iteration frame superseded by the next round, an edge
-    * table a checkpoint made redundant — release in-function instead of
-    * leaning on FIFO eviction, so repeated invocations in one session
-    * don't accumulate MEMORY_AND_DISK entries.
+  /** Eagerly unpersist one registered table and drop it from the registry.
+    * Operators that can bound an intermediate's lifetime — an iteration
+    * frame superseded by the next round, an edge table a checkpoint made
+    * redundant — release in-function instead of leaning on FIFO eviction,
+    * so repeated invocations in one session don't accumulate
+    * MEMORY_AND_DISK entries.
+    *
+    * Lookup is by analyzed-plan `sameResult`, matching [[register]]'s
+    * dedupe: `unpersist()` uncaches by PLAN, so a caller holding a
+    * reference that a later same-plan registration deduped out must NOT
+    * unpersist — that would drop the SHARED cache entry out from under the
+    * live registrant (the r13 rep-thrash, moved to the release path).
+    * A stale reference's release is therefore a no-op; only the live
+    * registrant's release (or an unregistered frame's) unpersists.
     */
   def release(df: DataFrame): Unit = entries.synchronized {
-    val i = entries.indexWhere(_ eq df)
-    if (i >= 0) entries.remove(i)
-    df.unpersist()
+    val norm = df.queryExecution.analyzed
+    val i = entries.indexWhere(_.queryExecution.analyzed.sameResult(norm))
+    if (i < 0) { df.unpersist(); return } // never registered: plain unpersist
+    if (entries(i) eq df) {
+      entries.remove(i)
+      df.unpersist()
+    } // else: a later same-plan registration owns the shared cache entry
   }
 
   /** Number of live registered tables (test observability). */

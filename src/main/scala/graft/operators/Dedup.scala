@@ -39,6 +39,24 @@ object Dedup {
     */
   val DefaultMaxBucket = 128
 
+  /** Within-doc repeat guard for the positional posting family (r14): a
+    * doc contributes at most this many positions PER n-gram to
+    * [[postings]] (the first K by position; later repeats are within-doc
+    * boilerplate — log spam, repeated headers — that `x_dedup_within_doc`
+    * exists to collapse). The df cap bounds DISTINCT docs per gram but not
+    * per-doc repeats, so without this one pathological repetitive document
+    * (df=1 for its dominant gram, never "heavy") makes `spanRuns`' single
+    * per-gram `collect_list` row — and the in-row pair explosion against
+    * any partner doc — unbounded: an executor-OOM vector on dirty 100 TB
+    * data. With it, a per-gram pairing row holds ≤ maxDf ×
+    * MaxGramRepeatsPerDoc postings by construction. Mirrored verbatim in
+    * the substring/mask/decontaminate-mask oracles (QUALIFY row_number
+    * ≤ K); a real span of interest repeats far fewer than 32 times at the
+    * same gram, so the cap never binds on natural text (pinned by
+    * DedupSpec's no-bind law).
+    */
+  val MaxGramRepeatsPerDoc = 32
+
   private def registerPersisted(df: DataFrame): DataFrame =
     CacheRegistry.register(df)
 
@@ -79,10 +97,13 @@ object Dedup {
     * and the keys downstream exchanges carry are 8-byte longs instead of
     * 32-char md5 hex. Matches shinglesFromTokens' short-doc rule: a
     * document shorter than `n` tokens contributes its whole token array
-    * as one fingerprint. Sequence-determined: token arrays of different
-    * lengths hash differently, so a short doc's whole-array fingerprint
-    * can never alias a longer doc's n-slice (same disjointness the string
-    * form had — a join of k tokens is injective over token sequences).
+    * as one fingerprint. Unlike the string form (injective over token
+    * sequences), XXH64 over an array carries no length prefix, so a short
+    * doc's whole-array fingerprint colliding with a longer doc's n-slice
+    * is merely astronomically improbable (~2⁻⁶⁴ per pair), not
+    * structurally impossible — the same probabilistic argument as
+    * [[postings]]' collision note, and a collision costs one spurious
+    * candidate pair, never a wrong verified span.
     */
   def gramHashes(toks: Column, n: Int): Column =
     when(size(toks) < n, array(xxhash64(toks)))
@@ -616,7 +637,9 @@ object Dedup {
           .when(col("f_ne"), "near_vs_existing")
           .when(col("f_nb"), "near_vs_batch")
           .otherwise("kept").as("reason"))
-      .orderBy("doc_id")
+    // no trailing sort: consumers are row-order-insensitive, and at scale
+    // an incoming batch is still a RangePartitioning + full sort for zero
+    // benefit (r14, the round-11 no-useless-sorts rule's last residual)
   }
 
   /** 32-bit SimHash from md5 hex-digit parity: bit i of a token's hash is
@@ -920,15 +943,37 @@ object Dedup {
     * diagonal-aligned* 64-bit collisions between the same two documents —
     * astronomically unlikely even at 10^12 grams (a single stray collision
     * only seeds a length-n island, below any real `minSpanTokens`).
+    *
+    * Within-doc repeat cap (r14): only the FIRST [[MaxGramRepeatsPerDoc]]
+    * positions of each gram within one document are emitted — the bound
+    * the df cap alone cannot give (see the constant's scaladoc for the OOM
+    * vector). Applied PER ROW with zero extra exchange: the (h, pos)
+    * structs sort by hash (array_sort; equal hashes stay position-ordered
+    * because pos is the struct tie-break field), and an element survives
+    * iff the entry K positions earlier in the sorted array carries a
+    * different hash — an O(g log g) per-doc scan, no window, no shuffle.
     */
   private[operators] def postings(df: DataFrame, idCol: String,
-                                  textCol: String, n: Int): DataFrame = df
-    .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
-    .where(size(col("toks")) >= n)
-    .select(col("doc"), posexplode(
-      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-        i => xxhash64(slice(col("toks"), i, lit(n))))))
-    .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("h"))
+                                  textCol: String, n: Int): DataFrame = {
+    val k = MaxGramRepeatsPerDoc
+    df.select(col(idCol).as("doc"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      // named stage: the filter below references `shp` twice (input +
+      // element_at look-back); staging prevents Catalyst from inlining the
+      // sort into every lambda element (the SKILL.md O(g²) trap)
+      .select(col("doc"), array_sort(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => struct(xxhash64(slice(col("toks"), i, lit(n))).as("h"),
+            i.as("pos")))).as("shp"))
+      .select(col("doc"), explode(filter(col("shp"), (x, i) =>
+        // CaseWhen evaluates lazily, so element_at's 1-based index
+        // i-(k-1) is only computed when i ≥ k (always ≥ 1, ANSI-safe)
+        when(i < k, lit(true)).otherwise(
+          element_at(col("shp"), i - (k - 1)).getField("h")
+            =!= x.getField("h")))).as("e"))
+      .select(col("doc"), col("e.pos").as("pos"), col("e.h").as("h"))
+  }
 
   /** Grams whose DISTINCT-document frequency exceeds `maxDf`, computed
     * without ever shuffling raw posting volume (r13): a plain
@@ -958,11 +1003,14 @@ object Dedup {
     *
     * Pairing (r13): instead of a posting self-join (two exchanges + two
     * sorts of the full posting table), the df-capped postings group ONCE
-    * by gram hash into per-gram (doc, pos) arrays — bounded by the df cap
-    * times per-doc repeats, the same bound the old join's fan-out had —
-    * and each array emits its cross pairs (a < b) with a per-row nested
-    * explode. One exchange of the posting table replaces the join's two,
-    * and nothing is ever sorted by gram.
+    * by gram hash into per-gram (doc, pos) arrays and each array emits its
+    * cross pairs (a < b) with a per-row nested explode. One exchange of
+    * the posting table replaces the join's two, and nothing is ever sorted
+    * by gram. The per-gram array row is HARD-bounded at maxDf ×
+    * [[MaxGramRepeatsPerDoc]] entries (r14): the df cap bounds distinct
+    * docs, the postings-side repeat cap bounds positions per doc — before
+    * the repeat cap, one pathological repetitive document made this row
+    * (and its pair explosion) unbounded.
     */
   private def spanRuns(df: DataFrame, idCol: String, textCol: String,
                        n: Int, maxDf: Int): DataFrame = {

@@ -250,9 +250,10 @@ object Pipeline {
     * `x_dedup_substring_mask` oracle and the `x_surgery_report` rollup —
     * the lockstep rule: one definition or the two silently diverge. */
   private val maskCtesSql =
-    """sm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+    s"""sm_t AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l FROM documents),
       |sm_g AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
-      |  FROM sm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+      |  FROM sm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) <= ${graft.operators.Dedup.MaxGramRepeatsPerDoc}),
       |sm_df AS (SELECT h FROM sm_g GROUP BY h HAVING count(DISTINCT doc_id) <= 64),
       |sm_p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
       |  FROM (SELECT g.* FROM sm_g g JOIN sm_df USING (h)) a
@@ -4139,9 +4140,10 @@ object Pipeline {
     "x_dedup_substring" -> Q(
       (s, d) => Dedup.substringSpans(t(s, d, "documents"), "doc_id", "text",
         n = 8, minSpanTokens = 16, maxDf = 64),
-      Some("""WITH sp_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
+      Some(s"""WITH sp_t AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l FROM documents),
         |sp_g AS (SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
-        |  FROM sp_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+        |  FROM sp_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) <= ${Dedup.MaxGramRepeatsPerDoc}),
         |sp_df AS (SELECT h FROM sp_g GROUP BY h HAVING count(DISTINCT doc_id) <= 64),
         |sp_p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
         |  FROM (SELECT g.* FROM sp_g g JOIN sp_df USING (h)) a
@@ -4216,15 +4218,17 @@ object Pipeline {
           docs.where(h >= 95), docs.where(h < 90), "doc_id", "text",
           n = 8, minSpanTokens = 16, maxDocFreq = 128)
       },
-      Some("""WITH dm_s AS (SELECT doc_id,
+      Some(s"""WITH dm_s AS (SELECT doc_id,
         |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER)%100 AS hs,
         |    text FROM documents),
-        |dm_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM dm_s WHERE hs < 90),
-        |dm_e AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM dm_s WHERE hs >= 95),
+        |dm_t AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l FROM dm_s WHERE hs < 90),
+        |dm_e AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l FROM dm_s WHERE hs >= 95),
         |dm_tg AS (SELECT doc_id AS train_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
-        |  FROM dm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+        |  FROM dm_t, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)
+        |  QUALIFY row_number() OVER (PARTITION BY train_id, h ORDER BY pos) <= ${Dedup.MaxGramRepeatsPerDoc}),
         |dm_eg AS (SELECT doc_id AS eval_id, i AS pos, md5(array_to_string(l[i:i+7],' ')) AS h
-        |  FROM dm_e, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)),
+        |  FROM dm_e, LATERAL (SELECT unnest(generate_series(1, greatest(0, len(l)-7))) AS i)
+        |  QUALIFY row_number() OVER (PARTITION BY eval_id, h ORDER BY pos) <= ${Dedup.MaxGramRepeatsPerDoc}),
         |dm_df AS (SELECT h FROM dm_tg GROUP BY h HAVING count(DISTINCT train_id) <= 128),
         |dm_p AS (SELECT eval_id, train_id, e.pos AS pe, t.pos AS pt
         |  FROM dm_eg e JOIN (SELECT g.* FROM dm_tg g JOIN dm_df USING (h)) t USING (h)),

@@ -33,4 +33,33 @@ class CacheRegistrySpec extends AnyFunSuite {
     CacheRegistry.release(a); CacheRegistry.release(b); CacheRegistry.release(c)
     assert(CacheRegistry.entryCount == before)
   }
+
+  test("releasing a deduped-out stale reference must not uncache the live one") {
+    import graft.operators.CacheRegistry
+    import org.apache.spark.storage.StorageLevel
+    def build() = spark.range(20).select((col("id") * 7).as("w")).persist()
+    val before = CacheRegistry.entryCount
+    val stale = CacheRegistry.register(build())
+    val live = CacheRegistry.register(build()) // dedupes `stale` out
+    assert(CacheRegistry.entryCount == before + 1)
+    live.count() // materialize the shared cache entry
+    assert(live.storageLevel != StorageLevel.NONE)
+    // r14 contract: the stale ref's release is a no-op — unpersist() acts
+    // by PLAN, so honoring it would drop the SHARED entry out from under
+    // the live registrant (the r13 rep-thrash, moved to the release path)
+    CacheRegistry.release(stale)
+    assert(CacheRegistry.entryCount == before + 1,
+      "stale release must not evict the live registrant")
+    assert(live.storageLevel != StorageLevel.NONE,
+      "stale release must not unpersist the shared cache entry")
+    // the live registrant's own release still removes + unpersists
+    CacheRegistry.release(live)
+    assert(CacheRegistry.entryCount == before)
+    assert(live.storageLevel == StorageLevel.NONE)
+    // an unregistered frame's release is a plain unpersist (no crash)
+    val free = spark.range(5).select((col("id") + 99).as("z")).persist()
+    CacheRegistry.release(free)
+    assert(free.storageLevel == StorageLevel.NONE)
+    assert(CacheRegistry.entryCount == before)
+  }
 }

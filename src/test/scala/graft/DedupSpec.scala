@@ -932,7 +932,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("gramHashes law: short docs emit ONE whole-array fingerprint, long " +
-    "docs emit tokens-n+1, equal sequences agree, lengths never alias") {
+    "docs emit tokens-n+1, equal sequences agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val df = Seq(
@@ -948,9 +948,78 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(1L).size == 1, "short doc emits exactly one fingerprint")
     assert(rows(3L).size == 2, "9 tokens at n=8 emit 2 positional grams")
     assert(rows(1L) == rows(2L), "equal token sequences hash equal")
-    // a short doc's whole-array fp must not alias any n-slice of a longer
-    // doc (different array lengths hash differently)
+    // cross-length aliasing is PROBABILISTIC, not impossible (r14 reword):
+    // XXH64 over an array carries no length prefix, so this example only
+    // witnesses the ~2^-64 collision odds holding for these inputs — the
+    // structural claim the string form had does not carry over
     assert(rows(3L).intersect(rows(1L)).isEmpty,
-      "length-3 whole-array fp aliased an 8-slice fp")
+      "length-3 whole-array fp collided with an 8-slice fp (2^-64 event " +
+        "or a hashing regression — investigate either way)")
+  }
+
+  // ── r14: within-doc gram-repeat cap (VERDICT r13 ask #1) ────────────────
+  // heavyGrams caps DISTINCT-doc frequency only, so before the cap ONE
+  // pathological repetitive document (df=1..2 for its dominant 8-gram,
+  // never "heavy") put every position into a single spanRuns collect_list
+  // row, and the in-row pair explosion against a partner doc was
+  // unbounded: this exact fixture — two 100k-repeat docs — meant a 10^10-
+  // pair explode (timeout/OOM) pre-fix. Post-fix: 32×32 pairs, instant.
+
+  test("degenerate 100k-repeat doc pair completes and spans cap at K=32") {
+    val k = Dedup.MaxGramRepeatsPerDoc
+    val reps = 100000
+    val degen = Seq(
+      (1L, ("x " * reps).trim),
+      (2L, ("x " * reps).trim))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(degen, "doc_id", "text",
+      n = 8, minSpanTokens = 16).collect()
+    // capped postings per doc = positions 1..K of the single repeated
+    // gram; the diff=0 diagonal carries the longest run (K) → span K+7.
+    // Uncapped, the span would be the full doc (100000 tokens).
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, (k + 7).toLong)),
+      s"expected one pair with span ${k + 7}, got ${out.mkString(",")}")
+  }
+
+  test("gram-repeat cap keeps the FIRST K positions by pos (not the last)") {
+    val k = Dedup.MaxGramRepeatsPerDoc
+    // doc 1 (low id, survives): the 8-token probe gram, exactly once.
+    // doc 2 (high id, gets the cuts): the same gram repeated 33 times
+    // (40 identical tokens → grams at pos 1..33, one over the cap).
+    val docs2 = Seq(
+      (1L, "x x x x x x x x"),
+      (2L, ("x " * (k + 8)).trim)) // k+8 tokens → k+1 identical grams
+      .toDF("doc_id", "text")
+    val cuts = Dedup.substringRemovalRanges(docs2, "doc_id", "text",
+      n = 8, minSpanTokens = 8).collect()
+    // kept positions on doc 2 must be 1..K: merged cut range starts at 1
+    // (keeping the LAST K would start at 2) and ends at K+7 (keeping all
+    // K+1 would end at K+8), so cut_len == K+7 pins both count and side
+    assert(cuts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1L, (k + 7).toLong)),
+      s"expected cut (2,1,${k + 7}), got ${cuts.mkString(",")}")
+  }
+
+  test("no-bind law: no (doc, 8-gram) on the corpus reaches the repeat cap") {
+    // the cap exists for dirty-data robustness; on natural text a ≥32-fold
+    // within-doc repeat of one 8-gram IS boilerplate and does not occur in
+    // the driver corpus — so r14's cap provably changes nothing there
+    // (CHECK results stay byte-identical to r13's uncapped family)
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val maxRepeat = docs
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 7),
+          i => xxhash64(slice(col("toks"), i, lit(8))))).as("h"))
+      .groupBy("doc_id", "h").count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxRepeat < Dedup.MaxGramRepeatsPerDoc,
+      s"corpus has a $maxRepeat-fold within-doc gram repeat — the cap " +
+        "binds and the substring-family results are no longer " +
+        "cap-free; re-baseline the oracles")
   }
 }
