@@ -1110,28 +1110,72 @@ object Dedup {
     * with size turns the uncapped self-join quadratic (measured 58× wall
     * at 10× data before the guard; the text paths were already guarded).
     *
-    * SIZING AT SCALE (r13): the bucket space per (cell, table) is fixed at
-    * 2^bitsPerTable, so mean occupancy grows linearly with corpus size and
-    * will eventually cross `maxBucket` — at which point the guard
-    * (correctly) drops everything and recall collapses to zero. Grow
-    * `bitsPerTable` with the corpus: bitsPerTable ≈ log2(n_vectors /
-    * (n_cells · targetOccupancy)), keeping targetOccupancy well under
-    * `maxBucket` (~16–32 is a good operating point). Measured at a 30×
+    * SIZING AT SCALE (r13, auto since r14): the bucket space per
+    * (cell, table) is fixed at 2^bitsPerTable, so mean occupancy grows
+    * linearly with corpus size and will eventually cross `maxBucket` — at
+    * which point the guard (correctly) drops everything and recall
+    * collapses to zero. `bitsPerTable = 0` (the default) therefore derives
+    * the width from the corpus itself via [[autoBitsPerTable]]: the
+    * smallest b with n_vectors ≤ n_cells · targetOccupancy · 2^b —
+    * integer-exact, so the oracle recomputes the identical b in SQL from
+    * count(*)/count(DISTINCT cell) (a floating log2 could round a
+    * power-of-two boundary differently per engine). Measured at a 30×
     * corpus (60k vectors, 20 cells): bits=4 → 0 pairs (every bucket past
-    * the cap), bits=6 → 80,682 candidate pairs in 20 s, bits=8 → 31,955
-    * in 11 s (finer buckets trade recall for cost, the standard LSH
-    * dial). The cap stays CONSTANT — it bounds worst-case skew, not mean
-    * occupancy.
+    * the cap — the r13 manual-override trap auto-sizing retires), bits=6 →
+    * 80,682 candidate pairs in 20 s, bits=8 (what auto derives there) →
+    * 31,955 in 11 s (finer buckets trade recall for cost, the standard
+    * LSH dial). The cap stays CONSTANT — it bounds worst-case skew, not
+    * mean occupancy. Pass an explicit bitsPerTable > 0 to pin the width
+    * (and skip the sizing aggregate).
     */
+  /** Mean-occupancy target the auto-sized sign-LSH width aims for: small
+    * enough that typical buckets sit far under [[DefaultMaxBucket]] (the
+    * skew guard never fires on MEAN occupancy), large enough that buckets
+    * still collide (recall). Interpolated into the near-dup oracles so
+    * both engines derive the same width.
+    */
+  val DefaultTargetBucketOccupancy = 16
+
+  /** Ceiling on the auto-derived bits: 2^20 buckets per (cell, table) is
+    * past any sane operating point — wider means the corpus should shard
+    * by a coarser key first.
+    */
+  val MaxAutoBitsPerTable = 20
+
+  /** The smallest b ≥ 1 with n_vectors ≤ n_cells ·
+    * [[DefaultTargetBucketOccupancy]] · 2^b, capped at
+    * [[MaxAutoBitsPerTable]] — pure integer arithmetic (ceil-div + bit
+    * length), so the oracle's SQL twin (length(bin(m-1)) over the same
+    * counts) derives the identical width on every corpus; a floating
+    * ceil(log2(x)) could round a power-of-two boundary differently per
+    * engine. One cheap aggregate job (count + countDistinct on the cell
+    * column only); callers that already know the corpus size pass an
+    * explicit bitsPerTable and skip it.
+    */
+  private[graft] def autoBitsPerTable(df: DataFrame,
+                                      cellCol: String): Int = {
+    val r = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(cellCol)).as("c")).head()
+    val n = r.getLong(0)
+    val c = math.max(1L, r.getLong(1))
+    val m = (n + DefaultTargetBucketOccupancy * c - 1) /
+      (DefaultTargetBucketOccupancy * c)
+    if (m <= 1) 1
+    else math.min(MaxAutoBitsPerTable,
+      64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        cellCol: String, threshold: Double,
-                       nTables: Int = 4, bitsPerTable: Int = 4,
+                       nTables: Int = 4, bitsPerTable: Int = 0,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val totalPlanes = nTables * bitsPerTable
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable else autoBitsPerTable(df, cellCol)
+    val totalPlanes = nTables * bits
     val base = df.select(col(idCol).as("id"), col(cellCol).as("cell"),
       Similarity.quantize(col(vecCol)).as("vq"))
     val tables = (0 until nTables).map { t =>
-      val planes = (t * bitsPerTable) until ((t + 1) * bitsPerTable)
+      val planes = (t * bits) until ((t + 1) * bits)
       struct(lit(t).as("tbl"),
         Similarity.signLshBucket(col("vq"), planes, totalPlanes).as("bkt"))
     }

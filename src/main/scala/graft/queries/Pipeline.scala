@@ -552,6 +552,29 @@ object Pipeline {
   private def bucketSql(t: Int) = (0 until 4).map(j =>
     s"(CASE WHEN s${4 * t + j} >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+  /** Auto-sized sign-LSH bucket CTEs for the embedding near-dup family
+    * (r14, mirrors Dedup.autoBitsPerTable + embeddingNearDup's dynamic
+    * plane geometry): `eb.b` = smallest b with n ≤ cells·occupancy·2^b,
+    * derived INTEGER-exactly via ceil-div + bit length (length(bin(m-1)))
+    * so both engines land on the same width at every corpus size; `br` =
+    * one (vec_id, label, tbl, bkt) row per vector × table, bucket bit j =
+    * sign of pseudo-hyperplane t·b+j over positions ≡ plane (mod 4·b).
+    * Expects a CTE `v(vec_id, label, vq)`; the fixed 16-plane fragments
+    * above stay for the ANN seed-cell family, whose 4-bit cell is a
+    * corpus-independent quantizer, not an occupancy-tuned index.
+    */
+  private val autoLshBrSql =
+    s"""eb AS (SELECT greatest(1, least(${Dedup.MaxAutoBitsPerTable},
+       |    CASE WHEN m > 1 THEN length(bin(m - 1)) ELSE 1 END)) AS b
+       |  FROM (SELECT (count(*) + ${Dedup.DefaultTargetBucketOccupancy} * count(DISTINCT label) - 1)
+       |      // (${Dedup.DefaultTargetBucketOccupancy} * count(DISTINCT label)) AS m FROM embeddings)),
+       |br AS (SELECT vec_id, label, t.tbl AS tbl,
+       |    list_sum(list_transform(generate_series(0, b - 1), j ->
+       |      CASE WHEN list_sum(list_transform(generate_series(1, len(vq)), i ->
+       |        CASE WHEN (i - 1) % (4 * b) = t.tbl * b + j THEN vq[i] ELSE 0 END)) >= 0
+       |      THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS bkt
+       |  FROM v, eb, (SELECT unnest(generate_series(0, 3)) AS tbl) t)""".stripMargin
+
   // x_ann_ivf's quantizer: 4 planes over mod-8 position classes — each
   // plane sums 1/8 of the vector vs the mod-16 family's 1/16, a denser,
   // better-conditioned pseudo-hyperplane for the isotropic corpus
@@ -1161,9 +1184,7 @@ object Pipeline {
       (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.35),
       Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
-        |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
-        |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
-        |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |$autoLshBrSql,
         |brf AS (SELECT vec_id, label, tbl, bkt FROM (SELECT vec_id, label, tbl, bkt,
         |  count(*) OVER (PARTITION BY label, tbl, bkt) AS bsz FROM br)
         |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
@@ -1200,9 +1221,7 @@ object Pipeline {
           .orderBy("train_id")
       },
       Some(s"""WITH v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
-        |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
-        |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
-        |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |$autoLshBrSql,
         |brf AS (SELECT vec_id, label, tbl, bkt FROM (SELECT vec_id, label, tbl, bkt,
         |  count(*) OVER (PARTITION BY label, tbl, bkt) AS bsz FROM br)
         |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
@@ -1275,9 +1294,7 @@ object Pipeline {
           .withColumn("keep", col("node") === col("cluster"))
       },
       Some(s"""WITH RECURSIVE v AS (SELECT vec_id, label, $vqSql AS vq FROM embeddings),
-        |p AS (SELECT vec_id, label, $planeSumsSql FROM v),
-        |bk AS (SELECT vec_id, label, ${(0 until 4).map(t => s"${bucketSql(t)} AS bkt$t").mkString(", ")} FROM p),
-        |br AS (${(0 until 4).map(t => s"SELECT vec_id, label, $t AS tbl, bkt$t AS bkt FROM bk").mkString(" UNION ALL ")}),
+        |$autoLshBrSql,
         |brf AS (SELECT vec_id, label, tbl, bkt FROM (SELECT vec_id, label, tbl, bkt,
         |  count(*) OVER (PARTITION BY label, tbl, bkt) AS bsz FROM br)
         |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),

@@ -1022,4 +1022,28 @@ class DedupSpec extends AnyFunSuite {
         "binds and the substring-family results are no longer " +
         "cap-free; re-baseline the oracles")
   }
+
+  test("autoBitsPerTable: smallest b with n <= cells*occupancy*2^b, " +
+    "integer-exact at power-of-two boundaries") {
+    // the law the oracle's length(bin(m-1)) twin must agree with; the
+    // boundary cases are exactly where a floating ceil(log2) could round
+    // differently per engine
+    val occ = Dedup.DefaultTargetBucketOccupancy // 16
+    def bits(n: Long, cells: Int): Int = Dedup.autoBitsPerTable(
+      spark.range(n).select(col("id"), (col("id") % cells).as("cell"))
+        .toDF("id", "cell"), "cell")
+    def law(n: Long, cells: Int): Int = {
+      var b = 1
+      while (cells.toLong * occ * (1L << b) < n && b < 20) b += 1
+      b
+    }
+    for ((n, c) <- Seq((5L, 1), (16L, 1), (17L, 1), (2048L, 1), (2049L, 1),
+      (2000L, 20), (60000L, 20))) {
+      assert(bits(n, c) == law(n, c),
+        s"n=$n cells=$c: got ${bits(n, c)}, law says ${law(n, c)}")
+    }
+    // the r13 saturation scenario: 60k vectors / 20 cells must auto-derive
+    // the width the measured sweep found healthy (8), not the manual 4
+    assert(bits(60000L, 20) == 8)
+  }
 }
