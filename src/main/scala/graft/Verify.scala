@@ -43,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query oracle_scope tags (full / agg-only / batch-recompute):
+    // check.py attaches them to its records and segments --bench ratios
+    // by scope, so oracle-asymmetric shapes can't be misread as plan
+    // defects (r14)
+    Files.writeString(Paths.get(s"$outDir/oracle_scope.json"),
+      SparkEntry.oracleScope.filter(kv => keep(kv._1))
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // Crashed queries leave no parquet dir and would otherwise vanish from
     // the correctness report entirely (round-8 lesson: 12 silent absences
     // read as "100% green"). Persist them so absence is always loud.

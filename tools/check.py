@@ -18,8 +18,16 @@ Spark medians and prints the per-query spark/oracle ratio distribution,
 flagging only >5x outliers: single-node DuckDB SHOULD win at toy scale
 (no scheduler, no shuffle framework), so the flag is a plan-read lead,
 not a failure.
+
+Since r14 the report is SEGMENTED by each query's oracle_scope tag
+(dumped by graft.Verify as oracle_scope.json, carried into --json
+records): "full" oracles do comparable work and form the like-for-like
+baseline; "agg-only" oracles skip I/O the Spark side is measured doing
+(roundtrips, snapshot publishing); "batch-recompute" oracles replace the
+whole streaming machinery with one batch query. The 20-170x raw ratios
+on the latter two scopes are structural, not plan defects.
 """
-import sys, os, json, glob, time
+import argparse, os, json, glob, time
 import duckdb
 import pandas as pd
 
@@ -45,6 +53,8 @@ def main(sf, out, json_path=None, bench_path=None):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    scope_path = os.path.join(out, "oracle_scope.json")
+    scopes = json.load(open(scope_path)) if os.path.exists(scope_path) else {}
     n_pass = n_fail = 0
     results = {}
     oracle_s = {}
@@ -52,7 +62,8 @@ def main(sf, out, json_path=None, bench_path=None):
         results[name] = {"rows_match": rows, "schema_match": schema,
                          "hash_match": hsh, "spark_rows": sr,
                          "oracle_rows": orr, "err": err,
-                         "oracle_s": oracle_s.get(name)}
+                         "oracle_s": oracle_s.get(name),
+                         "oracle_scope": scopes.get(name, "full")}
     for name, sql in sorted(oracle.items()):
         pdir = os.path.join(out, name)
         files = glob.glob(os.path.join(pdir, "*.parquet"))
@@ -131,14 +142,34 @@ def main(sf, out, json_path=None, bench_path=None):
         if isinstance(b.get("parsed"), dict):
             b = b["parsed"]
         sq = b.get("queries", {})
-        ratios = sorted(((sq[q] / oracle_s[q], q) for q in sq
-                         if q in oracle_s and oracle_s[q] > 0), reverse=True)
-        if ratios:
+        shared = [(q, sq[q] / oracle_s[q]) for q in sq
+                  if q in oracle_s and oracle_s[q] > 0]
+        by_scope = {}
+        for q, r in shared:
+            by_scope.setdefault(scopes.get(q, "full"), []).append((r, q))
+        SCOPE_NOTE = {
+            "full": "like-for-like: oracle does comparable work",
+            "agg-only": "oracle skips the measured I/O (roundtrips, "
+                        "snapshot publishing) — ratio is structural",
+            "batch-recompute": "streaming twins: oracle replaces the "
+                               "state machinery with one batch query — "
+                               "ratio is structural"}
+        for scope in ("full", "agg-only", "batch-recompute"):
+            ratios = sorted(by_scope.get(scope, []), reverse=True)
+            if not ratios:
+                continue
             rs = [r for r, _ in ratios]
             med = rs[len(rs) // 2]
-            print(f"\nspark/oracle ratio over {len(rs)} shared queries "
-                  f"(bench={bench_path}): median {med:.1f}x, "
+            spark_sum = sum(sq[q] for _, q in ratios)
+            orc_sum = sum(oracle_s[q] for _, q in ratios)
+            print(f"\n[{scope}] spark/oracle over {len(rs)} queries "
+                  f"(bench={bench_path}): aggregate "
+                  f"{spark_sum / orc_sum:.2f}x ({spark_sum:.1f}s vs "
+                  f"{orc_sum:.1f}s), median {med:.1f}x, "
                   f"best {rs[-1]:.2f}x, worst {rs[0]:.1f}x")
+            print(f"  ({SCOPE_NOTE[scope]})")
+            if scope != "full":
+                continue  # outlier plan-read leads only where comparable
             print("  (single-node DuckDB is EXPECTED to win at toy scale; "
                   "only >5x outliers merit a plan read)")
             outliers = [(r, q) for r, q in ratios if r > 5]
@@ -150,11 +181,15 @@ def main(sf, out, json_path=None, bench_path=None):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    def opt(flag):
-        if flag in sys.argv:
-            return sys.argv[sys.argv.index(flag) + 1]
-        return None
-    jp, bp = opt("--json"), opt("--bench")
-    args = [a for a in sys.argv[1:]
-            if not a.startswith("--") and a not in (jp, bp)]
-    sys.exit(main(args[0], args[1], jp, bp))
+    ap = argparse.ArgumentParser(
+        description="Run graft.Verify output against the DuckDB oracle "
+                    "(local replica of the driver's correctness gate).")
+    ap.add_argument("sfDir", help="scale-factor dir with the parquet tables")
+    ap.add_argument("outDir", help="graft.Verify output dir")
+    ap.add_argument("--json", metavar="RESULTS.json", default=None,
+                    help="write per-query records (CORRECTNESS_r{N} shape)")
+    ap.add_argument("--bench", metavar="BENCH.json", default=None,
+                    help="print spark/oracle ratios vs a bench artifact, "
+                         "segmented by oracle_scope")
+    a = ap.parse_args()
+    raise SystemExit(main(a.sfDir, a.outDir, a.json, a.bench))
