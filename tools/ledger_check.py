@@ -19,10 +19,16 @@ sections legitimately quote their own era's numbers):
    prints a WARNING (non-fatal: ledgers may legitimately quote the
    contention floor, but must say so).
 3. suite-total claims "<float> s total" / "total ... <float> s": must
-   be within TOLERANCE of bench.json's "value".
+   be within TOLERANCE of bench.json's "value" (or, since r14, of
+   bench.sf1.json's — a round legitimately quotes both suite totals).
 4. scale claims (r13): "N sublinear", "N linear", "N SUPERLINEAR" and
    "worst exponent F" in the latest section must match the newest
    committed SCALE_sf*.json's verdict counts / max exponent.
+5. full-suite sf1 bench gate (r14): if the latest section mentions
+   bench.sf1.json, that artifact must exist, parse, cover the FULL
+   suite (n_queries == the CORRECTNESS query count — a subset run must
+   not masquerade as the committed full-suite number), and report zero
+   failed queries.
 
 This is a heuristic gate (regex, not a parser): it can miss a claim,
 but anything it flags IS a number that does not reproduce from the
@@ -119,15 +125,40 @@ def main():
                     f"{qmed[name]}s min={qmin.get(name)}s "
                     f"reps={qreps.get(name)}")
 
-        # 3. suite-total claims
-        total = bench.get("value")
+        # 3. suite-total claims — a value may quote the sf0.1 suite
+        # (bench.json) or, since r14, the full-suite sf1 run
+        # (bench.sf1.json); either committed artifact backs the claim
+        sf1_path = os.path.join(repo, "bench.sf1.json")
+        sf1 = json.load(open(sf1_path)) if os.path.exists(sf1_path) else None
+        totals = [t for t in (bench.get("value"),
+                              sf1.get("value") if sf1 else None) if t]
         for m in re.finditer(
                 r"(\d+(?:\.\d+)?)\s*s\s+total|total[^\n]{0,40}?"
                 r"(\d+(?:\.\d+)?)\s*s\b", section):
             val = float(m.group(1) or m.group(2))
-            if total and val > 10 and not close(val, total):
-                flags.append(f"suite-total claim {val}s vs bench.json "
-                             f"value={total}s")
+            if totals and val > 10 and not any(close(val, t) for t in totals):
+                flags.append(f"suite-total claim {val}s vs bench.json/"
+                             f"bench.sf1.json values={totals}")
+
+        # 5. full-suite sf1 bench gate (r14): a section that cites
+        # bench.sf1.json commits to a FULL-suite artifact with zero
+        # failures — a subset run must not masquerade as it
+        if "bench.sf1" in section:
+            if sf1 is None:
+                flags.append("section cites bench.sf1.json but the "
+                             "artifact is missing/unparseable")
+            else:
+                n_corr = len(corr) if corr is not None else None
+                n_sf1 = sf1.get("n_queries", len(sf1.get("queries", {})))
+                if n_corr is not None and n_sf1 != n_corr:
+                    flags.append(
+                        f"bench.sf1.json covers {n_sf1} queries, not the "
+                        f"full suite ({n_corr} in "
+                        f"{os.path.basename(corr_file)}) — subset runs "
+                        f"don't satisfy the full-suite sf1 gate")
+                if sf1.get("failed"):
+                    flags.append(f"bench.sf1.json reports failed queries: "
+                                 f"{sf1['failed'][:5]}")
 
     # 4. scale claims vs the committed SCALE_sf*.json artifacts. A round
     # may quote several scale points (sf1 AND sf3); a count/exponent claim
