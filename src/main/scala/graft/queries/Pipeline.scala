@@ -944,15 +944,14 @@ object Pipeline {
     //    containmentPairs' doc promises: est_e4 estimates directional
     //    containment with NO length-ratio recall decay ─────────────────────
     "x_dedup_containment_idx" -> Q(
-      (s, d) => Dedup.containmentIndexed(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("a_id", "b_id"),
+      (s, d) => Dedup.containmentIndexed(t(s, d, "documents"), "doc_id", "text"),
       Some(s"""WITH ci_t AS (SELECT doc_id AS doc,
         |    string_split_regex(lower(text), '\\s+') AS l FROM documents),
         |ci_sh0 AS (SELECT doc, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
         |  ELSE [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN generate_series(1, len(l)-2)] END AS shl
         |  FROM ci_t),
         |ci_ex AS (SELECT doc, unnest(list_distinct(shl)) AS sh FROM ci_sh0),
-        |ci_h AS (SELECT doc, md5(sh) AS h FROM ci_ex),
+        |ci_h AS (SELECT doc, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM ci_ex),
         |ci_hv AS (SELECT h FROM ci_h GROUP BY h
         |  HAVING count(*) > ${Dedup.DefaultMaxBucket}),
         |ci_post AS (SELECT doc, h FROM ci_h WHERE h NOT IN (SELECT h FROM ci_hv)),
@@ -967,8 +966,7 @@ object Pipeline {
         |  CAST(k.k_probe AS BIGINT) AS k_probe,
         |  CAST((m.n_match * 10000) // k.k_probe AS BIGINT) AS est_e4
         |FROM ci_m m JOIN ci_k k ON k.doc = m.a
-        |WHERE (m.n_match * 10000) // k.k_probe >= 5000
-        |ORDER BY a_id, b_id""".stripMargin)),
+        |WHERE (m.n_match * 10000) // k.k_probe >= 5000""".stripMargin)),
 
     // ── Dedup: edit-distance verify over the same LSH candidates — the
     //    character-level residual-closeness score the set-based metrics

@@ -142,7 +142,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "w1_rownum_dedup", "x_ann_ivf", "x_ann_ivf_multiprobe",
       "x_ann_ivf_trained", "x_ann_kmeans", "x_ann_kmeans_assign",
       "x_ann_lsh", "x_ann_recall", "x_ann_topk", "x_asof_forward",
-      "x_asof_join", "x_cap_per_source", "x_dedup_containment_idx",
+      "x_asof_join", "x_cap_per_source",
+      // x_dedup_containment_idx left r14: its bottom-k probe is now a
+      // per-row array_sort+slice (no window at all — better than a
+      // pushed-down one)
       "x_inverted_index",
       "x_pipeline_e2e", "x_sample_stratified", "x_tfidf_top_terms")
     val missing = rankLimited.filterNot { name =>
@@ -153,6 +156,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"queries that lost the partial WindowGroupLimit pushdown: " +
         missing.mkString(", "))
+  }
+
+  test("containment-index probe join shuffles — never broadcasts the " +
+    "posting volume") {
+    // r14: Catalyst's size estimate for the posting side — a Generate
+    // over the compact cached key arrays — is low enough that without
+    // the SHUFFLE_HASH hint it BROADCAST the full exploded posting table
+    // (measured at sf1: every task builds a 10M-row hash relation →
+    // executor OOM). Both join inputs are corpus-sized, so the only
+    // 100 TB-safe shape is a shuffled join with the ≤k-rows-per-doc
+    // probe as build side.
+    val plan = SparkEntry.queries("x_dedup_containment_idx")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"probe→postings join must stay a shuffled hash join:\n$plan")
+    graft.operators.Dedup.unpersistAll()
   }
 
   test("per-row operators stay shuffle-free: zero Exchange in the plan") {
