@@ -64,7 +64,10 @@ object SparkEntry {
     */
   def oracleScope: Map[String, String] = {
     val aggOnly = Set("s2_csv_roundtrip", "s3_jsonl_roundtrip",
-      "s4_orc_roundtrip", "x_time_travel", "x_snapshot_cdc")
+      "s4_orc_roundtrip", "x_time_travel", "x_snapshot_cdc",
+      // writes the whole partitioned layout before scanning one
+      // partition; the oracle only filters the source table
+      "s5_partitioned_prune")
     queries.keys.map { k =>
       k -> (if (aggOnly(k)) "agg-only"
             else if (k.startsWith("stream_")) "batch-recompute"
