@@ -72,3 +72,31 @@ class CorpusContractSpec extends AnyFunSuite {
     assert(leaks.isEmpty, s"non-LTZ timestamp flavors leaked: $leaks")
   }
 }
+
+/** Contract of the r14 oracle_scope tags: every declared query carries
+  * exactly one tag from the closed set, every streaming twin is
+  * batch-recompute (its oracle replaces the state machinery by
+  * construction), and the agg-only set names only queries that exist —
+  * so a renamed query can't silently fall back to "full" and re-poison
+  * the like-for-like baseline aggregate.
+  */
+class OracleScopeContractSpec extends AnyFunSuite {
+  test("oracle_scope covers every query with a valid tag") {
+    val scopes = SparkEntry.oracleScope
+    val queries = SparkEntry.queries.keySet
+    assert(scopes.keySet == queries,
+      s"scope map must cover exactly the query set; diff: " +
+        s"${(scopes.keySet diff queries) ++ (queries diff scopes.keySet)}")
+    val allowed = Set("full", "agg-only", "batch-recompute")
+    val bad = scopes.filterNot { case (_, v) => allowed(v) }
+    assert(bad.isEmpty, s"unknown scope tags: $bad")
+    queries.filter(_.startsWith("stream_")).foreach { q =>
+      assert(scopes(q) == "batch-recompute",
+        s"$q: a streaming twin's oracle is a batch recompute by construction")
+    }
+    // the declared agg-only population — if this changes, BASELINE.md's
+    // like-for-like aggregates must be re-quoted over the new 'full' set
+    assert(scopes.count(_._2 == "agg-only") == 6)
+    assert(scopes.count(_._2 == "batch-recompute") == 22)
+  }
+}
