@@ -4120,9 +4120,15 @@ object Pipeline {
       (s, d) => {
         val g = graft.operators.CacheRegistry.register(
           t(s, d, "documents")
+            // tokens MUST be a named column before shingling: an unnamed
+            // tokens(text) is substituted into every element_at of the
+            // shingle lambda — O(tokens²) re-tokenization per doc (the
+            // documented trap; measured here as a 10.2 s cold build at
+            // sf0.1 vs ~3.8 s staged — reps 2-3 hid it behind the
+            // persist, but at 100 TB the cold build IS the cost)
+            .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
             .select(col("doc_id"), explode(array_distinct(
-              Dedup.shinglesFromTokens(TextAnalysis.tokens(col("text")), 3)))
-              .as("sh"))
+              Dedup.shinglesFromTokens(col("toks"), 3))).as("sh"))
             .select(col("doc_id"), md5(col("sh")).as("h"))
             .persist())
         val first = g.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
