@@ -27,7 +27,7 @@ baseline; "agg-only" oracles skip I/O the Spark side is measured doing
 whole streaming machinery with one batch query. The 20-170x raw ratios
 on the latter two scopes are structural, not plan defects.
 """
-import argparse, os, json, glob, time
+import argparse, os, json, glob, sys, time
 import duckdb
 import pandas as pd
 
@@ -55,6 +55,16 @@ def main(sf, out, json_path=None, bench_path=None):
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     scope_path = os.path.join(out, "oracle_scope.json")
     scopes = json.load(open(scope_path)) if os.path.exists(scope_path) else {}
+    if not scopes:
+        # Without the tags every query defaults to scope "full" and the
+        # --bench "like-for-like" aggregate silently mixes in the
+        # structurally asymmetric shapes — exactly the misreading the
+        # segmentation exists to prevent. Say so loudly up front.
+        print(f"WARNING: {scope_path} missing/empty — all queries default "
+              f"to oracle_scope 'full'; --bench ratios are UNSEGMENTED "
+              f"(streaming twins + agg-only shapes inflate the "
+              f"'like-for-like' aggregate). Re-run graft.Verify to emit "
+              f"the scope tags.", file=sys.stderr)
     n_pass = n_fail = 0
     results = {}
     oracle_s = {}
@@ -162,12 +172,16 @@ def main(sf, out, json_path=None, bench_path=None):
             med = rs[len(rs) // 2]
             spark_sum = sum(sq[q] for _, q in ratios)
             orc_sum = sum(oracle_s[q] for _, q in ratios)
-            print(f"\n[{scope}] spark/oracle over {len(rs)} queries "
+            label = scope if scopes else "UNSEGMENTED (no scope tags)"
+            print(f"\n[{label}] spark/oracle over {len(rs)} queries "
                   f"(bench={bench_path}): aggregate "
                   f"{spark_sum / orc_sum:.2f}x ({spark_sum:.1f}s vs "
                   f"{orc_sum:.1f}s), median {med:.1f}x, "
                   f"best {rs[-1]:.2f}x, worst {rs[0]:.1f}x")
-            print(f"  ({SCOPE_NOTE[scope]})")
+            note = SCOPE_NOTE[scope] if scopes else (
+                "scope file absent: mixes like-for-like with structurally "
+                "asymmetric shapes")
+            print(f"  ({note})")
             if scope != "full":
                 continue  # outlier plan-read leads only where comparable
             print("  (single-node DuckDB is EXPECTED to win at toy scale; "

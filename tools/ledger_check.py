@@ -53,12 +53,25 @@ def latest_round_section(text):
     return text[pos:min(nxt) if nxt else len(text)], n
 
 
+def try_load(path):
+    """(obj, err): obj None when missing or unparseable; err names why.
+
+    Unparseable artifacts must surface as DRIFT flags, not tracebacks —
+    the gate's whole job is to report, and a crash aborts every check
+    after the bad file (r14 review finding)."""
+    if not os.path.exists(path):
+        return None, None
+    try:
+        return json.load(open(path)), None
+    except ValueError as e:
+        return None, f"unparseable ({e.__class__.__name__}: {e})"
+
+
 def load_artifacts(repo):
     corr_files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     corr = json.load(open(corr_files[-1])) if corr_files else None
-    bench_path = os.path.join(repo, "bench.json")
-    bench = json.load(open(bench_path)) if os.path.exists(bench_path) else None
-    return corr, (corr_files[-1] if corr_files else None), bench
+    bench, bench_err = try_load(os.path.join(repo, "bench.json"))
+    return corr, (corr_files[-1] if corr_files else None), bench, bench_err
 
 
 def close(claim, actual):
@@ -70,9 +83,17 @@ def main():
     repo = os.path.dirname(os.path.abspath(survey)) or "."
     text = open(survey).read()
     section, round_n = latest_round_section(text)
-    corr, corr_file, bench = load_artifacts(repo)
+    corr, corr_file, bench, bench_err = load_artifacts(repo)
     flags = []
     warns = []
+    if bench_err:
+        flags.append(f"bench.json is {bench_err}")
+    # bench.sf1.json loads independently of bench.json so gates 3 and 5
+    # still run when bench.json is absent/broken (previously nested under
+    # `if bench:`, silently skipping the full-suite sf1 gate entirely)
+    sf1, sf1_err = try_load(os.path.join(repo, "bench.sf1.json"))
+    if sf1_err:
+        flags.append(f"bench.sf1.json is {sf1_err}")
 
     # 1. all-pass claims X/X
     if corr is not None:
@@ -125,40 +146,39 @@ def main():
                     f"{qmed[name]}s min={qmin.get(name)}s "
                     f"reps={qreps.get(name)}")
 
-        # 3. suite-total claims — a value may quote the sf0.1 suite
-        # (bench.json) or, since r14, the full-suite sf1 run
-        # (bench.sf1.json); either committed artifact backs the claim
-        sf1_path = os.path.join(repo, "bench.sf1.json")
-        sf1 = json.load(open(sf1_path)) if os.path.exists(sf1_path) else None
-        totals = [t for t in (bench.get("value"),
-                              sf1.get("value") if sf1 else None) if t]
+    # 3. suite-total claims — a value may quote the sf0.1 suite
+    # (bench.json) or, since r14, the full-suite sf1 run
+    # (bench.sf1.json); either committed artifact backs the claim
+    totals = [t for t in ((bench or {}).get("value"),
+                          (sf1 or {}).get("value")) if t]
+    if totals:
         for m in re.finditer(
                 r"(\d+(?:\.\d+)?)\s*s\s+total|total[^\n]{0,40}?"
                 r"(\d+(?:\.\d+)?)\s*s\b", section):
             val = float(m.group(1) or m.group(2))
-            if totals and val > 10 and not any(close(val, t) for t in totals):
+            if val > 10 and not any(close(val, t) for t in totals):
                 flags.append(f"suite-total claim {val}s vs bench.json/"
                              f"bench.sf1.json values={totals}")
 
-        # 5. full-suite sf1 bench gate (r14): a section that cites
-        # bench.sf1.json commits to a FULL-suite artifact with zero
-        # failures — a subset run must not masquerade as it
-        if "bench.sf1" in section:
-            if sf1 is None:
-                flags.append("section cites bench.sf1.json but the "
-                             "artifact is missing/unparseable")
-            else:
-                n_corr = len(corr) if corr is not None else None
-                n_sf1 = sf1.get("n_queries", len(sf1.get("queries", {})))
-                if n_corr is not None and n_sf1 != n_corr:
-                    flags.append(
-                        f"bench.sf1.json covers {n_sf1} queries, not the "
-                        f"full suite ({n_corr} in "
-                        f"{os.path.basename(corr_file)}) — subset runs "
-                        f"don't satisfy the full-suite sf1 gate")
-                if sf1.get("failed"):
-                    flags.append(f"bench.sf1.json reports failed queries: "
-                                 f"{sf1['failed'][:5]}")
+    # 5. full-suite sf1 bench gate (r14): a section that cites
+    # bench.sf1.json commits to a FULL-suite artifact with zero
+    # failures — a subset run must not masquerade as it
+    if "bench.sf1" in section:
+        if sf1 is None:
+            flags.append("section cites bench.sf1.json but the artifact "
+                         f"is {sf1_err or 'missing'}")
+        else:
+            n_corr = len(corr) if corr is not None else None
+            n_sf1 = sf1.get("n_queries", len(sf1.get("queries", {})))
+            if n_corr is not None and n_sf1 != n_corr:
+                flags.append(
+                    f"bench.sf1.json covers {n_sf1} queries, not the "
+                    f"full suite ({n_corr} in "
+                    f"{os.path.basename(corr_file)}) — subset runs "
+                    f"don't satisfy the full-suite sf1 gate")
+            if sf1.get("failed"):
+                flags.append(f"bench.sf1.json reports failed queries: "
+                             f"{sf1['failed'][:5]}")
 
     # 4. scale claims vs the committed SCALE_sf*.json artifacts. A round
     # may quote several scale points (sf1 AND sf3); a count/exponent claim
