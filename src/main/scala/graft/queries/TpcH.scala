@@ -257,22 +257,41 @@ object TpcH {
         val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
         val ordF = t(s, d, "orders").where(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val late = li
-          .join(ordF, col("l_orderkey") === col("o_orderkey") &&
-            usec(col("l_shipdate")) > usec(col("o_orderdate")) + lit(60L * 86400000000L))
-          .select("l_orderkey", "l_suppkey")
-        val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-        val latePerOrder = late.groupBy(col("l_orderkey").as("lo_key"))
-          .agg(countDistinct(col("l_suppkey")).as("n_late"))
-        late
-          .join(latePerOrder, col("l_orderkey") === col("lo_key") && col("n_late") === 1,
-            "left_semi")
-          .join(perOrder.where(col("n_supp") > 1), col("l_orderkey") === col("po_key"),
-            "left_semi")
-          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        // ONE pass over lineitem instead of three (r14): the old shape ran
+        // the late join PLUS two full countDistinct shuffles PLUS two
+        // semi-joins back onto the late rows. Here a LEFT join tags each
+        // lineitem row late/not (non-F orders tag false, so per-order
+        // supplier counts still cover every order, as the all-lineitem
+        // aggregate did), and two stacked aggregations on l_orderkey —
+        // (order, supplier) then (order) — derive n_supp / n_late / the
+        // single late supplier / its late-row count. The join is pinned
+        // SHUFFLE_HASH: orders is NOT a bounded dim (an AQE broadcast at
+        // toy scale would strand lineitem unpartitioned and force BOTH
+        // aggregations to shuffle), and a sort-merge join would sort the
+        // full lineitem side that the downstream HASH aggregates never
+        // need sorted; with SHJ the join's l_orderkey hash partitioning
+        // satisfies both groupBys' distributions, so the whole query
+        // rides ONE lineitem-sized exchange and zero sorts.
+        val flagged = li
+          .join(ordF.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            coalesce(usec(col("l_shipdate")) >
+              usec(col("o_orderdate")) + lit(60L * 86400000000L),
+              lit(false)).as("late"))
+        val perSupp = flagged.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("supp_late"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("supp_late_rows"))
+        val perOrder = perSupp.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"),
+            sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late"),
+            min(when(col("supp_late"), col("l_suppkey"))).as("late_supp"),
+            sum(when(col("supp_late"), col("supp_late_rows"))
+              .otherwise(0L)).as("late_rows"))
+        perOrder.where(col("n_late") === 1 && col("n_supp") > 1)
+          .join(t(s, d, "supplier"), col("late_supp") === col("s_suppkey"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("late_rows")).cast("long").as("numwait"))
           .orderBy(desc("numwait"), asc("s_name")).limit(25)
       },
       Some("WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem " +
@@ -336,7 +355,17 @@ object TpcH {
     //    all equi-joins, dims filtered before the fact join ────────────────
     "q2_min_cost_supplier" -> Q(
       (s, d) => {
-        val ps = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        // filter BEFORE the distinct (r14): the old shape deduped ALL
+        // (l_partkey, l_suppkey) pairs — the full lineitem pair volume
+        // through one exchange — then joined the ~2% of parts with
+        // p_size = 15, and recomputed that whole chain a second time for
+        // the grouped-MIN join-back. Here the size-15 part join prunes
+        // the pair stream first (Catalyst/AQE broadcasts the filtered
+        // part side at small scale, shuffles at 100 TB — part is not a
+        // bounded dim, so no forced hint), the distinct dedups only the
+        // surviving ~2%, and the per-part MIN is a window over the
+        // already-partitioned candidates instead of a groupBy + self-join
+        // that recomputes its own input.
         val pa = t(s, d, "part").where(col("p_size") === 15)
           .select("p_partkey", "p_type")
         val eurNations = t(s, d, "nation")
@@ -347,12 +376,16 @@ object TpcH {
           .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name"), col("n_name"),
             Functions.cents(col("s_acctbal")).as("bal_cents"))
-        val cand = ps.join(pa, col("l_partkey") === col("p_partkey"))
-          .join(sup, col("l_suppkey") === col("s_suppkey"))
-        val minCost = cand.groupBy(col("p_partkey").as("mk"))
-          .agg(min(col("bal_cents")).as("min_bal"))
-        cand.join(minCost, col("p_partkey") === col("mk") &&
-            col("bal_cents") === col("min_bal"))
+        val ps = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(pa, col("l_partkey") === col("p_partkey"))
+          .select("p_partkey", "p_type", "l_suppkey")
+          .distinct()
+        val cand = ps.join(sup, col("l_suppkey") === col("s_suppkey"))
+        val perPart = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_partkey")
+        cand
+          .withColumn("min_bal", min(col("bal_cents")).over(perPart))
+          .where(col("bal_cents") === col("min_bal"))
           .select("p_partkey", "p_type", "s_name", "n_name", "bal_cents")
           .orderBy(desc("bal_cents"), asc("s_name"), asc("p_partkey"))
           .limit(100)
