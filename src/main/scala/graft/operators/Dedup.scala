@@ -104,8 +104,18 @@ object Dedup {
     * structurally impossible — the same probabilistic argument as
     * [[postings]]' collision note, and a collision costs one spurious
     * candidate pair, never a wrong verified span.
+    *
+    * Native one-pass codegen Expression (r14, GramHashesLong — same XXH64
+    * fold via Spark's own XxHash64Function, so values are identical): the
+    * composed form evaluated a sequence + slice + xxhash64 expression walk
+    * INTERPRETED per gram. [[composedGramHashes]] keeps the built-in form
+    * as the equivalence-law twin (DedupSpec).
     */
   def gramHashes(toks: Column, n: Int): Column =
+    graft.functions.NativeExpressions.gramHashesLong(toks, n)
+
+  /** The composed-builtins form of [[gramHashes]] — law twin only. */
+  def composedGramHashes(toks: Column, n: Int): Column =
     when(size(toks) < n, array(xxhash64(toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => xxhash64(slice(toks, i, lit(n)))))
@@ -979,13 +989,17 @@ object Dedup {
     df.select(col(idCol).as("doc"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= n)
-      // named stage: the filter below references `shp` twice (input +
-      // element_at look-back); staging prevents Catalyst from inlining the
-      // sort into every lambda element (the SKILL.md O(g²) trap)
+      // gram fingerprints via the native one-pass GramHashesLong (r14);
+      // the (h, pos) pairing is a cheap indexed transform over the hash
+      // array — no per-window slice or hash walk remains in the lambda.
+      // named stages: the filter below references `shp` twice (input +
+      // element_at look-back), and `gh` feeds every transform element;
+      // staging prevents Catalyst from inlining either into every lambda
+      // element (the SKILL.md O(g²) trap)
+      .select(col("doc"), gramHashes(col("toks"), n).as("gh"))
       .select(col("doc"), array_sort(
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => struct(xxhash64(slice(col("toks"), i, lit(n))).as("h"),
-            i.as("pos")))).as("shp"))
+        transform(col("gh"),
+          (h, i0) => struct(h.as("h"), (i0 + 1).as("pos")))).as("shp"))
       .select(col("doc"), explode(filter(col("shp"), (x, i) =>
         // CaseWhen evaluates lazily, so element_at's 1-based index
         // i-(k-1) is only computed when i ≥ k (always ≥ 1, ANSI-safe)

@@ -327,9 +327,18 @@ object Similarity {
     * the bucket is the sign of plane `planes(j)`. Used to pre-bucket near-dup
     * candidates without a cross join; multiple disjoint plane subsets give
     * independent hash tables (union of buckets = OR-amplified recall).
-    * Expression-only — stays in whole-stage codegen.
+    *
+    * Native one-pass codegen Expression (r14): the composed form ran one
+    * `signPlane` aggregate per plane — planes.size sequence+zip_with array
+    * materializations per row, the dominant per-row cost of every
+    * bucketing query over the embeddings corpus. [[composedSignLshBucket]]
+    * keeps the built-in form as the equivalence-law twin (SimilaritySpec).
     */
   def signLshBucket(vq: Column, planes: Seq[Int], totalPlanes: Int): Column =
+    graft.functions.NativeExpressions.signLshBucketLong(vq, planes, totalPlanes)
+
+  /** The composed-builtins form of [[signLshBucket]] — law twin only. */
+  def composedSignLshBucket(vq: Column, planes: Seq[Int], totalPlanes: Int): Column =
     planes.zipWithIndex.map { case (p, j) =>
       when(signPlane(vq, p, totalPlanes) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -854,29 +854,27 @@ object StreamingSync {
         graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
     val sh = array_distinct(
       graft.operators.Dedup.shinglesFromTokens(col("toks")))
-    val hs = transform(sh, s => concat(md5(s), md5(concat(lit("#"), s))))
-    // ONE `aggregate` pass over the staged hash array computes ALL
-    // numHashes slot-mins at once (an Int.MaxValue-seeded running min,
-    // zip_with(least)), where the previous shape ran numHashes separate
-    // array_min(transform(...)) traversals — 16 passes over every doc's
-    // hash array per micro-batch row (round-11 verdict's top lever for
-    // this twin). A null/shingle-less hash array yields NULL mins →
-    // NULL slots → concat_ws skips them, identical to array_min's
-    // null-on-empty, so the batch-twin lockstep law is unchanged.
-    val slotMins = when(size(col("hs")) > 0, aggregate(
-      col("hs"),
-      array((0 until numHashes).map(_ => lit(Int.MaxValue)): _*),
-      (acc, x) => zip_with(acc,
-        array((0 until numHashes).map(i =>
-          conv(substring(x, 4 * i + 1, 4), 16, 10).cast("int")): _*),
-        (a, b) => least(a, b))))
+    // ONE native codegen pass over the staged shingle array digests and
+    // folds ALL numHashes slot-mins at once (r14,
+    // MinHashSlotsFromShingles). The r13 form — transform(md5 ++ md5)
+    // then aggregate + zip_with(least) over an array of 16
+    // conv(substring) chunks — was a single logical pass but evaluated
+    // BOTH lambda stacks INTERPRETED per shingle (higher-order functions
+    // never enter codegen): the dominant addBatch cost of this twin.
+    // Semantics are mirrored exactly (same md5 chunk ints, FunctionsSpec
+    // law), including the empty/null guard (empty shingle array → NULL
+    // mins → NULL slots → concat_ws skips them), so the batch-twin
+    // lockstep law is unchanged.
+    val slotMins =
+      graft.functions.NativeExpressions.minhashSlotsFromShingles(
+        col("sh"), numHashes)
     val bandCols = (0 until numHashes / bandSize).map { b =>
       val slots = (b * bandSize until (b + 1) * bandSize).map(i =>
         element_at(col("mins"), i + 1).cast("string"))
       struct(lit(b).as("band_idx"), concat_ws("|", slots: _*).as("band_sig"))
     }
     val bands = docs
-      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), sh.as("sh"))
       .select(col("doc_id"), slotMins.as("mins"))
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),

@@ -957,6 +957,26 @@ class DedupSpec extends AnyFunSuite {
         "or a hashing regression — investigate either way)")
   }
 
+  test("native gramHashes == composed xxhash64(slice) form (generative law: " +
+    "random token arrays spanning empty / short / long, unicode tokens)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "δelta", "ε", "zz", "q")
+    val rows = (0 until 200).map { i =>
+      val len = Seq(0, 1, 7, 8, 9, 40)(i % 6)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("id", "toks")
+    Seq(3, 8).foreach { n =>
+      val bad = df.select(
+        graft.operators.Dedup.gramHashes(col("toks"), n).as("native"),
+        graft.operators.Dedup.composedGramHashes(col("toks"), n).as("ref"))
+        .where(not(col("native") <=> col("ref"))).count()
+      assert(bad == 0L, s"native gramHashes != composed for n=$n")
+    }
+  }
+
   // ── r14: within-doc gram-repeat cap (VERDICT r13 ask #1) ────────────────
   // heavyGrams caps DISTINCT-doc frequency only, so before the cap ONE
   // pathological repetitive document (df=1..2 for its dominant 8-gram,

@@ -86,6 +86,53 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.isNullAt(0))
   }
 
+  test("native minhash slot-mins match the composed transform(md5)+" +
+    "aggregate+zip_with form (random shingles, unicode, empty-string " +
+    "shingles, empty and null arrays)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val numHashes = 16
+    val rnd = new scala.util.Random(13)
+    // varying shingle counts per row; include unicode and empty-string
+    // shingles (the digest runs over the same UTF-8 bytes on both sides)
+    val rows = (0 until 120).map { i =>
+      val k = 1 + i % 7
+      (i.toLong, Seq.fill(k)(rnd.alphanumeric.take(12).mkString) ++
+        (if (i % 5 == 0) Seq("héllo wörld", "") else Nil))
+    }
+    val df = rows.toDF("id", "sh")
+    val composed =
+      when(size(col("sh")) > 0, aggregate(
+        transform(col("sh"),
+          s => concat(md5(s), md5(concat(lit("#"), s)))),
+        array((0 until numHashes).map(_ => lit(Int.MaxValue)): _*),
+        (acc, x) => zip_with(acc,
+          array((0 until numHashes).map(i =>
+            conv(substring(x, 4 * i + 1, 4), 16, 10).cast("int")): _*),
+          (a, b) => least(a, b))))
+    val bad = df.select(
+      graft.functions.NativeExpressions
+        .minhashSlotsFromShingles(col("sh"), numHashes).as("native"),
+      composed.as("ref"))
+      .where(not(col("native") <=> col("ref"))).count()
+    assert(bad == 0L, "native minhash slots != composed form")
+    // a numSlots <= 8 signature skips the second digest — same prefix law
+    val bad8 = df.select(
+      graft.functions.NativeExpressions
+        .minhashSlotsFromShingles(col("sh"), 8).as("native"),
+      slice(composed, 1, 8).as("ref"))
+      .where(not(col("native") <=> col("ref"))).count()
+    assert(bad8 == 0L, "8-slot native minhash != composed prefix")
+    // empty array → NULL (the folded-in size guard); null array → NULL
+    val edge = Seq((1L, Some(Seq.empty[String])), (2L, None))
+      .toDF("id", "sh")
+      .select(graft.functions.NativeExpressions
+        .minhashSlotsFromShingles(col("sh"), numHashes).as("m"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("VecSum aggregates vectors elementwise, exactly, per group") {
     val spark = TestSpark.spark
     import spark.implicits._

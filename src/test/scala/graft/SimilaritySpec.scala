@@ -195,4 +195,40 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(q == Seq(123456L, -1500000L))
   }
+
+  test("native sign-LSH bucket == composed-builtins form (generative law " +
+    "over non-empty vectors, incl. shorter-than-totalPlanes / negative sums)") {
+    val rnd = new scala.util.Random(41)
+    // dims span < totalPlanes, == and > totalPlanes (empty pinned below:
+    // the composed form's sequence(0,-1) artifact diverges there and the
+    // native form follows the ORACLE instead — see SignLshBucketLong doc)
+    val rows = (0 until 300).map { i =>
+      val dim = Seq(1, 3, 16, 17, 64, 200)(i % 6)
+      (i.toLong, Array.fill(dim)(rnd.between(-2000000L, 2000000L)))
+    }
+    val df = rows.toDF("id", "vq")
+    // plane subsets: contiguous low bits, a sparse subset, all 16, mod-2
+    val cases = Seq((0 until 4, 16), (Seq(1, 5, 11, 15), 16), (0 until 16, 16),
+      (0 until 2, 2))
+    cases.foreach { case (planes, total) =>
+      val out = df.select(
+        Similarity.signLshBucket(col("vq"), planes, total).as("native"),
+        Similarity.composedSignLshBucket(col("vq"), planes, total).as("composed"))
+        .where(col("native") =!= col("composed")).count()
+      assert(out == 0L, s"native != composed for planes=$planes total=$total")
+    }
+    // empty vector → bucket 0, the DuckDB oracle's semantics (list_sum of
+    // an empty list is NULL → every sign CASE falls to its ELSE 0); the
+    // composed form's sequence artifact gave a third answer here, never
+    // exercised because no corpus vector is empty
+    val empty = Seq((1L, Array.empty[Long])).toDF("id", "vq")
+      .select(Similarity.signLshBucket(col("vq"), 0 until 4, 16).as("b"))
+      .collect()
+    assert(empty.head.getLong(0) == 0L)
+    // null vector → null bucket, matching the composed form
+    val nulls = Seq((1L, null: Array[Long])).toDF("id", "vq")
+      .select(Similarity.signLshBucket(col("vq"), 0 until 4, 16).as("b"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
 }
