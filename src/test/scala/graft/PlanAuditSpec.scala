@@ -286,6 +286,22 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast, and TakeOrdered — key-domain-sized throughout
       "x_join_skew_report" -> 8,
       "q1_pricing_summary" -> 2, "q18_large_orders" -> 2,
+      // q21 (r14 shape): ONE lineitem-sized exchange — the pinned-SHJ
+      // left join's hash(l_orderkey), which BOTH stacked aggregations
+      // reuse (their keys ⊇/= the join key) — plus the orders-side
+      // hash, the supplier broadcast, and the supplier-count-sized
+      // report agg; zero Sorts (TakeOrdered handles the top-25). A 5th
+      // exchange means an aggregation stopped riding the join's
+      // partitioning and lineitem shuffles twice again
+      "q21_late_suppliers" -> 4,
+      // q2 (r14 shape): the pair stream is pruned by the part join
+      // (broadcast here, shuffle at 100 TB) BEFORE its map-side-combined
+      // distinct exchange; then the l_suppkey/s_suppkey join pair, the
+      // p_partkey window re-shuffle of the ~2% candidates, and the two
+      // bounded nation/region broadcasts. An 8th exchange means the
+      // distinct moved back in front of the part filter (full pair
+      // volume) or the grouped-MIN self-join shape returned
+      "q2_min_cost_supplier" -> 7,
       "x_oov_rate" -> 3, "j1_merge_upsert" -> 3, "x_incr_agg" -> 3,
       "x_decontaminate" -> 4,
       // SCD2: lag + run-sum + per-run collapse + valid_to carry ALL ride
@@ -387,6 +403,18 @@ class PlanAuditSpec extends AnyFunSuite {
       if (n > cap) Some(s"$name: $n exchanges > budget $cap") else None
     }
     assert(over.isEmpty, s"shuffle-budget regressions:\n  ${over.mkString("\n  ")}")
+  }
+
+  test("q21 plans zero Sort operators: SHJ + hash aggregates + TakeOrdered") {
+    // the r14 q21 rationale: a sort-merge join would sort the full
+    // lineitem side that the downstream HASH aggregates never need
+    // sorted, and the top-25 must stay a TakeOrdered, not a global sort.
+    // A Sort node appearing anywhere = one of those shapes regressed.
+    val plan = SparkEntry.queries("q21_late_suppliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"q21 grew a Sort:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-25 must be TakeOrdered")
+    assert(plan.contains("ShuffledHashJoin"), "the late-tag join must stay SHJ")
   }
 
   test("bloom-gated decontamination: the gate is a scan-side Filter " +
