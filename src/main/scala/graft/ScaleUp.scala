@@ -35,14 +35,47 @@ import org.apache.spark.sql.functions._
   *
   * Tables land as ONE parquet file each (`<dst>/<table>.parquet`), the
   * driver's layout, so graft.Verify + tools/check.py (DuckDB oracle) run
-  * against the result unchanged.
+  * against the result unchanged — but with the SOURCE's own row-group
+  * volume preserved ([[srcBlockBytes]] reads it from the source footer
+  * and sets `parquet.block.size` to match): a row group is the
+  * scan-parallelism quantum for both Spark and DuckDB, and the original
+  * single-6M-row-row-group sf1 layout serialized EVERY scan into one
+  * task however many cores ran the suite (measured: 28 scheduled scan
+  * tasks, 27 reading empty split ranges, one 10–12 s straggler decoding
+  * the whole file). The honest 10× of a corpus whose sf0.1 files hold
+  * one ~14 MiB row group is ten such row groups, not one 10× bigger —
+  * constant bytes per row group, with the COUNT scaling, is how any
+  * production writer (including this repo's own sinks) lays out growing
+  * data, and it hands both engines the same parallelism headroom.
   */
 object ScaleUp {
 
+  /** The source table's own uncompressed row-group volume (max across its
+    * row groups, clamped to [1 MiB, 64 MiB]) — the destination writer's
+    * `parquet.block.size`, so each replica row group carries the SAME
+    * volume as the driver's, and the row-group COUNT (the parallelism
+    * quantum) is what scales with the data.
+    */
+  private def srcBlockBytes(spark: SparkSession, srcDir: String,
+                            table: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$srcDir/$table.parquet")
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val unc =
+      try reader.getFooter.getBlocks.asScala.map(_.getTotalByteSize).max
+      finally reader.close()
+    math.min(math.max(unc, 1L << 20), 64L << 20)
+  }
+
   private def one(spark: SparkSession, df: DataFrame, dst: String,
-                  table: String): Unit = {
+                  table: String, srcDir: String): Unit = {
     val stage = s"$dst/.stage_$table"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", srcBlockBytes(spark, srcDir, table).toString)
+      .parquet(stage)
     val dir = new java.io.File(stage)
     val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
     val out = new java.io.File(dst, s"$table.parquet")
@@ -93,31 +126,31 @@ object ScaleUp {
       (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
 
     // fixed dims: copy once
-    one(spark, t("region"), dstDir, "region")
-    one(spark, t("nation"), dstDir, "nation")
+    one(spark, t("region"), dstDir, "region", srcDir)
+    one(spark, t("nation"), dstDir, "nation", srcDir)
 
     one(spark, reps(cust)((d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(i * mC))),
-      dstDir, "customer")
+      dstDir, "customer", srcDir)
     one(spark, reps(supp)((d, i) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(i * mS))),
-      dstDir, "supplier")
+      dstDir, "supplier", srcDir)
     one(spark, reps(part0)((d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(i * mP))),
-      dstDir, "part")
+      dstDir, "part", srcDir)
     one(spark, reps(ord)((d, i) => d
       .withColumn("o_orderkey", col("o_orderkey") + lit(i * mO))
       .withColumn("o_custkey", col("o_custkey") + lit(i * mC))),
-      dstDir, "orders")
+      dstDir, "orders", srcDir)
     one(spark, reps(li)((d, i) => d
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * mO))
       .withColumn("l_partkey", col("l_partkey") + lit(i * mP))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * mS))),
-      dstDir, "lineitem")
+      dstDir, "lineitem", srcDir)
     one(spark, reps(ev)((d, i) => d
       .withColumn("event_id", col("event_id") + lit(i * mE))
       .withColumn("user_id", col("user_id") + lit(i * mC))),
-      dstDir, "events")
+      dstDir, "events", srcDir)
     one(spark, reps(docs)((d, i) =>
       if (i == 0) d
       else d
@@ -126,7 +159,7 @@ object ScaleUp {
         .withColumn("n_chars",
           when(col("text").isNull, col("n_chars"))
             .otherwise(length(col("text")).cast("long")))),
-      dstDir, "documents")
+      dstDir, "documents", srcDir)
     // rotation modulus = the actual embedding dimension (a 64-slot
     // hard-code would slice a negative length on dims < 64); empty table
     // → dim 1, the rotation degenerates to identity harmlessly
@@ -147,7 +180,7 @@ object ScaleUp {
             (x + (pmod(hash(col("vec_id"), j, lit(i)), lit(2001)) - lit(1000))
               .cast("float") / lit(10000.0f)).cast("float")))
       }),
-      dstDir, "embeddings")
+      dstDir, "embeddings", srcDir)
 
     spark.stop()
     println(s"[scaleup] done: $dstDir at ${factor}x $srcDir")

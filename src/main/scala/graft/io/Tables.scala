@@ -134,6 +134,26 @@ object Tables {
       case _: java.util.concurrent.TimeoutException => fallback
     }
 
+  /** Widen a narrow input before a compressed chunk write. The encode
+    * (gzip/zlib) is CPU-bound, so write throughput = partitions × one
+    * core's codec rate — and a table read from one or two parquet files
+    * (the corpus layout; likewise a single-connection JDBC scan) carries
+    * that narrowness into the write, encoding nearly serially however
+    * many cores the cluster has. One round-robin exchange of exactly the
+    * rows being written buys cores× encode parallelism; when the input is
+    * already as wide as the session's parallelism the write stays
+    * shuffle-free (at 100 TB a wide scan must not pick up a gratuitous
+    * exchange — only genuinely narrow inputs pay the repartition, and for
+    * those the shuffle is the price of using the cluster at all). The 2×
+    * guard keeps near-wide inputs (e.g. 28 partitions on 32 cores)
+    * shuffle-free: a <2× encode speedup never pays for re-shuffling
+    * everything being written.
+    */
+  private def widenForEncode(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
+  }
+
   /** S2: chunked gzip CSV sink with header, mirroring the reference's rollover
     * writer (pgwarehouse.py:259-295). maxRecordsPerFile plays the role of the
     * 1 GiB size cap; Spark writes one chunk per partition in parallel rather
@@ -154,7 +174,7 @@ object Tables {
     val capped = maxRecords.fold(df)(n =>
       df.limit(math.min(n, Int.MaxValue.toLong).toInt))
     val obs = Observation()
-    capped.observe(obs, count(lit(1)).as("n"))
+    widenForEncode(capped).observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite")
       .option("header", "true")
       .option("compression", "gzip")
@@ -184,7 +204,7 @@ object Tables {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
     val obs = Observation()
-    df.observe(obs, count(lit(1)).as("n"))
+    widenForEncode(df).observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite")
       .option("compression", "zlib")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -295,7 +315,7 @@ object Tables {
     val capped = maxRecords.fold(df)(n =>
       df.limit(math.min(n, Int.MaxValue.toLong).toInt))
     val obs = Observation()
-    capped.observe(obs, count(lit(1)).as("n"))
+    widenForEncode(capped).observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite")
       .option("compression", "gzip")
       .option("maxRecordsPerFile", maxRecordsPerFile)
