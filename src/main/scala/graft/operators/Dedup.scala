@@ -302,8 +302,28 @@ object Dedup {
     * array (array_sort + slice) before anything explodes, and k_probe is
     * just least(k, size) — deleting the corpus-wide row_number window
     * (one full exchange + sort) and the probe re-count aggregation
-    * outright. Measured at sf1: 16.4 s solo / 32.3 s under suite memory
-    * pressure → 3.0 s; exponent 1.40 → 0.36 (sublinear).
+    * outright.
+    *
+    * Candidate-volume mechanics (r14, second pass): a probe shingle's hit
+    * list is its posting df (≤ maxDf), and bottom-k sampling is
+    * df²-weighted across the corpus (a probe doc samples its shingles
+    * uniformly, but a high-df shingle is in MANY probe docs), so at the
+    * corpus size where common shingles sit just under the cap the
+    * candidate volume peaks near k·maxDf pairs per doc — measured 37.6M
+    * DISTINCT (a,b) pairs for 50k sf1 docs, which the old exploded
+    * probe→posting join materialized as rows and pair-counted in a 37.6M-
+    * entry aggregation (the whole 11-second warm cost; virtually every
+    * pair then died at the threshold). The chain now never materializes
+    * a below-threshold pair: each surviving shingle's ≤maxDf doc list
+    * rides as ONE PACKED ARRAY row (collect_list per key), the arrays
+    * group by probe doc (the only candidate-volume exchange moves packed
+    * longs, not rows), and the per-pair match count is an IN-ROW
+    * gaps-and-islands pass over the ≤k·maxDf-entry sorted array — only
+    * pairs meeting the est threshold explode into rows. Same pairs, same
+    * counts, so the oracle is untouched. Measured at sf1 solo warm:
+    * 11.1 → 5.1 s (the residual is the two bounded exchanges the
+    * candidate volume still rides as packed longs: postings→bArrays and
+    * hits→per-probe-doc).
     */
   def containmentIndexed(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, maxDf: Int = DefaultMaxBucket,
@@ -317,29 +337,54 @@ object Dedup {
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("khl"))
       .persist())
     val post = base.select(col("doc"), explode(col("khl")).as("h"))
-    val heavy = post.groupBy("h").agg(count(lit(1)).as("__df"))
-      .where(col("__df") > maxDf).select("h")
-    val postC = post.join(heavy, Seq("h"), "left_anti")
     val probe = base.select(col("doc").as("a"),
+      least(lit(k), size(col("khl"))).cast("long").as("k_probe"),
       explode(slice(array_sort(col("khl")), 1, k)).as("h"))
-    val kProbe = base.select(col("doc").as("a"),
-      least(lit(k), size(col("khl"))).cast("long").as("k_probe"))
+    // one packed row per surviving shingle: the ≤maxDf doc list rides as
+    // an array, so each probe hit fetches ONE row however many docs hold
+    // the shingle. The df cap is the in-row size filter on the SAME
+    // aggregation (size(bs) > maxDf ⟺ df > maxDf — postings are distinct
+    // per (h, doc)), fusing what was a count aggregation + left-anti join
+    // + a second groupBy (three posting-volume traversals, two of them
+    // exchanges) into this one pass
+    val bArrays = post.groupBy("h").agg(collect_list(col("doc")).as("bs"))
+      .where(size(col("bs")) <= maxDf)
     // SHUFFLE_HASH with the ≤k-rows-per-doc probe as build side: both
     // sides are corpus-sized (never broadcastable at 100 TB), and
-    // Catalyst's size estimate for the posting side — a Generate over
-    // the compact cached arrays — is low enough that it would otherwise
-    // BROADCAST the full exploded posting table (measured at sf1: every
-    // task builds the 10M-row hash relation → executor OOM; plan shape
-    // pinned in PlanAuditSpec)
+    // Catalyst's size estimate for subtrees over the compact cached
+    // arrays is low enough that it would otherwise BROADCAST the posting
+    // side (measured at sf1 on the exploded form: every task builds the
+    // 10M-row hash relation → executor OOM; plan shape pinned in
+    // PlanAuditSpec)
+    //
+    // In-row pair counting: srt/starts/runs are STAGED named columns
+    // (the SKILL.md lambda-inlining rule); `starts` is 1-BASED run-start
+    // positions in `srt`, and each run's length is next-start − start
+    // (try_element_at past the end → null → the size+1 sentinel). all_bs
+    // is never empty (inner join; collect_list ≥ 1), so sequence(1, n)
+    // never descends. CaseWhen guards the i−1 look-back (ANSI-safe, same
+    // pattern as postings()); floor((n·10⁴)/kp) ≥ T ⟺ n·10⁴ ≥ T·kp for
+    // integer T, kp > 0, so the in-row filter is exactly the est gate.
     probe.hint("shuffle_hash")
-      .join(postC.select(col("doc").as("b"), col("h")), Seq("h"))
-      .where(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
-      .join(kProbe, Seq("a"))
+      .join(bArrays, Seq("h"))
+      .groupBy("a").agg(first(col("k_probe")).as("k_probe"),
+        flatten(collect_list(col("bs"))).as("all_bs"))
+      .withColumn("srt", array_sort(col("all_bs")))
+      .withColumn("starts", filter(sequence(lit(1), size(col("srt"))),
+        i => when(i === 1, lit(true)).otherwise(
+          element_at(col("srt"), i) =!= element_at(col("srt"), i - 1))))
+      .withColumn("runs", transform(col("starts"), (s, j) => struct(
+        element_at(col("srt"), s).as("b"),
+        (coalesce(try_element_at(col("starts"), j + 2),
+          size(col("srt")) + 1) - s).cast("long").as("n_match"))))
+      .select(col("a"), col("k_probe"),
+        explode(filter(col("runs"), r =>
+          r.getField("b") =!= col("a") &&
+            r.getField("n_match") * lit(10000L) >=
+              lit(thresholdE4) * col("k_probe"))).as("e"))
+      .select(col("a").as("a_id"), col("e.b").as("b_id"),
+        col("e.n_match").as("n_match"), col("k_probe"))
       .withColumn("est_e4", expr("(n_match * 10000) div k_probe"))
-      .where(col("est_e4") >= thresholdE4)
-      .select(col("a").as("a_id"), col("b").as("b_id"),
-        col("n_match"), col("k_probe"), col("est_e4"))
   }
 
   /** Edit-distance verification over the same LSH candidates — the
