@@ -43,6 +43,26 @@ class TablesSpec extends AnyFunSuite {
       "values round-trip exactly (incl. µs timestamps)")
   }
 
+  test("compressed chunk writes widen narrow inputs to the session " +
+    "parallelism; near-wide inputs keep their layout (the 2× guard)") {
+    // gzip encode is CPU-bound and inherits input narrowness: a
+    // 1-partition frame on this local[4] session must fan out to 4
+    // writer tasks (4 chunk files with no rollover cap in play), while a
+    // 3-partition frame (3·2 > 4) must NOT pick up the repartition — a
+    // <2× encode speedup never pays for re-shuffling the written rows.
+    val df = (1 to 80).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    def gzCount(dir: String) =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".csv.gz"))
+    val narrow = TestSpark.tmpDir("widen1") + "/c"
+    Tables.writeCsvChunks(df.repartition(1), narrow)
+    assert(gzCount(narrow) == spark.sparkContext.defaultParallelism,
+      "1-partition input widens to one chunk per core")
+    val nearWide = TestSpark.tmpDir("widen3") + "/c"
+    Tables.writeCsvChunks(df.repartition(3), nearWide)
+    assert(gzCount(nearWide) == 3,
+      "3 partitions on 4 cores stay unshuffled (2× guard)")
+  }
+
   test("maxRecords caps the extract, like the reference's max_records") {
     val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val dir = TestSpark.tmpDir("csvcap") + "/chunks"
