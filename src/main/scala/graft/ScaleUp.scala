@@ -56,16 +56,21 @@ object ScaleUp {
     * volume as the driver's, and the row-group COUNT (the parallelism
     * quantum) is what scales with the data.
     */
-  private def srcBlockBytes(spark: SparkSession, srcDir: String,
-                            table: String): Long = {
+  private[graft] def srcBlockBytes(spark: SparkSession, srcDir: String,
+                                   table: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(s"$srcDir/$table.parquet")
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    // maxOption: an EMPTY source table writes a footer with zero row
+    // groups (the docs above promise empty tables replicate harmlessly);
+    // a bare .max would abort the whole scale-up on it. 0 → the 1 MiB
+    // clamp floor below.
     val unc =
-      try reader.getFooter.getBlocks.asScala.map(_.getTotalByteSize).max
+      try reader.getFooter.getBlocks.asScala.map(_.getTotalByteSize)
+        .maxOption.getOrElse(0L)
       finally reader.close()
     math.min(math.max(unc, 1L << 20), 64L << 20)
   }

@@ -178,7 +178,14 @@ case class SquaredDistanceLong(left: Expression, right: Expression,
   * is NULL, so every sign CASE falls to 0), where the composed form's
   * `sequence(0, -1)` artifact produced a third, different answer (null
   * sum on plane 0 only); the native form collapses that latent three-way
-  * divergence onto the graded contract. Wrapping arithmetic only: the
+  * divergence onto the graded contract. A NULL vector ALSO yields bucket
+  * 0, for the same reason: the oracle's per-bit `CASE WHEN sum ≥ 0 …
+  * ELSE 0` and the composed form's `when(...).otherwise(0)` both fall to
+  * their ELSE on a null sign, so the composed stack sums |planes| zeros —
+  * a UnaryExpression's default null propagation would instead DROP
+  * null-vector rows from every bucket equi-join the callers build
+  * (r14 review find; `nullable` is false and both eval paths fold NULL
+  * to 0). Wrapping arithmetic only: the
   * quantized path cannot overflow (|x| ≤ 2e6, ≤ 4096 dims).
   */
 case class SignLshBucketLong(child: Expression, planes: Seq[Int],
@@ -191,6 +198,7 @@ case class SignLshBucketLong(child: Expression, planes: Seq[Int],
 
   override def prettyName: String = "sign_lsh_bucket_long"
   override def dataType: DataType = LongType
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -198,7 +206,10 @@ case class SignLshBucketLong(child: Expression, planes: Seq[Int],
       s"$prettyName requires an array<bigint> input, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
+  // not nullSafeEval: a NULL input must yield bucket 0, not NULL (scaladoc)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L // oracle's CASE … ELSE 0 on null signs
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n == 0) return 0L // oracle semantics: NULL sums set no bits
@@ -214,28 +225,35 @@ case class SignLshBucketLong(child: Expression, planes: Seq[Int],
     b
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val sums = ctx.freshName("sums")
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val b = ctx.freshName("bkt")
-      val bits = planes.zipWithIndex.map { case (p, j) =>
-        s"if ($sums[$p] >= 0L) $b |= ${1L << j}L;"
-      }.mkString("\n")
-      s"""
-         |int $n = $a.numElements();
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val a = c.value
+    val sums = ctx.freshName("sums")
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val b = ctx.freshName("bkt")
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      s"if ($sums[$p] >= 0L) $b |= ${1L << j}L;"
+    }.mkString("\n")
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+         |${c.code}
          |long $b = 0L;
-         |if ($n > 0) {
-         |  long[] $sums = new long[$totalPlanes];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $sums[$i % $totalPlanes] += $a.getLong($i);
+         |if (!${c.isNull}) {
+         |  int $n = $a.numElements();
+         |  if ($n > 0) {
+         |    long[] $sums = new long[$totalPlanes];
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $sums[$i % $totalPlanes] += $a.getLong($i);
+         |    }
+         |    $bits
          |  }
-         |  $bits
          |}
-         |${ev.value} = $b;
-       """.stripMargin
-    })
+         |long ${ev.value} = $b;
+       """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -149,9 +149,36 @@ object Tables {
     * shuffle-free: a <2× encode speedup never pays for re-shuffling
     * everything being written.
     */
-  private def widenForEncode(df: DataFrame): DataFrame = {
+  private[graft] def widenForEncode(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
+    // Width must be read WITHOUT executing the plan: on a plan with
+    // shuffles, df.rdd forces AQE's final physical plan, eagerly
+    // EXECUTING every upstream shuffle stage that the subsequent write's
+    // fresh QueryExecution then re-runs — a full duplicate source pass,
+    // violating the one-scan contract documented at observedCount. So:
+    // an explicit repartition's width is read off the logical node
+    // (statically known), a leaf-rooted project/filter/limit chain — the
+    // extract-path call sites — gets the df.rdd probe (pure planning
+    // there: file listing, no job), and any other shape keeps its layout
+    // (it already ends shuffle.partitions wide).
+    import org.apache.spark.sql.catalyst.plans.logical
+    @annotation.tailrec
+    def core(p: logical.LogicalPlan): logical.LogicalPlan = p match {
+      case q @ (_: logical.Project | _: logical.Filter |
+                _: logical.GlobalLimit | _: logical.LocalLimit) =>
+        core(q.children.head)
+      case other => other
+    }
+    val width: Option[Int] = core(df.queryExecution.optimizedPlan) match {
+      case r: logical.Repartition if r.shuffle => Some(r.numPartitions)
+      case r: logical.RepartitionByExpression => r.optNumPartitions
+      case _: logical.LeafNode => Some(df.rdd.getNumPartitions)
+      case _ => None
+    }
+    width match {
+      case Some(n) if n * 2 <= want => df.repartition(want)
+      case _ => df
+    }
   }
 
   /** S2: chunked gzip CSV sink with header, mirroring the reference's rollover

@@ -73,6 +73,42 @@ class CorpusContractSpec extends AnyFunSuite {
   }
 }
 
+/** ScaleUp's block-size calibration must tolerate the corpus corners its
+  * own docs promise replicate harmlessly — specifically an EMPTY source
+  * table, whose parquet footer holds zero row groups (r14 review find: a
+  * bare `.max` over the blocks aborted the whole scale-up there).
+  */
+class ScaleUpBlockSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("srcBlockBytes on an empty table falls to the 1 MiB clamp floor " +
+    "instead of crashing on a zero-row-group footer") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("emptyblock")
+    spark.emptyDataset[Long].toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "empty.parquet").toPath)
+    assert(ScaleUp.srcBlockBytes(spark, dir, "empty") == (1L << 20))
+  }
+
+  test("srcBlockBytes on a populated table reads the footer's own " +
+    "row-group volume, clamped to [1 MiB, 64 MiB]") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("popblock")
+    (1L to 1000L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "pop.parquet").toPath)
+    // a 1k-long column is far under a MiB uncompressed → clamp floor
+    assert(ScaleUp.srcBlockBytes(spark, dir, "pop") == (1L << 20))
+  }
+}
+
 /** Contract of the r14 oracle_scope tags: every declared query carries
   * exactly one tag from the closed set, every streaming twin is
   * batch-recompute (its oracle replaces the state machinery by

@@ -225,10 +225,16 @@ class SimilaritySpec extends AnyFunSuite {
       .select(Similarity.signLshBucket(col("vq"), 0 until 4, 16).as("b"))
       .collect()
     assert(empty.head.getLong(0) == 0L)
-    // null vector → null bucket, matching the composed form
+    // null vector → bucket 0, matching BOTH the composed form (each bit's
+    // when(null >= 0, …).otherwise(0) falls to 0) and the oracle's CASE …
+    // ELSE 0 — default UnaryExpression null propagation would instead drop
+    // null-vector rows from every bucket equi-join (r14 review find)
     val nulls = Seq((1L, null: Array[Long])).toDF("id", "vq")
-      .select(Similarity.signLshBucket(col("vq"), 0 until 4, 16).as("b"))
+      .select(Similarity.signLshBucket(col("vq"), 0 until 4, 16).as("b"),
+        Similarity.composedSignLshBucket(col("vq"), 0 until 4, 16).as("c"))
       .collect()
-    assert(nulls.head.isNullAt(0))
+    assert(!nulls.head.isNullAt(0) && nulls.head.getLong(0) == 0L)
+    assert(nulls.head.getLong(1) == 0L,
+      "composed-form null semantics drifted: the native form mirrors it")
   }
 }

@@ -63,6 +63,27 @@ class TablesSpec extends AnyFunSuite {
       "3 partitions on 4 cores stay unshuffled (2× guard)")
   }
 
+  test("widenForEncode never executes the plan to learn its width: " +
+    "repartition widths are read statically, shuffle-bearing frames pass " +
+    "through untouched") {
+    // A frame whose plan contains a shuffle (groupBy) must come back the
+    // SAME reference: probing its width via df.rdd would force AQE's
+    // final plan and eagerly run every upstream shuffle stage, which the
+    // subsequent write's fresh QueryExecution then re-runs — a duplicate
+    // source pass the one-scan extract contract forbids (r14 review
+    // find). Reference equality proves neither a probe-repartition nor
+    // any plan surgery happened.
+    val agg = (1 to 40).map(i => (i % 4, i.toLong)).toDF("k", "v")
+      .groupBy("k").count()
+    assert(Tables.widenForEncode(agg) eq agg,
+      "shuffle-bearing plan keeps its layout, by reference")
+    // An explicit narrow repartition is widened WITHOUT execution — the
+    // width comes off the logical Repartition node.
+    val narrow = (1 to 40).toDF("v").repartition(2)
+    val widened = Tables.widenForEncode(narrow)
+    assert(widened ne narrow, "repartition(2) on 4 cores must widen")
+  }
+
   test("maxRecords caps the extract, like the reference's max_records") {
     val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val dir = TestSpark.tmpDir("csvcap") + "/chunks"
