@@ -101,8 +101,12 @@ object Constraints {
                 .as(s"v_$i")
             }
           val one = df.agg(aggs.head, aggs.tail: _*)
+          // names interpolate into SQL string literals — double any
+          // embedded quote or a label like "o'brien rule" parse-fails
+          // the whole audit (and is an injection surface)
           val stackArgs = rowLocal.zipWithIndex
-            .map { case ((name, _), i) => s"'$name', v_$i" }.mkString(", ")
+            .map { case ((name, _), i) =>
+              s"'${name.replace("'", "''")}', v_$i" }.mkString(", ")
           Seq(one.select(lit(tname).as("table_name"), col("n_rows"),
               expr(s"stack(${rowLocal.size}, $stackArgs)")
                 .as(Seq("constraint_name", "n_violations")))

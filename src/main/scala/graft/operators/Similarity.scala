@@ -102,9 +102,15 @@ object Similarity {
     */
   def kmeansAssignStep(df: DataFrame, idCol: String, vecCol: String,
                        seedBits: Int = 4, totalPlanes: Int = 16): DataFrame = {
-    val v = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+    // persisted: the centroid build and the scoring pass below both read
+    // v — unpersisted, the corpus-wide quantize + LSH-bucket pass would
+    // run twice (registry FIFO owns the lifetime; one-shot op, no
+    // superseding frame to release against)
+    val v = CacheRegistry.register(df
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
       .withColumn("seed_cell",
         signLshBucket(col("vq"), 0 until seedBits, totalPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val centroids = centroidsOf(v, "seed_cell", "vq")
     val dist =
       graft.functions.NativeExpressions.squaredDistLong(col("vq"), col("cvq"))
@@ -186,17 +192,23 @@ object Similarity {
                        iters: Int = 2, seedBits: Int = 4,
                        totalPlanes: Int = 16): DataFrame = {
     require(iters >= 1, "need at least one assignment round")
-    var assigned = df
+    // the SEED frame persists like every round's frame: round 1 reads it
+    // twice (centroid build + reassign), and without the persist the
+    // corpus-wide quantize + LSH-bucket pass runs twice — the exact
+    // double-computation the per-round persists below exist to prevent
+    var assigned = CacheRegistry.register(df
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
       .withColumn("cell", signLshBucket(col("vq"), 0 until seedBits, totalPlanes))
       .withColumn("dist_q", lit(0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    assigned.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     // each round supersedes the previous round's persisted assignment —
     // materialize the new frame (count on the already-persisted table, one
     // cheap cache-building job) and release the old one immediately, so a
     // k-round run holds ONE round of state, not k (VERDICT r5 §wrong-3).
     // Only the final round's frame stays registered: the caller's action
     // reads it.
-    var prevRound: DataFrame = null
+    var prevRound: DataFrame = assigned
     for (_ <- 1 to iters) {
       val cents = centroidsOf(assigned, "cell", "vq")
       val w = Window.partitionBy(col("id")).orderBy(asc("dist_q"), asc("ccell"))

@@ -245,10 +245,18 @@ object Sketches {
     val keys = quasiIdCols.map(col)
     val cv = df.groupBy(keys :+ col(sensitiveCol): _*)
       .agg(count(lit(1)).as("n_cv"))
-    val gd = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("g_v"))
+    val gd = df.groupBy(col(sensitiveCol).as("__s"))
+      .agg(count(lit(1)).as("g_v"))
       .withColumn("n_total", sum("g_v").over(Window.partitionBy()))
     val w = Window.partitionBy(keys: _*)
-    cv.join(broadcast(gd), sensitiveCol)
+    // null-SAFE join (<=>): groupBy above collapses NULL sensitive values
+    // into one group on BOTH sides, but a plain equi-join would drop the
+    // class's NULL mass (NULL never equals NULL), undercounting group_n
+    // and corrupting the TVD verdict for any class with NULL sensitive
+    // rows. kAnonymity/lDiversity never join on the sensitive value, so
+    // this was the one null-unsafe member of the family.
+    cv.join(broadcast(gd), col(sensitiveCol) <=> col("__s"))
+      .drop("__s")
       .withColumn("group_n", sum("n_cv").over(w))
       .withColumn("g_present", sum("g_v").over(w))
       .groupBy(keys: _*)

@@ -113,8 +113,17 @@ object Snapshots {
       .agg(sum(abs(col("a") * col("n_new") - col("b") * col("n_old")))
         .as("l1"))
       .select(col("source"), col("n_old"), col("n_new"),
+        // decimal(38,0) widen: l1 ≤ 2·n_old·n_new, so l1 * 10000
+        // overflows BIGINT once a source holds ~3×10⁷ docs per snapshot
+        // with divergent length regimes — the exact corpus-break this
+        // audit exists to catch would have killed the audit job (ANSI)
+        // at that moment. The oracle's sum() is already HUGEINT, so
+        // values are unchanged; only Spark's intermediate widens.
         when(col("n_old") === 0 || col("n_new") === 0, lit(10000L))
-          .otherwise(expr("(l1 * 10000) div (n_old * n_new)"))
+          .otherwise(expr(
+            """cast((cast(l1 as decimal(38,0)) * 10000) div
+              |  (cast(n_old as decimal(38,0)) * n_new) as bigint)"""
+              .stripMargin))
           .as("drift_e4"))
       .orderBy("source")
   }
@@ -147,9 +156,17 @@ object Snapshots {
     val runs = events
       .select(col(keyCol).as("key"), col(tsCol).as("ts"),
         col(valueCol).as("value"), col(tsTieCol).as("tie"))
+      // null-SAFE change detection (<=>): `lag.isNull || lag =!= value`
+      // merged a value→NULL transition into the prior run (the =!= is
+      // NULL, so chg fell to 0 and the NULL period vanished) and opened
+      // a fresh run on EVERY consecutive NULL (lag.isNull fired each
+      // time). With negated <=>, a→NULL changes, NULL→NULL collapses,
+      // and the first event of a key still opens its run (missing lag is
+      // distinct from any non-null value; an all-NULL first run just
+      // starts at run 0 instead of 1 — run ids are internal to the
+      // groupBy). cdcDiff below always used <=>; this aligns the family.
       .withColumn("chg",
-        when(lag(col("value"), 1).over(ordered).isNull ||
-          lag(col("value"), 1).over(ordered) =!= col("value"), 1L)
+        when(!(lag(col("value"), 1).over(ordered) <=> col("value")), 1L)
           .otherwise(0L))
       .withColumn("run", sum(col("chg")).over(
         ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -97,8 +97,8 @@ object Pipeline {
     """sc_e AS (SELECT user_id AS key, ts, event_type AS value,
       |    event_id AS tie FROM events),
       |sc_c AS (SELECT key, ts, value, tie,
-      |    CASE WHEN lag(value) OVER w IS NULL
-      |      OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+      |    CASE WHEN lag(value) OVER w IS DISTINCT FROM value
+      |      THEN 1 ELSE 0 END AS chg
       |  FROM sc_e WINDOW w AS (PARTITION BY key ORDER BY ts, tie)),
       |sc_r AS (SELECT key, value, ts,
       |    sum(chg) OVER (PARTITION BY key ORDER BY ts, tie
@@ -1118,7 +1118,8 @@ object Pipeline {
         |  FROM documents WHERE doc_id % 2 = 0),
         |inc AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
         |  FROM documents WHERE doc_id % 2 = 1),
-        |f_ee AS (SELECT i.doc_id FROM inc i JOIN exq e ON i.fp = e.fp),
+        |f_ee AS (SELECT i.doc_id FROM inc i
+        |  JOIN exq e ON i.fp IS NOT DISTINCT FROM e.fp),
         |f_eb AS (SELECT doc_id FROM (SELECT doc_id,
         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM inc)
         |  WHERE rn > 1),
@@ -3194,7 +3195,7 @@ object Pipeline {
         |      AS group_n,
         |    sum(gd.g_v) OVER (PARTITION BY cv.c_nationkey, cv.bal_band)
         |      AS g_present
-        |  FROM tc_cv cv JOIN tc_gd gd ON cv.s = gd.s)
+        |  FROM tc_cv cv JOIN tc_gd gd ON cv.s IS NOT DISTINCT FROM gd.s)
         |SELECT c_nationkey, bal_band,
         |  CAST(max(group_n) AS BIGINT) AS group_n,
         |  CAST(sum(abs(n_cv*n_total - g_v*group_n))
@@ -3899,9 +3900,10 @@ object Pipeline {
         |WHERE valid_to_us IS NOT NULL""".stripMargin)),
 
     // ── Entity resolution: blocked fuzzy self-join on part names. Candidate
-    //    pairs come from two equi-join blocking passes (shared 3-char prefix
-    //    OR suffix) — never a cross join — then only candidates pay the
-    //    levenshtein verify. operators/FuzzyJoin.scala ─────────────────────
+    //    pairs come from three equi-join blocking passes (shared 3-char
+    //    prefix OR suffix, plus one shared block for strings under 6 chars,
+    //    whose prefix/suffix regions overlap) — never a cross join — then
+    //    only candidates pay the levenshtein verify. FuzzyJoin.scala ───────
     "x_fuzzy_join" -> Q(
       (s, d) => graft.operators.FuzzyJoin.fuzzyPairs(
         t(s, d, "part"), "p_name", maxDist = 3)
@@ -3916,11 +3918,16 @@ object Pipeline {
         |  count(*) OVER (PARTITION BY substr(n, 1, 3)) AS c FROM nm) WHERE c <= 10000),
         |p2 AS (SELECT n, k FROM (SELECT n, substr(n, -3) AS k,
         |  count(*) OVER (PARTITION BY substr(n, -3)) AS c FROM nm) WHERE c <= 10000),
+        |p3 AS (SELECT n, '' AS k FROM (SELECT n, count(*) OVER () AS c
+        |  FROM nm WHERE length(n) < 6) WHERE c <= 10000),
         |b1 AS (SELECT a.n AS name_a, b.n AS name_b FROM p1 a JOIN p1 b
         |  ON a.k = b.k AND a.n < b.n),
         |b2 AS (SELECT a.n AS name_a, b.n AS name_b FROM p2 a JOIN p2 b
         |  ON a.k = b.k AND a.n < b.n),
-        |cand AS (SELECT DISTINCT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
+        |b3 AS (SELECT a.n AS name_a, b.n AS name_b FROM p3 a JOIN p3 b
+        |  ON a.k = b.k AND a.n < b.n),
+        |cand AS (SELECT DISTINCT * FROM (SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3))
         |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin)),
 
@@ -5201,16 +5208,21 @@ object Pipeline {
         t(s, d, "documents").select(col("doc_id"),
           Pipeline.syntheticUrl(col("doc_id"), col("source")).as("url")),
         "doc_id", "url", cap = 12L),
-      Some(s"""WITH $urlCanonCtesSql
-        |SELECT id AS doc_id,
-        |  regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host,
-        |  CAST(row_number() OVER (PARTITION BY
-        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1)
-        |    ORDER BY id) AS BIGINT) AS rn,
-        |  row_number() OVER (PARTITION BY
-        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1)
-        |    ORDER BY id) <= 12 AS keep
-        |FROM uc""".stripMargin)),
+      // host key mirrors Dedup.domainKey: unparseable URLs fall back to
+      // the full canonical URL (singleton host), NULL urls to an
+      // id-keyed sentinel — never one shared ""/NULL mega-partition
+      Some(s"""WITH $urlCanonCtesSql,
+        |dch AS (SELECT id AS doc_id, COALESCE(
+        |    CASE WHEN regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) = ''
+        |      THEN url_canon
+        |      ELSE regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) END,
+        |    '__nourl__#' || CAST(id AS VARCHAR)) AS host
+        |  FROM uc)
+        |SELECT doc_id, host,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |    AS BIGINT) AS rn,
+        |  row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 12 AS keep
+        |FROM dch""".stripMargin)),
 
     // ── Structured Streaming: online per-domain crawl budget — the
     //    streaming twin of x_domain_cap's keep verdict: each host admits
@@ -5225,8 +5237,11 @@ object Pipeline {
       (s, d) => singleDrain(s)(
         graft.streaming.StreamingSync.streamingDomainCap(s, d)),
       Some(s"""WITH $urlCanonCtesSql,
-        |sdc AS (SELECT id AS doc_id,
-        |    regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host
+        |sdc AS (SELECT id AS doc_id, COALESCE(
+        |    CASE WHEN regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) = ''
+        |      THEN url_canon
+        |      ELSE regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/?]*)', 1) END,
+        |    '__nourl__#' || CAST(id AS VARCHAR)) AS host
         |  FROM uc)
         |SELECT doc_id, host FROM (SELECT doc_id, host,
         |    row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn

@@ -875,29 +875,10 @@ object Relational {
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events WHERE event_type = 'purchase' GROUP BY 1")),
 
-    // ── SCD2 dimension history: each user's event stream becomes versioned
-    //    validity intervals — version = row_number, valid_to = next change's
-    //    timestamp, open-ended for the current row. The warehouse-history
-    //    shape a sync engine layers on top of MERGE; one window over the
-    //    natural (user_id) partitioning, no self-join ─────────────────────
-    "x_scd2_history" -> Q(
-      (s, d) => {
-        val ev = t(s, d, "events").where(col("user_id") < 200)
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        ev.select(col("user_id"), col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-          row_number().over(w).cast("long").as("version"),
-          usec(col("ts")).as("valid_from_us"),
-          usec(lead(col("ts"), 1).over(w)).as("valid_to_us"),
-          lead(col("ts"), 1).over(w).isNull.as("is_current"))
-      },
-      Some("""SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
-        |  CAST(row_number() OVER w AS BIGINT) AS version,
-        |  epoch_us(ts) AS valid_from_us,
-        |  epoch_us(lead(ts) OVER w) AS valid_to_us,
-        |  lead(ts) OVER w IS NULL AS is_current
-        |FROM events WHERE user_id < 200
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+    // (an earlier per-event SCD2 versioning entry lived here under the key
+    // "x_scd2_history" — silently SHADOWED by Pipeline's run-collapsing
+    // entry of the same name in the allQ merge, so it never ran; removed,
+    // and RegistryContractSpec now rejects any cross-registry key collision)
 
     // ── F8: JSON extraction from the events props column ───────────────────
     "f8_json_extract" -> Q(

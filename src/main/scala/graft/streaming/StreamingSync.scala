@@ -796,7 +796,7 @@ object StreamingSync {
     val base = freshBase(ss, "domcap")
     val docs = tableStream(ss, sfDir, "documents", base)
     val rows = docs.select(col("doc_id").cast("long").as("doc_id"),
-        graft.operators.Dedup.canonicalHost(
+        graft.operators.Dedup.domainKey(col("doc_id"),
           graft.queries.Pipeline.syntheticUrl(col("doc_id"), col("source")))
           .as("host"))
       .as[(Long, String)]

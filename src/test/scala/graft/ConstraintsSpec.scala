@@ -43,6 +43,14 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(out(("child", "unique(pid)")) == ((4L, 1L, false)))
   }
 
+  test("constraint names containing quotes survive the stack() " +
+    "interpolation instead of parse-failing the whole audit") {
+    val df = Seq((1L, "a"), (-2L, "b")).toDF("pid", "v")
+    val out = report(Constraints.audit(Seq(("t", df, Seq(
+      Check("o'brien rule", col("pid") > 0))))))
+    assert(out(("t", "check(o'brien rule)")) == ((2L, 1L, false)))
+  }
+
   test("a clean table reports ok=true on every constraint and an empty " +
     "table reports zero violations, not NULL") {
     val clean = Seq((1L, "a"), (2L, "b")).toDF("pid", "v")

@@ -109,6 +109,26 @@ class ScaleUpBlockSpec extends AnyFunSuite {
   }
 }
 
+/** The four query registries merge with `++`, where a key collision
+  * silently SHADOWS the earlier entry — it never runs, never verifies,
+  * and edits to it change nothing (found live: Relational carried a dead
+  * "x_scd2_history" under Pipeline's key). Reject collisions outright.
+  */
+class RegistryContractSpec extends AnyFunSuite {
+  test("query keys are unique across Relational/TpcH/Analytics/Pipeline") {
+    import graft.queries._
+    val parts = Seq("Relational" -> Relational.all.keySet,
+      "TpcH" -> TpcH.all.keySet, "Analytics" -> Analytics.all.keySet,
+      "Pipeline" -> Pipeline.all.keySet)
+    val dups = parts.combinations(2).flatMap {
+      case Seq((an, a), (bn, b)) => (a intersect b).map(k => s"$k ($an/$bn)")
+    }.toSeq
+    assert(dups.isEmpty, s"shadowed query keys: $dups")
+    assert(SparkEntry.queries.size == parts.map(_._2.size).sum,
+      "merged registry must carry every declared query")
+  }
+}
+
 /** Contract of the r14 oracle_scope tags: every declared query carries
   * exactly one tag from the closed set, every streaming twin is
   * batch-recompute (its oracle replaces the state machinery by

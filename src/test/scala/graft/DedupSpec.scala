@@ -184,6 +184,24 @@ class DedupSpec extends AnyFunSuite {
       23L -> "near_vs_batch"), s"got $out")
   }
 
+  test("incrementalDedup null-text probe is null-safe: a NULL fingerprint " +
+    "matches the corpus's NULL fingerprint, agreeing with batch dedup") {
+    import spark.implicits._
+    // pre-fix, the vs-existing semi-join never matched NULL fingerprints
+    // while the in-batch window DID partition them together — the triage
+    // disagreed with Dedup.exact on exactly the null-text docs
+    val existing = Seq((0L, null: String),
+      (2L, "real corpus text")).toDF("doc_id", "text")
+    val incoming = Seq((11L, null: String), (13L, null: String),
+      (15L, "brand new text")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(
+      11L -> "exact_vs_existing",
+      13L -> "exact_vs_existing",
+      15L -> "kept"), s"got $out")
+  }
+
   test("dupStats: cluster-size histogram over exact fingerprints") {
     val stats = Dedup.dupStats(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -607,6 +625,20 @@ class DedupSpec extends AnyFunSuite {
     assert(tiny == exact, "false positives must die at the exact join")
   }
 
+  test("bloom gate's empty-eval no-op keeps the INPUT id types: a " +
+    "string-id corpus gets a string-typed empty frame, unionable with a " +
+    "populated run") {
+    import spark.implicits._
+    val train = Seq(("t1", "some training text here with words")).toDF("doc_id", "text")
+    val eval_ = Seq.empty[(String, String)].toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .bloomGatedOverlapPairs(eval_, train, "doc_id", "text")
+    assert(out.count() == 0)
+    // pre-fix, the early return hardcoded BIGINT ids — this union threw
+    val populated = Seq(("e1", "t1", 3L)).toDF("eval_id", "train_id", "n_shared")
+    assert(populated.unionByName(out).count() == 1)
+  }
+
   test("embedding near-dup finds identical vectors within a cell") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.5f, -0.25f, 0.75f), 7),
@@ -806,6 +838,31 @@ class DedupSpec extends AnyFunSuite {
       "host a keeps exactly its 3 lowest ids")
     assert(out(6L)._3 && out(7L)._3, "under-cap host keeps everything")
     assert(out(5L)._2 == 5L, "rank is within the collapsed host")
+  }
+
+  test("domainCap dirty-data keys: unparseable URLs become singleton " +
+    "hosts (never one shared '' bucket), NULL urls id-keyed singletons") {
+    import spark.implicits._
+    // pre-fix, every unparseable URL fell into ONE shared ''-host window
+    // partition — a single cap applied across unrelated rows and an
+    // unbounded sort on a dirty crawl
+    val urls = Seq(
+      (1L, "relative/path/only"),
+      (2L, "also not a url"),
+      (3L, "//protocol-relative.com/x"),
+      (4L, null: String),
+      (5L, null: String),
+      (6L, "https://ok.com/p")).toDF("id", "url")
+    val out = Dedup.domainCap(urls, "id", "url", cap = 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // cap=1 would strike all but one of a pooled bucket; singletons all live
+    assert(out.values.forall(_._3), s"every dirty row must survive: $out")
+    assert(out.values.forall(_._2 == 1L), "each singleton ranks first")
+    val hosts = out.map { case (id, (h, _, _)) => id -> h }
+    assert(hosts.values.toSet.size == 6, s"six distinct host keys: $hosts")
+    assert(hosts(4L) == "__nourl__#4" && hosts(5L) == "__nourl__#5")
+    assert(hosts(6L) == "ok.com")
   }
 
   test("semantic decontamination: a train vector identical to an eval " +

@@ -43,6 +43,22 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(FuzzyJoin.fuzzyPairs(many, "name", maxDist = 6).count() > 0)
   }
 
+  test("short strings pair via the dedicated pass: below 2·blockLen the " +
+    "prefix/suffix regions overlap, so a single mid-string edit changes " +
+    "both keys") {
+    // dist("abcd","abxd") = 1, but first-3 AND last-3 keys both differ —
+    // pre-fix, this distance-1 pair silently escaped blocking entirely
+    val got = FuzzyJoin.fuzzyPairs(names("abcd", "abxd"), "name", maxDist = 3)
+      .as[(String, String, Int)].collect()
+    assert(got.toSeq == Seq(("abcd", "abxd", 1)), s"got ${got.toSeq}")
+    // a long string never enters the short pass: 'abcdef' (≥ 2·blockLen)
+    // pairs with 'abcdex' only through prefix blocking, and with a short
+    // string not at all unless a prefix/suffix key matches
+    val cross = FuzzyJoin.fuzzyPairs(names("abcd", "abcdqz"), "name",
+      maxDist = 2)
+    assert(cross.count() == 1, "short-long still pairs via shared prefix")
+  }
+
   test("null names are ignored") {
     val df = Seq(Some("cold anvil"), Some("old anvil"), None)
       .toDF("name")

@@ -65,6 +65,34 @@ class PrivacySpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("dpRelease seeds non-numeric keys from the md5 fold instead of a " +
+    "failed cast: string-keyed releases are noised, not zeroed") {
+    import spark.implicits._
+    // pre-fix, cast('en' as long) either threw (ANSI) or nulled the seed,
+    // releasing noisy_n = 0 for EVERY group — a destroyed histogram
+    val df = Seq.fill(10)("en").union(Seq.fill(7)("de")).toDF("k")
+    def strIdx(s: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15)
+      val key = java.lang.Long.parseLong(hex, 16)
+      ((((key % 2147483648L) * 2654435761L) % 4294967296L) % 256).toInt
+    }
+    val out = Privacy.dpRelease(df, "k").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("noisy_n")).toMap
+    assert(out("en") ==
+      math.max(0L, 10L + Privacy.dpNoiseTable(strIdx("en"))))
+    assert(out("de") ==
+      math.max(0L, 7L + Privacy.dpNoiseTable(strIdx("de"))))
+    // numeric-LOOKING strings take the numeric basis (try_cast succeeds),
+    // matching what the same value releases under a numeric column type
+    val numLike = Privacy.dpRelease(Seq.fill(4)("42").toDF("k"), "k")
+      .head().getAs[Long]("noisy_n")
+    val numReal = Privacy.dpRelease(Seq.fill(4)(42L).toDF("k"), "k")
+      .head().getAs[Long]("noisy_n")
+    assert(numLike == numReal)
+  }
+
   test("dpRelease clamps negative releases to 0 and never emits the " +
     "true count") {
     // find a key whose table entry is negative; give it a tiny group

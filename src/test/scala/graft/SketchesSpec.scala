@@ -262,4 +262,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(u.getAs[Long]("denom") == 32L)
     assert(u.getAs[Boolean]("t_close"), "TVD ½ ≤ t=½ boundary is inclusive")
   }
+
+  test("t-closeness is null-safe on the sensitive value: a class's NULL " +
+    "mass joins the global NULL group instead of vanishing") {
+    import spark.implicits._
+    // one QI class = the whole table: 5 NULL + 5 'x' → the class
+    // distribution IS the global one, so TVD must be exactly 0. The
+    // pre-fix equi-join dropped the (class, NULL) row (NULL never equals
+    // NULL), undercounting group_n to 5 and reporting TVD ½.
+    val df = (Seq.fill(5)(("c", null: String)) ++ Seq.fill(5)(("c", "x")))
+      .toDF("qi", "seg")
+    val r = Sketches.tCloseness(df, Seq("qi"), "seg", 1L, 5L).head()
+    assert(r.getAs[Long]("group_n") == 10L, "class size must include NULLs")
+    assert(r.getAs[Long]("tvd_num") == 0L,
+      "class distribution equals global → TVD 0")
+    assert(r.getAs[Long]("denom") == 200L)
+    assert(r.getAs[Boolean]("t_close"))
+  }
 }

@@ -200,4 +200,33 @@ class SnapshotsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SCD2 change detection is null-safe: value→NULL opens a run, " +
+    "consecutive NULLs collapse, NULL→value re-opens") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // the pre-fix form merged A→NULL into the A run (the =!= comparison
+    // nulled out, chg fell to 0 and the NULL period vanished) and opened
+    // a FRESH run on every consecutive NULL (lag IS NULL fired each time)
+    val events = Seq(
+      (1L, ts(1), "A", 10L), (1L, ts(2), null: String, 11L),
+      (1L, ts(3), null: String, 12L), (1L, ts(4), "A", 13L),
+      // key 2 STARTS null: first run is a NULL run, then a value
+      (2L, ts(5), null: String, 20L), (2L, ts(6), "X", 21L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.operators.Snapshots
+      .scd2History(events, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+        r.getBoolean(4)))
+      .sortBy(r => (r._1, r._3.map(_.getTime)))
+    assert(out.toSeq == Seq(
+      (1L, Some("A"), Some(ts(1)), Some(ts(2)), false),
+      (1L, None, Some(ts(2)), Some(ts(4)), false),
+      (1L, Some("A"), Some(ts(4)), None, true),
+      (2L, None, Some(ts(5)), Some(ts(6)), false),
+      (2L, Some("X"), Some(ts(6)), None, true)),
+      s"got:\n  ${out.mkString("\n  ")}")
+  }
 }
