@@ -3652,7 +3652,7 @@ object Pipeline {
       Some("SELECT CAST(floor(epoch_us(ts)/300000000)*300000000 AS BIGINT) AS win_start_us, " +
         "event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
-        "FROM events GROUP BY 1, 2")),
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2")),
 
     // ── Structured Streaming: stream-stream self-join — both sides buffer
     //    in the state store, matches emit exactly once (append mode); same

@@ -115,9 +115,23 @@ object StreamingSync {
     val longNames = batchSchema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.LongType => f.name
     }.toSet
-    graft.io.Tables.nsTimestampCols(spark, path).filter(longNames)
+    val nsFixed = graft.io.Tables.nsTimestampCols(spark, path)
+      .filter(longNames)
       .foldLeft(raw)((d, c) =>
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
+    // flavor repair #2, same as Tables.table: an inferTimestampNTZ session
+    // surfaces naive parquet timestamps as TIMESTAMP_NTZ — without this
+    // cast the streaming twins would see a different ts type than every
+    // batch query in exactly those sessions (session TZ is UTC, so the
+    // cast maps the naive wall-clock to the identical instant)
+    nsFixed.schema.fields
+      .collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          f.name
+      }
+      .foldLeft(nsFixed)((d, c) =>
+        d.withColumn(c, d(s"`$c`")
+          .cast(org.apache.spark.sql.types.TimestampType)))
   }
 
   private def eventsStream(spark: SparkSession, sfDir: String,
@@ -281,19 +295,18 @@ object StreamingSync {
     * state — the same compaction applies, the final batch simply wins
     * everywhere).
     */
-  private def runToChangelog(agg: DataFrame, base: String, name: String,
-                             keyCols: Seq[String],
-                             outputMode: String = "update"): DataFrame = {
-    val spark = agg.sparkSession
-    val sinkDir = s"$base/sink"
-    val q = agg.writeStream
-      .outputMode(outputMode)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sinkDir)
-        ()
-      }
-      .queryName(name)
+  /** The shared drain tail every AvailableNow sink runner must execute
+    * in lockstep: queryName + checkpoint + trigger, start, await, then
+    * the two thread-local observability side-effects (lastRunProgress,
+    * lastRunPlan). One definition — a third runner once drifted by
+    * dropping the plan capture, exactly the maintenance cost duplicated
+    * drain tails invite.
+    */
+  private def drainAvailableNow(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row],
+      base: String, name: String): Unit = {
+    val q = w.queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -301,6 +314,20 @@ object StreamingSync {
     _lastRunProgress.set(q.recentProgress)
     _lastRunPlan.set(
       org.apache.spark.sql.graft.StreamingBridge.lastExecutedPlan(q))
+  }
+
+  private def runToChangelog(agg: DataFrame, base: String, name: String,
+                             keyCols: Seq[String],
+                             outputMode: String = "update"): DataFrame = {
+    val spark = agg.sparkSession
+    val sinkDir = s"$base/sink"
+    drainAvailableNow(agg.writeStream
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }, base, name)
     if (!sinkExists(spark, sinkDir)) emptyLike(spark, agg.schema)
     else if (outputMode == "complete") {
       // complete re-emits the WHOLE state per batch, so only the final
@@ -328,7 +355,13 @@ object StreamingSync {
                           windowMinutes: Int = 5): DataFrame = {
     val ss = streamSession(spark)
     val base = freshBase(ss, "win")
+    // explicit NULL-ts filter, mirrored in the oracle: Spark's window()
+    // grouping silently injects it anyway (TimeWindowing's implicit
+    // ts IS NOT NULL), so without the mirror a NULL-ts event would form a
+    // NULL-window group on the oracle side only — the same both-sides
+    // filter the sessionize/attribution siblings already carry
     val agg = withOptionalWatermark(ss, eventsStream(ss, sfDir, base), "ts")
+      .where(col("ts").isNotNull)
       .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
@@ -358,19 +391,28 @@ object StreamingSync {
     * default. Same eviction-timing contract as [[streamStreamRangeJoin]]:
     * the watermark advance must be one batch old before it finalizes.
     */
+  /** The per-user session aggregation BOTH sessionize twins run — one
+    * definition, so "semantics identical" is enforced by construction
+    * (the same rule the rollup twins' foldUserEvent pins), not by
+    * keeping two copies of the filter/window/agg/select block in sync.
+    */
+  private def sessionAgg(ev: DataFrame, gapMinutes: Int): DataFrame = ev
+    .where(col("user_id").isNotNull && col("ts").isNotNull)
+    .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+    .agg(count(lit(1)).as("n_events"),
+      sum(round(col("value") * 100).cast("long")).as("cents"))
+    .select(col("user_id"),
+      unix_micros(col("session_window.start")).as("sess_start_us"),
+      unix_micros(col("session_window.end")).as("sess_end_us"),
+      col("n_events"), col("cents"))
+
   def sessionizedCounts(spark: SparkSession, sfDir: String,
                         gapMinutes: Int = 30): DataFrame = {
     val ss = streamSession(spark)
     val base = freshBase(ss, "sess")
-    val agg = withOptionalWatermark(ss, eventsStream(ss, sfDir, base), "ts")
-      .where(col("user_id").isNotNull && col("ts").isNotNull)
-      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("sess_start_us"),
-        unix_micros(col("session_window.end")).as("sess_end_us"),
-        col("n_events"), col("cents"))
+    val agg = sessionAgg(
+      withOptionalWatermark(ss, eventsStream(ss, sfDir, base), "ts"),
+      gapMinutes)
     if (ss.conf.getOption("graft.stream.watermark").isDefined)
       runAppendSink(ss, agg, base, "graft_stream_sessionize")
     else runToChangelog(agg, base, "graft_stream_sessionize",
@@ -382,23 +424,33 @@ object StreamingSync {
     * metrics (StreamingSpec pins `numRowsRemoved > 0` separately; this is
     * the CORRECTNESS-gate twin).
     *
-    * Staging: the real events are batch 1; a single far-future SENTINEL
-    * event (user_id = -1, ts = 2035-01-01) is batch 2, drained one file
-    * per trigger. After the sentinel batch the watermark stands past every
-    * real session's end, so the drain's trailing batches emit and evict
-    * ALL real sessions exactly once — the append-mode sink then equals
-    * the batch gaps-and-islands sessionization of the real events ("the
-    * sessions the final watermark closed" = all of them, by
-    * construction). The sentinel's own session is still open at drain end
-    * and never emits; it is filtered defensively anyway.
+    * Staging: the real events plus a single far-future SENTINEL event
+    * (user_id = -1, ts = 2035-01-01) drain together as ONE data batch —
+    * the reader deliberately does NOT honor a per-file trigger cap (see
+    * the in-code comment: late filtering uses the PREVIOUS batch's
+    * watermark, unset in batch 1, so nothing drops regardless of file
+    * order). That batch advances the watermark past every real session's
+    * end, and the trailing no-data batch emits and evicts ALL real
+    * sessions exactly once — the append-mode sink then equals the batch
+    * gaps-and-islands sessionization of the real events ("the sessions
+    * the final watermark closed" = all of them, by construction). The
+    * sentinel's own session is still open at drain end and never emits;
+    * it is filtered defensively anyway.
     */
   def sessionizedCountsClosed(spark: SparkSession, sfDir: String,
                               gapMinutes: Int = 30): DataFrame = {
     val ss = streamSession(spark)
     val base = freshBase(ss, "sesswm")
     val ev = graft.io.Tables.table(ss, sfDir, "events")
-    val srcDir = new java.io.File(s"$base/src")
-    java.nio.file.Files.createDirectories(srcDir.toPath)
+    // Hadoop FS throughout (not java.io.File): the class doc invites
+    // cluster deployments to point graft.stream.scratchDir at shared
+    // storage, where a local listFiles() on the staged write returns
+    // null and NPEs — unlike tableStream's symlink path, staging has no
+    // local-only excuse
+    val hconf = ss.sparkContext.hadoopConfiguration
+    val srcDirPath = new org.apache.hadoop.fs.Path(s"$base/src")
+    val fs = srcDirPath.getFileSystem(hconf)
+    fs.mkdirs(srcDirPath)
     // The real events keep their natural write parallelism (no
     // coalesce(1) choke point) and the drain takes EVERYTHING — sentinel
     // included — in one data batch: late filtering uses the PREVIOUS
@@ -410,14 +462,18 @@ object StreamingSync {
     // put the sentinel FIRST, where its watermark would late-drop every
     // real event.)
     def stage(rows: DataFrame, name: String, mtime: Long): Unit = {
-      val stagePath = s"$base/stage_$name"
-      rows.write.mode("overwrite").parquet(stagePath)
-      new java.io.File(stagePath).listFiles()
-        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+      val stagePath = new org.apache.hadoop.fs.Path(s"$base/stage_$name")
+      rows.write.mode("overwrite").parquet(stagePath.toString)
+      fs.listStatus(stagePath)
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex.foreach {
           case (part, i) =>
-            val dst = new java.io.File(srcDir, s"${name}_$i.parquet")
-            java.nio.file.Files.copy(part.toPath, dst.toPath)
-            require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+            val dst = new org.apache.hadoop.fs.Path(
+              srcDirPath, s"${name}_$i.parquet")
+            org.apache.hadoop.fs.FileUtil.copy(
+              fs, part.getPath, fs, dst, false, hconf)
+            // mtime orders the file source's batches; setTimes throws on
+            // filesystems that can't honor it instead of silently lying
+            fs.setTimes(dst, mtime, -1)
         }
     }
     val sentinel = ss.range(1).select(ev.schema.fields.map { f =>
@@ -433,16 +489,9 @@ object StreamingSync {
     stage(ev, "b1", now - 120000)
     stage(sentinel, "b2", now)
 
-    val agg = ss.readStream.schema(ev.schema).parquet(srcDir.toString)
-      .withWatermark("ts", "1 minute")
-      .where(col("user_id").isNotNull && col("ts").isNotNull)
-      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("sess_start_us"),
-        unix_micros(col("session_window.end")).as("sess_end_us"),
-        col("n_events"), col("cents"))
+    val agg = sessionAgg(
+      ss.readStream.schema(ev.schema).parquet(srcDirPath.toString)
+        .withWatermark("ts", "1 minute"), gapMinutes)
     runAppendSink(ss, agg, base, "graft_stream_sessionize_wm")
       .where(col("user_id") =!= -1L)
   }
@@ -506,7 +555,10 @@ object StreamingSync {
       .where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long"),
         unix_micros(col("ts")).as("ts_us"),
-        col("event_id").cast("long"),
+        // coalesce: event_id decodes into a NON-NULLABLE Long — a NULL
+        // would crash the query (NOT_NULL_ASSERT_VIOLATION), the crash
+        // class streamingScd2's tie column already guards against
+        coalesce(col("event_id").cast("long"), lit(0L)).as("event_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, Long, Long, String, Option[Long])]
@@ -561,7 +613,10 @@ object StreamingSync {
     val base = freshBase(ss, "cdc")
     val rows = eventsStream(ss, sfDir, base)
       .select(col("user_id").cast("long"),
-        col("event_id").cast("long"),
+        // coalesce: same non-nullable-decode guard as the ts sentinel
+        // below and streamingScd2's tie column — a NULL event_id would
+        // crash the query, not degrade it
+        coalesce(col("event_id").cast("long"), lit(0L)).as("event_id"),
         coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"),
         round(col("value") * 100).cast("long").as("cents"),
         when(col("event_type") === "signup", "I")
@@ -666,18 +721,10 @@ object StreamingSync {
   private def runAppendSink(ss: SparkSession, df: DataFrame, base: String,
                             name: String): DataFrame = {
     val sinkDir = s"$base/sink"
-    val q = df.writeStream
+    drainAvailableNow(df.writeStream
       .outputMode("append")
       .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", s"$base/ckpt")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    _lastRunProgress.set(q.recentProgress)
-    _lastRunPlan.set(
-      org.apache.spark.sql.graft.StreamingBridge.lastExecutedPlan(q))
+      .option("path", sinkDir), base, name)
     // a started query that emitted ZERO rows (normal under the watermarked
     // session path: every session still open at end of drain) leaves a
     // _spark_metadata dir but no data files — read.parquet then fails
@@ -850,6 +897,7 @@ object StreamingSync {
       // the same trap shinglesFromTokens' scaladoc documents for the
       // batch twin). This cut the sf0.1 drain from ~10s to batch-twin
       // territory.
+      .where(col("text").isNotNull) // NULL-doc drop — see the note below
       .select(col("doc_id").cast("long").as("doc_id"),
         graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
     val sh = array_distinct(
@@ -862,9 +910,19 @@ object StreamingSync {
     // BOTH lambda stacks INTERPRETED per shingle (higher-order functions
     // never enter codegen): the dominant addBatch cost of this twin.
     // Semantics are mirrored exactly (same md5 chunk ints, FunctionsSpec
-    // law), including the empty/null guard (empty shingle array → NULL
-    // mins → NULL slots → concat_ws skips them), so the batch-twin
-    // lockstep law is unchanged.
+    // law). NULL-text docs are DROPPED at the SOURCE (the text filter in
+    // the projection above): their slot array would be NULL, and
+    // concat_ws over all-NULL slots yields "" (an empty STRING, not
+    // NULL) — unfiltered, every such doc would share one ("", band)
+    // bucket and flag each other as near-dups, while the batch twin's
+    // oracle (unnest of an empty shingle list) emits no row for them at
+    // all. The filter must sit on `text`, NOT on the computed `mins`
+    // column: a `mins IS NOT NULL` filter gets pushed below the staging
+    // projection and re-evaluates the whole tokenize→shingle→minhash
+    // chain a second time per row (measured 1.7 s → 10.9 s at sf0.1 —
+    // the same staged-projection trap the comment above documents).
+    // `text IS NULL ⟺ mins IS NULL` (a non-null text always shingles:
+    // sub-shingle docs take the whole-token-string shingle).
     val slotMins =
       graft.functions.NativeExpressions.minhashSlotsFromShingles(
         col("sh"), numHashes)
@@ -1197,7 +1255,17 @@ object StreamingSync {
       batch.write.mode("overwrite").parquet(stage.toString)
       fs.listStatus(stage).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => fs.rename(f, new org.apache.hadoop.fs.Path(sink, prefix + f.getName)))
+        .foreach { f =>
+          val dst = new org.apache.hadoop.fs.Path(sink, prefix + f.getName)
+          // rename reports most failures by RETURNING FALSE, not
+          // throwing — ignoring it would let the stage delete below
+          // destroy the rows and the checkpoint still commit the batch:
+          // silent loss. Throwing here leaves the checkpoint uncommitted,
+          // so foreachBatch's at-least-once replay re-lands the batch
+          // (the prefix-clear above makes the replay idempotent).
+          require(fs.rename(f, dst), s"rename $f -> $dst failed; " +
+            "failing the batch so the checkpoint replays it")
+        }
       fs.delete(stage, true)
     }
   }
@@ -1252,6 +1320,11 @@ object StreamingSync {
         .start()
       q.awaitTermination()
       _lastRunProgress.set(q.recentProgress)
+      // keep lastRunPlan's "most recent run on this thread" contract —
+      // the other two runners set it; omitting it here left a plan audit
+      // after a file-sync drain inspecting the WRONG query's plan
+      _lastRunPlan.set(
+        org.apache.spark.sql.graft.StreamingBridge.lastExecutedPlan(q))
       // bounded wait for the async bus to deliver this run's terminated
       // event (and with it, FIFO, all of its progress events)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000

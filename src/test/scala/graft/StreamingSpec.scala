@@ -384,6 +384,33 @@ class StreamingSpec extends AnyFunSuite {
       .count(_.numInputRows > 0) >= 2,
       "maxFilesPerTrigger=1 must split the two new files into >=2 batches")
     assert(spark.read.parquet(sink).count() == 18)
+    // the file-sync runner participates in the lastRunPlan contract like
+    // the changelog/append runners — a plan audit after a drain must see
+    // THIS run's executed plan, not a stale one from an earlier operator
+    assert(graft.streaming.StreamingSync.lastRunPlan.nonEmpty,
+      "file sync must record its executed micro-batch plan")
+  }
+
+  test("cdcApply and statefulAttribution tolerate NULL event_id rows " +
+    "(non-nullable decode guard) instead of crashing the query") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("nullev")
+    val dir = new java.io.File(s"$sf/events.parquet")
+    assert(dir.mkdirs())
+    val rows = Seq(
+      (Some(1L), java.sql.Timestamp.valueOf("2000-01-01 10:00:00"), 1L,
+        "click", 0.0, "{}"),
+      (None: Option[Long], java.sql.Timestamp.valueOf("2000-01-01 10:01:00"),
+        1L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    stageBatchFile(sf, dir, rows, "b1", System.currentTimeMillis())
+    // pre-fix both queries died with NOT_NULL_ASSERT_VIOLATION on the
+    // NULL event_id (the guard streamingScd2 already carried)
+    val cdc = graft.streaming.StreamingSync.cdcApply(spark, sf).collect()
+    assert(cdc.length == 1, s"one user key: ${cdc.toSeq}")
+    val attr = graft.streaming.StreamingSync.statefulAttribution(spark, sf)
+      .collect()
+    assert(attr.length == 1, s"one purchase credited: ${attr.toSeq}")
   }
 
   test("stream-stream range join: graft.stream.watermark drops late rows " +
@@ -692,6 +719,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(identity) &&
       streamed.values.exists(!_),
       "fixture must exercise both verdicts")
+  }
+
+  test("streaming near-dup drops NULL/sub-shingle docs instead of pooling " +
+    "them into one empty-signature bucket") {
+    import spark.implicits._
+    val sf = TestSpark.tmpDir("neardupnull")
+    val dir = new java.io.File(s"$sf/documents.parquet")
+    assert(dir.mkdirs())
+    // two null-text docs produce a NULL slot array; pre-fix, concat_ws
+    // over all-NULL slots yielded "" (an empty STRING, not NULL), so both
+    // landed in one ("", band) bucket and doc 2 was flagged as a near-dup
+    // of doc 1 — while the batch oracle emits no row for them at all. A
+    // short doc still shingles (whole-token-string shingle) and stays.
+    val rows = Seq(
+      (1L, null: String, "en", "a", 0L),
+      (2L, null: String, "en", "a", 0L),
+      (3L, "tiny", "en", "a", 4L),
+      (4L, "a real document with enough words to shingle and match " +
+        "nothing else in this corpus at all", "en", "a", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    stageBatchFile(sf, dir, rows, "b1", System.currentTimeMillis())
+    val out = graft.streaming.StreamingSync.streamingNearDup(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(3L -> false, 4L -> false),
+      s"null-text docs must vanish, shingleable docs stay unflagged: $out")
   }
 
   test("streaming near-dup: bucket ownership persists across micro-batches " +
