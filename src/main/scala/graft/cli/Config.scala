@@ -169,8 +169,12 @@ object GraftConfig {
   private def str(m: ListMap[String, Any], key: String): Option[String] =
     m.get(key).collect { case s: String => s }
 
+  // case-insensitive: canonical YAML writes `True`/`TRUE`, and a silently
+  // ignored `skip: True` is the worst failure mode (the table syncs
+  // anyway) — ReloadSpec.parse already lowercases for the same reason
   private def truthy(m: ListMap[String, Any], key: String): Boolean =
-    str(m, key).exists(v => v == "true" || v == "yes" || v == "1")
+    str(m, key).map(_.trim.toLowerCase)
+      .exists(v => v == "true" || v == "yes" || v == "1")
 
   /** Build a config from YAML text with env fallback (reference
     * pgwarehouse.py:200-211 semantics: config key wins, env fills gaps).

@@ -178,12 +178,18 @@ object Main {
     exitCode
   }
 
-  private def parseArgs(args: Array[String]): (Map[String, String], Seq[String]) = {
+  private[graft] def parseArgs(args: Array[String]): (Map[String, String], Seq[String]) = {
     var flags = Map.empty[String, String]
     var positional = Vector.empty[String]
     var i = 0
     while (i < args.length) {
-      if (args(i).startsWith("--") && i + 1 < args.length) {
+      if (args(i).startsWith("--")) {
+        // every flag takes a value; a trailing bare --flag used to fall
+        // through as a POSITIONAL, silently flipping the command's
+        // meaning (`snapshot t --vacuum` published a new version instead
+        // of reclaiming). Fail loudly instead.
+        require(i + 1 < args.length,
+          s"flag ${args(i)} requires a value (e.g. ${args(i)} <value>)")
         flags += args(i).stripPrefix("--") -> args(i + 1); i += 2
       } else { positional :+= args(i); i += 1 }
     }

@@ -345,6 +345,10 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
           case None => batch
         }
       }
+      // skip is the operator's do-not-touch instruction — the batch
+      // `sync` honors it, and so must the watch path (it previously fell
+      // into the raw-landing branch and appended anyway)
+      case SyncStrategy.Skip => 0L
       case _ =>
         graft.streaming.StreamingSync.incrementalFileSync(spark, src,
           warehousePath(name), ckpt)
@@ -365,11 +369,16 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     * table (create-if-missing from the captured schema), archive them,
     * return the table's row count (duckdb_backend.py:78-110).
     */
-  def loadDuck(name: String, duck: graft.warehouse.DuckDbBackend,
-               dropTable: Boolean = false): Long = {
+  def loadDuck(name: String, duck: graft.warehouse.DuckDbBackend): Long = {
     if (pendingChunks(name).isEmpty)
       return if (duck.tableExists(name)) duck.count(name) else 0L
-    if (dropTable) duck.dropTable(name)
+    // `load` semantics match the parquet path: the pending chunks (a
+    // full extract) BECOME the table. A bare re-create + COPY on top of
+    // existing rows doubled a no-PK table and aborted a keyed one with
+    // a duplicate-key error — same CLI, different results per backend.
+    // The empty-chunks guard above still protects existing data when an
+    // extract produced nothing.
+    duck.dropTable(name)
     val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
     duck.createTable(name, schema, pksFor(name))
     duck.loadChunks(name, chunkDir(name))
@@ -387,6 +396,9 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     * pointed at a real warehouse engine).
     */
   def watchDuck(name: String, duck: graft.warehouse.DuckDbBackend): Long = {
+    // same do-not-touch contract as watch(): a skipped table must not
+    // even be created in the warehouse engine
+    if (strategyFor(name) == SyncStrategy.Skip) return 0L
     val src = s"${cfg.sourceDir}/$name.parquet"
     val p = new Path(src)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -415,7 +427,7 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
   /** `reload --backend duckdb`: drop + full extract/load. */
   def reloadDuck(name: String, duck: graft.warehouse.DuckDbBackend): Long = {
     extract(name)
-    loadDuck(name, duck, dropTable = true)
+    loadDuck(name, duck)
   }
 
   /** `sync --backend duckdb`: the reference's `update_table` control flow
@@ -468,12 +480,29 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     }
   }
 
+  /** Staged swap with the old table preserved until the new one is
+    * live: write stage → move live aside → rename stage in → drop the
+    * old copy. The previous delete-then-rename form had two loss modes
+    * this sequence closes: `fs.rename` reports most failures by
+    * RETURNING FALSE (ignored, the warehouse table vanished silently —
+    * the same contract StreamingSync.incrementalFileSync and
+    * Tables.publishVersion already `require`), and a crash between the
+    * delete and the rename left no table at all. Now every window
+    * leaves either the live table or its `.__old` copy on disk, and any
+    * rename failure raises instead of returning success.
+    */
   private def writeAtomic(df: DataFrame, path: String): Unit = {
     val tmp = path + ".__tmp"
     df.write.mode("overwrite").parquet(tmp)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
+    val old = new Path(path + ".__old")
+    fs.delete(old, true)
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"cannot move live table aside: $p")
+    require(fs.rename(new Path(tmp), p),
+      s"rename $tmp -> $p failed; previous table preserved at $old")
+    fs.delete(old, true)
+    ()
   }
 }

@@ -284,8 +284,15 @@ object Tables {
     import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count,
       lit, struct, sum, when, xxhash64, concat => fconcat}
     val dataCols = source.columns.filterNot(partitionCols.contains).sorted
+    // NULL partition values take Hive's on-disk sentinel, NOT null: a
+    // null key component would make concat NULL and concat_ws silently
+    // DROP it — a removed null-partition then built key "" and
+    // fs.delete(dir + "/", recursive) destroyed the WHOLE table (or,
+    // multi-col, a whole parent subtree). The sentinel is also what the
+    // sink read-back yields for such directories, so both sides agree.
     def key(df: DataFrame) = concat_ws("/", partitionCols.map(c =>
-      fconcat(lit(c + "="), col(c).cast("string"))): _*)
+      fconcat(lit(c + "="), coalesce(col(c).cast("string"),
+        lit("__HIVE_DEFAULT_PARTITION__")))): _*)
     def fp(df: DataFrame) = df
       .groupBy(key(df).as("pkey"))
       // decimal(38,0) accumulator: order-independent, exact, and immune
@@ -301,7 +308,19 @@ object Tables {
       return source.select(key(source).as("partition")).distinct()
         .withColumn("status", lit("new"))
     }
-    val sink = spark.read.parquet(dir)
+    // Partition-type inference OFF for the sink read: a string source
+    // value like "01" writes dir c=01 but re-infers as int 1, so the
+    // sink key ("c=1") never matches the source key ("c=01") — the
+    // partition churns as new+removed every refresh, and a genuine
+    // delete targets the non-existent c=1 while stale c=01 survives
+    // forever. Inference happens eagerly at spark.read, so scoping the
+    // conf around this one call is safe.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val sink =
+      try spark.read.parquet(dir)
+      finally spark.conf.set(inferKey, inferPrev)
     val diff = fp(source).as("s").join(fp(sink).as("t"),
         $"s.pkey" === $"t.pkey", "full_outer")
       .select(
@@ -322,6 +341,10 @@ object Tables {
         .partitionBy(partitionCols: _*)
         .parquet(dir)
     report.collect { case (k, "removed") => k }.foreach { k =>
+      // defense in depth behind the sentinel above: a delete may only
+      // ever target a strict per-partition child of the sink
+      require(k.nonEmpty && partitionCols.forall(c => k.contains(c + "=")),
+        s"refusing non-partition delete target '$k' under $dir")
       fs.delete(new Path(dir + "/" + k), true)
     }
     report.toSeq.toDF("partition", "status")

@@ -95,8 +95,11 @@ object PgTypeMapper {
     }.getOrElse(Nil)
     val cols = lines.flatMap { line =>
       val parts = line.split("\\|").map(_.trim)
+      // exact header match, NOT substring: a real column named
+      // column_count / source_column would otherwise be silently dropped
+      // from the parsed schema and every downstream load would misbind
       if (parts.length >= 2 && parts(0).nonEmpty && parts(1).nonEmpty &&
-          !parts(0).toLowerCase.contains("column")) Some(parts(0) -> parts(1))
+          parts(0).toLowerCase != "column") Some(parts(0) -> parts(1))
       else None
     }
     (cols, pk)

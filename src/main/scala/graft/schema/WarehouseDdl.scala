@@ -121,12 +121,25 @@ object WarehouseDdl {
 
     def createTable(table: String, columns: Seq[(String, String)],
                     primaryKey: Seq[String]): String = {
-      val pk = primaryKey.toSet
-      val cols = columns.map { case (name, pgType) =>
-        val suffix = if (pk.contains(name)) " PRIMARY KEY" else ""
-        s"${quoteName(name)} ${colType(pgType)}$suffix"
-      }.mkString(", ")
-      s"CREATE TABLE IF NOT EXISTS $table ($cols);"
+      // composite keys render a TABLE-level constraint: one column-level
+      // PRIMARY KEY per key column is invalid DuckDB SQL ("multiple
+      // primary keys"). Lives here in the shared dialect — the ddl CLI
+      // command and the live backend must print/execute the same legal
+      // statement, not each fix it separately.
+      if (primaryKey.size > 1) {
+        val cols = columns.map { case (name, pgType) =>
+          s"${quoteName(name)} ${colType(pgType)}"
+        }.mkString(", ")
+        val pk = primaryKey.map(quoteName).mkString(", ")
+        s"CREATE TABLE IF NOT EXISTS $table ($cols, PRIMARY KEY ($pk));"
+      } else {
+        val pk = primaryKey.toSet
+        val cols = columns.map { case (name, pgType) =>
+          val suffix = if (pk.contains(name)) " PRIMARY KEY" else ""
+          s"${quoteName(name)} ${colType(pgType)}$suffix"
+        }.mkString(", ")
+        s"CREATE TABLE IF NOT EXISTS $table ($cols);"
+      }
     }
   }
 

@@ -57,23 +57,14 @@ class DuckDbBackend(val dbPath: String) {
     * dialect. Single-column keys render column-level `PRIMARY KEY`
     * (reference parity, duckdb_backend.py:72-76); composite keys get a
     * table-level constraint — the reference cannot express them, and
-    * `INSERT OR REPLACE` needs the constraint to resolve conflicts.
+    * `INSERT OR REPLACE` needs the constraint to resolve conflicts. The
+    * composite form now lives IN the dialect, so the `ddl` CLI command
+    * prints the same legal statement this backend executes.
     */
   def createTable(table: String, schema: StructType,
-                  primaryKey: Seq[String]): Unit = {
-    val ddl =
-      if (primaryKey.size <= 1)
-        WarehouseDdl.DuckDb.createTable(ident(table), schema, primaryKey)
-      else {
-        val cols = schema.fields.map(f =>
-          s"${WarehouseDdl.DuckDb.quoteName(f.name)} " +
-            WarehouseDdl.DuckDb.colType(WarehouseDdl.pgName(f.dataType)))
-          .mkString(", ")
-        val pk = primaryKey.map(WarehouseDdl.DuckDb.quoteName).mkString(", ")
-        s"CREATE TABLE IF NOT EXISTS ${ident(table)} ($cols, PRIMARY KEY ($pk));"
-      }
-    withStmt(_.execute(ddl))
-  }
+                  primaryKey: Seq[String]): Unit =
+    withStmt(_.execute(
+      WarehouseDdl.DuckDb.createTable(ident(table), schema, primaryKey)))
 
   def dropTable(table: String): Unit =
     withStmt(_.execute(WarehouseDdl.DuckDb.dropTable(ident(table))))
@@ -116,6 +107,16 @@ class DuckDbBackend(val dbPath: String) {
       }
     }
 
+  /** The schema-pinned `columns={...}` spec for read_csv — ONE builder
+    * for both upsert paths, so a quoting/type-mapping fix can't diverge
+    * between them.
+    */
+  private def colSpec(schema: StructType): String =
+    schema.fields.map(f =>
+      s"'${WarehouseDdl.DuckDb.quoteName(f.name)}': " +
+        s"'${WarehouseDdl.DuckDb.colType(WarehouseDdl.pgName(f.dataType))}'")
+      .mkString("{", ", ", "}")
+
   private def chunkFiles(chunkDir: String): Seq[java.io.File] = {
     val dir = new java.io.File(chunkDir)
     Option(dir.listFiles()).getOrElse(Array.empty)
@@ -147,15 +148,12 @@ class DuckDbBackend(val dbPath: String) {
     */
   def mergeChunks(table: String, chunkDir: String,
                   schema: StructType): Long = {
-    val colSpec = schema.fields.map(f =>
-      s"'${WarehouseDdl.DuckDb.quoteName(f.name)}': " +
-        s"'${WarehouseDdl.DuckDb.colType(WarehouseDdl.pgName(f.dataType))}'")
-      .mkString("{", ", ", "}")
+    val spec = colSpec(schema)
     val files = chunkFiles(chunkDir)
     withStmt { s =>
       files.foreach { f =>
         s.execute(s"INSERT OR REPLACE INTO ${ident(table)} SELECT * FROM " +
-          s"read_csv('${f.getAbsolutePath}', header=true, columns=$colSpec)")
+          s"read_csv('${f.getAbsolutePath}', header=true, columns=$spec)")
       }
     }
     files.size.toLong
@@ -200,15 +198,12 @@ class DuckDbBackend(val dbPath: String) {
                   s"COPY ${ident(table)} FROM '${f.getAbsolutePath}' (HEADER)")
               }
             case Some(schema) =>
-              val colSpec = schema.fields.map(f =>
-                s"'${WarehouseDdl.DuckDb.quoteName(f.name)}': " +
-                  s"'${WarehouseDdl.DuckDb.colType(WarehouseDdl.pgName(f.dataType))}'")
-                .mkString("{", ", ", "}")
+              val spec = colSpec(schema)
               chunkFiles(chunkDir).foreach { f =>
                 s.execute(
                   s"INSERT OR REPLACE INTO ${ident(table)} SELECT * FROM " +
                     s"read_csv('${f.getAbsolutePath}', header=true, " +
-                    s"columns=$colSpec)")
+                    s"columns=$spec)")
               }
           }
           c.commit(); true

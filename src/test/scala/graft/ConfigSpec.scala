@@ -38,6 +38,36 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.tables("ignored").skip)
   }
 
+  test("boolean flags accept canonical YAML capitalization: skip: True " +
+    "must skip (silently syncing a skip-configured table is the worst " +
+    "failure mode)") {
+    val cfg = GraftConfig.fromYaml(
+      """source:
+        |  dir: /src
+        |warehouse:
+        |  dir: /wh
+        |tables:
+        |  a:
+        |    skip: True
+        |  b:
+        |    skip: TRUE
+        |  c:
+        |    skip: Yes
+        |""".stripMargin, env = Map.empty)
+    assert(cfg.tables.values.forall(_.skip),
+      s"capitalized booleans must parse: ${cfg.tables}")
+  }
+
+  test("a trailing --flag with no value is a loud usage error, not a " +
+    "silent positional (snapshot t --vacuum must never PUBLISH)") {
+    val (flags, pos) = graft.cli.Main.parseArgs(
+      Array("snapshot", "t", "--vacuum", "2"))
+    assert(flags == Map("vacuum" -> "2") && pos == Seq("snapshot", "t"))
+    intercept[IllegalArgumentException] {
+      graft.cli.Main.parseArgs(Array("snapshot", "t", "--vacuum"))
+    }
+  }
+
   test("env fallback fills missing keys; config wins when both present") {
     val env = Map("GRAFT_SOURCE_DIR" -> "/env/src",
       "GRAFT_WAREHOUSE_DIR" -> "/env/wh", "GRAFT_MAX_RECORDS" -> "9")

@@ -67,6 +67,14 @@ class DdlSpec extends AnyFunSuite {
         "name VARCHAR, email VARCHAR, age BIGINT);")
   }
 
+  test("duckdb: composite keys render ONE table-level PRIMARY KEY " +
+    "constraint (per-column PRIMARY KEY twice is invalid DuckDB SQL)") {
+    val sql = DuckDb.createTable("li", myOrders, Seq("id", "user_id"))
+    assert(sql.endsWith("PRIMARY KEY (id, user_id));"), sql)
+    assert(!sql.contains("BIGINT PRIMARY KEY"),
+      "no column-level PK marker may remain in the composite form")
+  }
+
   test("snowflake: space-bearing column names are quoted (the reference " +
     "emits them bare, which the server rejects)") {
     val sql = Snowflake.createTable("local_parks", localParks, Nil)

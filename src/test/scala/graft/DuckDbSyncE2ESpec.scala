@@ -138,6 +138,12 @@ class DuckDbSyncE2ESpec extends AnyFunSuite {
     assert(w.loadDuck("dorders", d) == 31L)
     // replaying load with zero pending chunks is a no-op, not a wipe
     assert(w.loadDuck("dorders", d) == 31L)
+    // a REPEATED extract+load replaces, matching the parquet path —
+    // pre-fix the second COPY appended onto the existing rows (2× count
+    // on a no-PK table, duplicate-key abort on a keyed one)
+    w.extract("dorders")
+    assert(w.loadDuck("dorders", d) == 31L,
+      "full extract+load is idempotent, not additive")
   }
 
   test("d5 composite-key upsert round-trips through a table-level PRIMARY " +

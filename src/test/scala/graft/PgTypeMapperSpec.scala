@@ -97,4 +97,17 @@ class PgTypeMapperSpec extends AnyFunSuite {
     assert(cols.toMap.apply("park state") == "character varying(64)")
     assert(pk == Seq("id"))
   }
+
+  test("parseSchemaDump keeps real columns whose NAME contains 'column' " +
+    "(only the exact header row is filtered)") {
+    val dump =
+      """ Column       | Type    | Collation | Nullable | Default
+        |--------------+---------+-----------+----------+--------
+        | id           | bigint  |           | not null |
+        | column_count | integer |           |          |
+        |""".stripMargin
+    val (cols, _) = PgTypeMapper.parseSchemaDump(dump)
+    assert(cols.map(_._1) == Seq("id", "column_count"),
+      s"substring header filter must not eat real columns: $cols")
+  }
 }

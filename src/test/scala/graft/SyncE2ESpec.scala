@@ -339,6 +339,24 @@ class SyncE2ESpec extends AnyFunSuite {
     assert(total == 7L, s"warehouse holds the union, got $total")
   }
 
+  test("t15b watch honors skip: a skip-configured table lands NOTHING " +
+    "(the batch sync's do-not-touch contract holds on the watch path)") {
+    val landing = new java.io.File(s"$sourceDir/skipfeed.parquet")
+    assert(landing.mkdirs())
+    val stage = TestSpark.tmpDir("watchstage_skip")
+    users(4).coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(landing, "s1.parquet").toPath)
+    val skipCfg = cfg().copy(tables = cfg().tables +
+      ("skipfeed" -> TableOpts(skip = true)))
+    val w = new Warehouse(spark, skipCfg)
+    assert(w.watch("skipfeed") == 0L, "skip must drain nothing")
+    assert(!new java.io.File(s"$warehouseDir/skipfeed.parquet").exists(),
+      "skip must not create the warehouse table")
+  }
+
   test("t16 watch composes with batch writers: no _spark_metadata, rows " +
     "from both paths stay visible, replays stay exactly-once") {
     // the round-9 advice scenario: watch used a FileStreamSink whose

@@ -276,4 +276,39 @@ class TablesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(1)).toSet
     assert(third == Set("unchanged"))
   }
+
+  test("refreshPartitions dirty-key safety: NULL partition values take " +
+    "the Hive sentinel (a removed null partition deletes ONLY its own " +
+    "dir, never the table) and inference-normalized string values like " +
+    "'01' stay stable instead of churning") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("partnull") + "/t.parquet"
+    def rows(parts: (Option[String], Int)*): org.apache.spark.sql.DataFrame =
+      parts.flatMap { case (pt, n) =>
+        (1 to n).map(i => (pt.orNull, i.toLong, s"p-$i")) }
+      .toDF("day", "id", "payload")
+    // v1: a null-valued partition, a leading-zero string partition, a
+    // normal one — pre-fix the null key component made concat_ws drop it
+    // (key "", whose removal deleted the WHOLE table) and "01" re-read
+    // as int 1, churning new+removed forever
+    val v1 = rows(None -> 2, Some("01") -> 3, Some("d1") -> 1)
+    val first = Tables.refreshPartitions(spark, v1, dir, Seq("day"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first == Map("day=__HIVE_DEFAULT_PARTITION__" -> "new",
+      "day=01" -> "new", "day=d1" -> "new"), s"got $first")
+    // same source again: all unchanged (no inference churn on "01")
+    val second = Tables.refreshPartitions(spark, v1, dir, Seq("day"))
+      .collect().map(r => r.getString(1)).toSet
+    assert(second == Set("unchanged"), s"got $second")
+    // drop the null partition: ONLY its sentinel dir goes; 01 and d1 live
+    val v2 = rows(Some("01") -> 3, Some("d1") -> 1)
+    val third = Tables.refreshPartitions(spark, v2, dir, Seq("day"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(third == Map("day=__HIVE_DEFAULT_PARTITION__" -> "removed",
+      "day=01" -> "unchanged", "day=d1" -> "unchanged"), s"got $third")
+    assert(!new java.io.File(s"$dir/day=__HIVE_DEFAULT_PARTITION__").exists())
+    assert(new java.io.File(s"$dir/day=01").exists())
+    assert(spark.read.parquet(dir).count() == 4,
+      "surviving partitions keep every row")
+  }
 }
