@@ -30,7 +30,12 @@ object Functions {
     val units = Seq("bytes", "kB", "MB", "GB", "TB", "PB")
     var (v, i) = (bytes.toDouble, 0)
     while (math.abs(v) >= 1024 && i < units.size - 1) { v /= 1024; i += 1 }
-    if (i == 0) s"$bytes ${units(0)}" else f"$v%.1f ${units(i)}"
+    // Locale.ROOT: the f-interpolator formats with the DEFAULT locale, so
+    // a comma-decimal JVM (-Duser.language=de) would print "1,5 kB" and
+    // diverge from pg_size_pretty's dot form
+    if (i == 0) s"$bytes ${units(0)}"
+    else String.format(java.util.Locale.ROOT, "%.1f %s",
+      Double.box(v), units(i))
   }
 
   /** F3: `to_char(n,'FM999,999,999,999')` analog. */

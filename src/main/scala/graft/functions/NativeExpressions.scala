@@ -341,11 +341,9 @@ case class MinHashSlotsFromShingles(child: Expression, numSlots: Int)
 }
 
 object MinHashSlotsFromShingles {
-  // MessageDigest is stateful and not thread-safe; one per executor thread
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  // MessageDigest is stateful and not thread-safe — reuse the package's
+  // one per-thread instance (HllAgg declares it shared for exactly this)
+  private def md5 = HllRegisterAgg.threadLocalMd5
   private val HashPrefix = Array[Byte]('#')
 
   /** Fold one shingle's two digests' 2-byte chunks into the running slot

@@ -39,7 +39,12 @@ object VecSum extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     else if (y.length == 0) x // all-null partition leaves an empty partial
     else add(x, y.toSeq)
 
-  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  // an all-NULL group's buffer never grows: finishing it to an EMPTY
+  // array would make a "zero-dimensional centroid" that squaredDistLong's
+  // truncate-to-shorter semantics scores at distance 0 from EVERYTHING —
+  // a silent zero-distance magnet that could absorb a whole clustering.
+  // NULL fails loudly downstream instead (and centroidsOf filters it).
+  def finish(b: Array[Long]): Seq[Long] = if (b.length == 0) null else b.toSeq
 
   def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 

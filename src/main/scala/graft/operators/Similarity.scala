@@ -134,6 +134,11 @@ object Similarity {
       .groupBy(col(cellCol).as("ccell"))
       .agg(graft.functions.VecSum.vecSum(col(vqCol)).as("sums"),
         count(lit(1)).as("n"))
+      // a cell whose every vector is NULL sums to a NULL buffer (VecSum
+      // finishes all-null groups to NULL, not an empty array): drop it —
+      // a null centroid would otherwise win every asc(dist_q) window
+      // (nulls sort first) and absorb the corpus
+      .where(col("sums").isNotNull)
       .select(col("ccell"),
         transform(col("sums"),
           s => floor(s.cast("double") / col("n")).cast("long")).as("cvq"))

@@ -42,7 +42,13 @@ object Sketches {
     val w = shiftright(h60, 8) // h60 div 256, nonneg
     val rho = when(w === 0, lit(53))
       .otherwise(lit(53) - length(bin(w)))
+    // NULLs are excluded: COUNT DISTINCT semantics ignore NULL, and the
+    // native HllRegisterAgg twin skips them — without this filter a NULL
+    // value fabricated a (j=NULL, m_j=NULL) register row that inflated
+    // n_reg and skewed sum_scaled, silently breaking the documented
+    // bit-for-bit parity between the two forms on dirty data
     val reg = df
+      .where(col(valueCol).isNotNull)
       .select(col(groupCol), (h60 % m).as("j"), rho.as("rho"))
       .groupBy(col(groupCol), col("j"))
       .agg(max(col("rho")).as("m_j"))

@@ -40,8 +40,9 @@ object GraftExtensions {
     (FunctionIdentifier(name),
       new ExpressionInfo(clazz.getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"$name expects exactly 2 arguments, got ${children.length}")
+        if (children.length != 2)
+          org.apache.spark.sql.graft.ErrorsBridge
+            .wrongNumArgs(name, 2, children.length)
         build(children.head, children(1))
       })
 
@@ -67,8 +68,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.DeflateLength].getName,
         "deflate_length"),
       (children: Seq[Expression]) => {
-        require(children.length == 1,
-          s"deflate_length expects exactly 1 argument, got ${children.length}")
+        if (children.length != 1)
+          org.apache.spark.sql.graft.ErrorsBridge
+            .wrongNumArgs("deflate_length", 1, children.length)
         graft.functions.DeflateLength(children.head)
       })
 

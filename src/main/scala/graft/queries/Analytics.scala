@@ -176,7 +176,7 @@ object Analytics {
       Some("""WITH h AS (
         |  SELECT l_returnflag,
         |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
-        |  FROM lineitem
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |), reg AS (
         |  SELECT l_returnflag, h60 % 256 AS j,
         |         max(CASE WHEN h60 // 256 = 0 THEN 53
@@ -217,7 +217,7 @@ object Analytics {
       Some("""WITH h AS (
         |  SELECT l_returnflag,
         |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
-        |  FROM lineitem
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |), reg AS (
         |  SELECT l_returnflag, h60 % 256 AS j,
         |         max(CASE WHEN h60 // 256 = 0 THEN 53

@@ -46,3 +46,15 @@ object PlanBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Bridge to the `private[sql]` compilation-error factory, so the
+  * SQL-registered graft functions raise the SAME AnalysisException
+  * (error class WRONG_NUM_ARGS) as every built-in on a wrong-arity call —
+  * a raw `require` surfaced as IllegalArgumentException, which tooling
+  * that catches AnalysisException treats as an internal failure.
+  */
+object ErrorsBridge {
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected.toString), actual)
+}

@@ -58,6 +58,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == 9L + 16L)
   }
 
+  test("wrong-arity calls raise AnalysisException (WRONG_NUM_ARGS) like " +
+    "every built-in, not a raw IllegalArgumentException") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product_long(array(1L))").collect()
+    }
+    assert(e.getMessage.contains("dot_product_long"), e.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT deflate_length('a', 'b')").collect()
+    }
+  }
+
   test("rewrite does NOT fire on nullable-element arrays (padding semantics kept)") {
     // v is array<bigint> with containsNull=true straight off the Seq encoder?
     // Build one explicitly nullable via a CASE to be sure.

@@ -177,4 +177,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
+
+  test("VecSum finishes an all-NULL group to NULL, never an empty array " +
+    "(an empty 'centroid' scores distance 0 from everything through the " +
+    "truncate-to-shorter loop — a silent cluster magnet)") {
+    import spark.implicits._
+    val df = Seq((1, null: Seq[Long]), (1, null: Seq[Long]),
+      (2, Seq(1L, 2L)), (2, Seq(3L, 4L)))
+      .toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(graft.functions.VecSum.vecSum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out(1).isEmpty, "all-null group must finish NULL")
+    assert(out(2).contains(Seq(4L, 6L)))
+  }
+
+  test("pgSizePretty is locale-stable: a comma-decimal default locale " +
+    "still prints the dot form pg_size_pretty uses") {
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try assert(Functions.pgSizePretty(1536) == "1.5 kB",
+      "the f-interpolator formats with the DEFAULT locale; this must not")
+    finally java.util.Locale.setDefault(prev)
+  }
 }

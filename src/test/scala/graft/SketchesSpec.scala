@@ -58,6 +58,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(agg.head().getLong(0) == 2, "two distinct non-null values → 2 registers")
   }
 
+  test("HLL parity holds ON NULL-BEARING INPUT: the relational form " +
+    "filters NULLs like the native aggregate (COUNT DISTINCT semantics)") {
+    // pre-fix, a NULL value fabricated a (j=NULL, m_j=NULL) register row
+    // in the relational form only — n_reg and sum_scaled diverged from
+    // the native twin on any dirty column
+    val df = ((1 to 200).map(i => (s"g${i % 2}", Some(i.toLong))) ++
+      Seq(("g0", None: Option[Long]), ("g1", None: Option[Long])))
+      .toDF("grp", "v")
+    val relational = Sketches.approxDistinctHll(df, "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_reg"), r.getAs[Long]("sum_scaled"),
+          r.getAs[Long]("hll_est"))).toMap
+    val native = df.groupBy("grp")
+      .agg(graft.functions.HllRegisterAgg.hllSketch(col("v")).as("h"))
+      .select(col("grp"), col("h.n_reg"), col("h.sum_scaled"),
+        col("h.hll_est"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(native == relational,
+      s"NULL input must not split the twins: $native vs $relational")
+  }
+
   test("property: native HLL and CMS estimates are invariant under " +
     "arbitrary partition splits (the merge law, ScalaCheck)") {
     // merge(a, b) must commute with the single-buffer path for ANY way the
