@@ -159,6 +159,57 @@ object Analytics {
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM it$PrIters ORDER BY rank DESC, node"
   }
 
+  /** ONE oracle per sketch family, shared by the relational form and its
+    * native-aggregate twin (the lockstep rule the CDC/spikes/attribution
+    * oracles already follow): the "registers/counters are bit-identical"
+    * claim is structurally true only while both queries compare against
+    * the SAME string — two copies silently desynchronize on edit. */
+  private val hllOracleSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL
+      |), reg AS (
+      |  SELECT l_returnflag, h60 % 256 AS j,
+      |         max(CASE WHEN h60 // 256 = 0 THEN 53
+      |             ELSE 53 - length(bin(h60 // 256)) END) AS m_j
+      |  FROM h GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT l_returnflag,
+      |         CAST(sum(CASE WHEN 20 - m_j > 0 THEN 1 << (20 - m_j) ELSE 1 END) AS BIGINT)
+      |           + (256 - count(*)) * 1048576 AS sum_scaled,
+      |         count(*) AS n_reg
+      |  FROM reg GROUP BY 1
+      |), ex AS (
+      |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1
+      |)
+      |SELECT agg.l_returnflag, CAST(n_reg AS BIGINT) AS n_reg, sum_scaled,
+      |       CAST((CAST(7213 AS BIGINT) * 256 * 256 * 1048576) // (10000 * sum_scaled) AS BIGINT) AS hll_est,
+      |       CAST(n_exact AS BIGINT) AS n_exact
+      |FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
+      |ORDER BY agg.l_returnflag""".stripMargin
+
+  private val cmsOracleSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+      |), ii AS (SELECT unnest([0,1,2,3]) AS i),
+      |sketch AS (
+      |  SELECT i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket,
+      |         count(*) AS cnt
+      |  FROM tok, ii GROUP BY 1, 2
+      |), exact AS (
+      |  SELECT tok, count(*) AS n_exact FROM tok GROUP BY 1
+      |  ORDER BY n_exact DESC, tok LIMIT 10
+      |), est AS (
+      |  SELECT e.tok, min(cnt) AS n_est
+      |  FROM (SELECT tok, i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket
+      |        FROM exact, ii) e
+      |  JOIN sketch USING (i, bucket) GROUP BY e.tok
+      |)
+      |SELECT exact.tok, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
+      |FROM exact JOIN est ON exact.tok = est.tok
+      |ORDER BY n_exact DESC, exact.tok""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ── Deterministic HyperLogLog: distinct orders per returnflag. The
@@ -173,29 +224,7 @@ object Analytics {
           .agg(countDistinct(col("l_orderkey")).as("n_exact"))
         est.join(exact, "l_returnflag").orderBy("l_returnflag")
       },
-      Some("""WITH h AS (
-        |  SELECT l_returnflag,
-        |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
-        |  FROM lineitem WHERE l_orderkey IS NOT NULL
-        |), reg AS (
-        |  SELECT l_returnflag, h60 % 256 AS j,
-        |         max(CASE WHEN h60 // 256 = 0 THEN 53
-        |             ELSE 53 - length(bin(h60 // 256)) END) AS m_j
-        |  FROM h GROUP BY 1, 2
-        |), agg AS (
-        |  SELECT l_returnflag,
-        |         CAST(sum(CASE WHEN 20 - m_j > 0 THEN 1 << (20 - m_j) ELSE 1 END) AS BIGINT)
-        |           + (256 - count(*)) * 1048576 AS sum_scaled,
-        |         count(*) AS n_reg
-        |  FROM reg GROUP BY 1
-        |), ex AS (
-        |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1
-        |)
-        |SELECT agg.l_returnflag, CAST(n_reg AS BIGINT) AS n_reg, sum_scaled,
-        |       CAST((CAST(7213 AS BIGINT) * 256 * 256 * 1048576) // (10000 * sum_scaled) AS BIGINT) AS hll_est,
-        |       CAST(n_exact AS BIGINT) AS n_exact
-        |FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
-        |ORDER BY agg.l_returnflag""".stripMargin)),
+      Some(hllOracleSql)),
 
     // ── The same HLL as a NATIVE TypedImperativeAggregate: one 256-byte
     //    register buffer per (group, partition) instead of an exploded
@@ -214,29 +243,7 @@ object Analytics {
           .agg(countDistinct(col("l_orderkey")).as("n_exact"))
         est.join(exact, "l_returnflag").orderBy("l_returnflag")
       },
-      Some("""WITH h AS (
-        |  SELECT l_returnflag,
-        |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
-        |  FROM lineitem WHERE l_orderkey IS NOT NULL
-        |), reg AS (
-        |  SELECT l_returnflag, h60 % 256 AS j,
-        |         max(CASE WHEN h60 // 256 = 0 THEN 53
-        |             ELSE 53 - length(bin(h60 // 256)) END) AS m_j
-        |  FROM h GROUP BY 1, 2
-        |), agg AS (
-        |  SELECT l_returnflag,
-        |         CAST(sum(CASE WHEN 20 - m_j > 0 THEN 1 << (20 - m_j) ELSE 1 END) AS BIGINT)
-        |           + (256 - count(*)) * 1048576 AS sum_scaled,
-        |         count(*) AS n_reg
-        |  FROM reg GROUP BY 1
-        |), ex AS (
-        |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1
-        |)
-        |SELECT agg.l_returnflag, CAST(n_reg AS BIGINT) AS n_reg, sum_scaled,
-        |       CAST((CAST(7213 AS BIGINT) * 256 * 256 * 1048576) // (10000 * sum_scaled) AS BIGINT) AS hll_est,
-        |       CAST(n_exact AS BIGINT) AS n_exact
-        |FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
-        |ORDER BY agg.l_returnflag""".stripMargin)),
+      Some(hllOracleSql)),
 
     // ── Discrete quantiles of order value per priority: the value AT row
     //    ceil(p·n) — no interpolation, so the result is a data value both
@@ -318,25 +325,7 @@ object Analytics {
         exact.join(Sketches.cmsEstimate(sketch, exact.select("tok"), "tok"), "tok")
           .orderBy(desc("n_exact"), asc("tok"))
       },
-      Some("""WITH tok AS (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
-        |), ii AS (SELECT unnest([0,1,2,3]) AS i),
-        |sketch AS (
-        |  SELECT i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket,
-        |         count(*) AS cnt
-        |  FROM tok, ii GROUP BY 1, 2
-        |), exact AS (
-        |  SELECT tok, count(*) AS n_exact FROM tok GROUP BY 1
-        |  ORDER BY n_exact DESC, tok LIMIT 10
-        |), est AS (
-        |  SELECT e.tok, min(cnt) AS n_est
-        |  FROM (SELECT tok, i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket
-        |        FROM exact, ii) e
-        |  JOIN sketch USING (i, bucket) GROUP BY e.tok
-        |)
-        |SELECT exact.tok, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
-        |FROM exact JOIN est ON exact.tok = est.tok
-        |ORDER BY n_exact DESC, exact.tok""".stripMargin)),
+      Some(cmsOracleSql)),
 
     // ── The same CMS as a NATIVE TypedImperativeAggregate: one flat 4×1024
     //    counter array per (group, partition) — update is one md5 + four
@@ -365,25 +354,7 @@ object Analytics {
         exact.join(Sketches.cmsEstimate(table, exact.select("tok"), "tok"), "tok")
           .orderBy(desc("n_exact"), asc("tok"))
       },
-      Some("""WITH tok AS (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
-        |), ii AS (SELECT unnest([0,1,2,3]) AS i),
-        |sketch AS (
-        |  SELECT i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket,
-        |         count(*) AS cnt
-        |  FROM tok, ii GROUP BY 1, 2
-        |), exact AS (
-        |  SELECT tok, count(*) AS n_exact FROM tok GROUP BY 1
-        |  ORDER BY n_exact DESC, tok LIMIT 10
-        |), est AS (
-        |  SELECT e.tok, min(cnt) AS n_est
-        |  FROM (SELECT tok, i, CAST('0x' || substr(md5(tok), 4*i+1, 4) AS BIGINT) % 1024 AS bucket
-        |        FROM exact, ii) e
-        |  JOIN sketch USING (i, bucket) GROUP BY e.tok
-        |)
-        |SELECT exact.tok, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
-        |FROM exact JOIN est ON exact.tok = est.tok
-        |ORDER BY n_exact DESC, exact.tok""".stripMargin)),
+      Some(cmsOracleSql)),
 
     // ── Bloom join pruning: filter bits built from the high-value orders'
     //    customer keys, every customer probed through them. Members always
@@ -392,9 +363,13 @@ object Analytics {
     //    positions), so the oracle rebuilds the identical filter ─────────────
     "x_bloom_prefilter" -> Q(
       (s, d) => {
-        val members = t(s, d, "orders")
+        // persisted: the bits build, the nTrue count, and (via bits) the
+        // probe all read members — unpersisted, the orders scan+distinct
+        // ran once per action, pure timing noise charged to the operator
+        val members = graft.operators.CacheRegistry.register(t(s, d, "orders")
           .where(col("o_totalprice") > 400000)
           .select(col("o_custkey").as("key")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val bits = Sketches.bloomBits(members, "key")
         val pass = Sketches.bloomMightContain(
           bits, t(s, d, "customer").select(col("c_custkey")), "c_custkey")

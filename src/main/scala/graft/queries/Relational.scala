@@ -52,6 +52,27 @@ object Relational {
   private[queries] val revE4Sql =
     "CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round((1-l_discount)*100) AS BIGINT)"
 
+  /** A per-run roundtrip sink dir under java.io.tmpdir, with STALE-RUN
+    * RECLAMATION: dirs from previous applications sharing the prefix are
+    * deleted if untouched for an hour (the appId key makes overwrite-mode
+    * unable to reclaim them, so every Verify/Bench run would otherwise
+    * permanently leak fact-table-scale gzip/ORC copies into /tmp). The
+    * mtime guard keeps a CONCURRENT run's live dir safe; cleanup inside
+    * the query is impossible — the returned plan reads the chunks lazily.
+    */
+  private[queries] def roundtripDir(s: SparkSession, prefix: String,
+                                    d: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val mine = s"$prefix${s.sparkContext.applicationId}_"
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(prefix) && !f.getName.startsWith(mine) &&
+          f.lastModified() < cutoff)
+        graft.catalog.Catalog.dropPath(s, f.getAbsolutePath)
+    }
+    s"${tmp.getAbsolutePath}/$mine${d.replaceAll("[^0-9.]", "")}"
+  }
+
   val all: Map[String, Q] = Map(
 
     // ── S1/P1: scan + projection (Catalyst prunes the parquet read) ────────
@@ -68,8 +89,7 @@ object Relational {
     "s2_csv_roundtrip" -> Q(
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_" +
-          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
+        val dir = roundtripDir(s, "graft_csv_", d)
         Tables.writeCsvChunks(li, dir, maxRecordsPerFile = 200000L)
         Tables.readCsvChunks(s, dir, li.schema)
           .groupBy("l_returnflag", "l_linestatus")
@@ -87,8 +107,7 @@ object Relational {
     "s3_jsonl_roundtrip" -> Q(
       (s, d) => {
         val o = t(s, d, "orders")
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
-          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
+        val dir = roundtripDir(s, "graft_jsonl_", d)
         Tables.writeJsonlChunks(o, dir, maxRecordsPerFile = 100000L)
         Tables.readJsonlChunks(s, dir, o.schema)
           .groupBy("o_orderstatus")
@@ -332,7 +351,11 @@ object Relational {
         val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
         val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
         val l = t(s, d, "lineitem").where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
-        broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        // no broadcast hint: customer SCALES with SF (one segment is still
+        // ~1/5 of it) - a forced hint hits the 8 GB broadcast limit at the
+        // 100 TB design point, while AQE freely picks broadcast when the
+        // filtered side measures small (the q7/q8 convention)
+        c.join(o, col("c_custkey") === col("o_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"))
@@ -354,7 +377,9 @@ object Relational {
       (s, d) => {
         val r = t(s, d, "region"); val n = t(s, d, "nation")
         val sp = t(s, d, "supplier"); val l = t(s, d, "lineitem")
-        l.join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF - hint only the bounded dims (nation 25,
+        // region 5); AQE broadcasts supplier at small SF on its own
+        l.join(sp, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
@@ -835,8 +860,7 @@ object Relational {
     "s4_orc_roundtrip" -> Q(
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
-          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
+        val dir = roundtripDir(s, "graft_orc_", d)
         Tables.writeOrc(li, dir)
         Tables.readOrc(s, dir)
           .groupBy("l_returnflag", "l_linestatus")
@@ -857,8 +881,7 @@ object Relational {
     "s5_partitioned_prune" -> Q(
       (s, d) => {
         val ev = t(s, d, "events")
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_part_" +
-          s"${s.sparkContext.applicationId}_${d.replaceAll("[^0-9.]", "")}"
+        val dir = roundtripDir(s, "graft_part_", d)
         val data = ev.select(col("event_id"), col("user_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
           col("event_type"))

@@ -469,11 +469,17 @@ object TpcH {
           .groupBy("p_partkey")
           .agg(sum(col("l_quantity").cast("long") * col("price_cents"))
             .as("value_cents"))
+        // persisted: the driver-scalar total AND the final filter read
+        // vals - unpersisted, the whole lineitem join+agg chain ran twice
+        // (the q21/q2 one-pass rule applied here). vals is part-sized:
+        // dimension-scale cache however big the fact table.
+        val valsP = graft.operators.CacheRegistry.register(vals
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // coalesce: an empty survivor set (tiny SF, no nation-5 suppliers)
         // must yield total=0 and an empty result, not a NULL getLong crash
-        val total = vals.agg(coalesce(sum(col("value_cents")), lit(0L)))
+        val total = valsP.agg(coalesce(sum(col("value_cents")), lit(0L)))
           .head().getLong(0)
-        vals.where(col("value_cents") * lit(10000L) > lit(total))
+        valsP.where(col("value_cents") * lit(10000L) > lit(total))
           .orderBy(desc("value_cents"), asc("p_partkey"))
       },
       Some("WITH vals AS (SELECT p_partkey, " +
@@ -491,7 +497,10 @@ object TpcH {
     //    aggregation over the first's result ───────────────────────────────
     "q13_custdist" -> Q(
       (s, d) => {
-        val ord = t(s, d, "orders").where(col("o_orderpriority") =!= "URGENT")
+        // "1-URGENT" (the corpus literal): a bare "URGENT" matched every
+        // row, so the defining exclusion of the Q13 shape was vacuous and
+        // the filtered left join degenerated to an unfiltered one
+        val ord = t(s, d, "orders").where(col("o_orderpriority") =!= "1-URGENT")
           .select("o_custkey")
         t(s, d, "customer")
           .join(ord, col("c_custkey") === col("o_custkey"), "left")
@@ -504,7 +513,7 @@ object TpcH {
       Some("SELECT c_count, count(*) AS custdist FROM (" +
         "  SELECT c_custkey, count(o_custkey) AS c_count " +
         "  FROM customer LEFT JOIN orders " +
-        "    ON c_custkey = o_custkey AND o_orderpriority <> 'URGENT' " +
+        "    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
         "  GROUP BY c_custkey) " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC")),
 
@@ -519,11 +528,15 @@ object TpcH {
           .groupBy(col("l_suppkey"))
           .agg(sum(revE4(col("l_extendedprice"), col("l_discount")))
             .as("total_revenue_e4"))
+        // persisted: the max scalar and the equality filter both read rev
+        // (supplier-sized) - one lineitem pass instead of two
+        val revP = graft.operators.CacheRegistry.register(rev
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // Long.MinValue sentinel on an empty quarter: matches no supplier
         // (revenues are positive), mirroring the oracle's NULL-= semantics
-        val maxRev = rev.agg(coalesce(max(col("total_revenue_e4")), lit(Long.MinValue)))
+        val maxRev = revP.agg(coalesce(max(col("total_revenue_e4")), lit(Long.MinValue)))
           .head().getLong(0)
-        rev.where(col("total_revenue_e4") === maxRev)
+        revP.where(col("total_revenue_e4") === maxRev)
           .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .select("s_suppkey", "s_name", "total_revenue_e4")
           .orderBy("s_suppkey")
@@ -550,8 +563,13 @@ object TpcH {
             col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
           .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy(col("l_suppkey"), col("l_partkey"))
-          .agg(sum(col("l_quantity").cast("long")).as("qty"))
-          .where(col("qty") > 50)
+          // exact centi-units, summed THEN compared: the old per-row
+          // cast("long") truncated each quantity before the sum while the
+          // oracle summed raw doubles - a latent cross-engine parity break
+          // on any fractional quantity (the file-wide convention is
+          // sum-then-convert; q20 was the one outlier)
+          .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+          .where(col("qty_c") > 5000)
           .select("l_suppkey").distinct()
         t(s, d, "supplier")
           .join(bigMovers, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -565,6 +583,6 @@ object TpcH {
         "  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') " +
         "  AND l_shipdate >= TIMESTAMP '1996-01-01' " +
         "  AND l_shipdate < TIMESTAMP '1997-01-01' " +
-        "  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 50) " +
+        "  GROUP BY l_suppkey, l_partkey HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 5000) " +
         "AND s_nationkey < 20 ORDER BY s_name")))
 }
