@@ -50,7 +50,9 @@ object Main {
       System.err.println(
         "usage: graft <init|list|listwh|extract|load|sync|reload|ddl|profile|compact|card|watch|snapshot> " +
           "[table|all] [--config file] [--dialect clickhouse|duckdb|snowflake] " +
-          "[--backend duckdb]")
+          "[--backend duckdb] [--mode replace|append]\n" +
+          "  load replaces the warehouse table with the pending chunks by " +
+          "default; --mode append COPYs into the existing table instead")
       sys.exit(2)
     }
     val configPath = flags.getOrElse("config", "graft_config.yaml")
@@ -131,7 +133,14 @@ object Main {
         println(s"$t: extracted $records records into $files chunks")
       }
       case "load" => each { t =>
-        val n = duck.fold(wh.load(t))(d => wh.loadDuck(t, d))
+        // default mode is REPLACE (pending chunks become the table);
+        // `--mode append` keeps the reference's append-into-existing
+        // semantics (pgwarehouse.py:176-184, drop_table=False)
+        val mode = flags.getOrElse("mode", "replace")
+        require(mode == "replace" || mode == "append",
+          s"--mode must be replace|append, got '$mode'")
+        val n = duck.fold(wh.load(t))(d =>
+          wh.loadDuck(t, d, append = mode == "append"))
         println(s"$t: loaded $n rows")
       }
       case "sync" => each { t =>

@@ -29,10 +29,12 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
   def sourceTable(name: String): DataFrame =
     Tables.table(spark, cfg.sourceDir, name)
 
-  def warehouseTable(name: String): Option[DataFrame] =
+  def warehouseTable(name: String): Option[DataFrame] = {
+    recoverIfCrashed(warehousePath(name))
     if (Catalog.tableExists(spark, cfg.warehouseDir, name))
       Some(Tables.table(spark, cfg.warehouseDir, name))
     else None
+  }
 
   /** Strategy resolution, mirroring `get_table_opts` + `sync` dispatch
     * (pgwarehouse.py:72-80, 180-189): skip > reload > last-modified upsert >
@@ -368,19 +370,31 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
   /** `load --backend duckdb`: replay pending chunks into the DuckDB
     * table (create-if-missing from the captured schema), archive them,
     * return the table's row count (duckdb_backend.py:78-110).
+    *
+    * Default semantics are FULL REPLACE (documented in the CLI usage):
+    * the pending chunks (a full extract) BECOME the table. This matches
+    * the parquet `load` path but deliberately deviates from the
+    * reference's append-into-existing default (pgwarehouse.py:176-184,
+    * duckdb_backend.py:78-110 with drop_table=False) — a bare re-create
+    * + COPY on top of existing rows doubled a no-PK table and aborted a
+    * keyed one with a duplicate-key error; same CLI, different results
+    * per backend. The reference's append behavior stays available as
+    * `load <table> --mode append` (`append = true`): chunks COPY into
+    * the existing table untouched — the caller owns de-duplication, and
+    * a keyed table raises the engine's duplicate-key error exactly as
+    * the reference would.
     */
-  def loadDuck(name: String, duck: graft.warehouse.DuckDbBackend): Long = {
+  def loadDuck(name: String, duck: graft.warehouse.DuckDbBackend,
+               append: Boolean = false): Long = {
     if (pendingChunks(name).isEmpty)
       return if (duck.tableExists(name)) duck.count(name) else 0L
-    // `load` semantics match the parquet path: the pending chunks (a
-    // full extract) BECOME the table. A bare re-create + COPY on top of
-    // existing rows doubled a no-PK table and aborted a keyed one with
-    // a duplicate-key error — same CLI, different results per backend.
-    // The empty-chunks guard above still protects existing data when an
+    // The empty-chunks guard above protects existing data when an
     // extract produced nothing.
-    duck.dropTable(name)
-    val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
-    duck.createTable(name, schema, pksFor(name))
+    if (!append) duck.dropTable(name)
+    if (!append || !duck.tableExists(name)) {
+      val schema = readSchemaFile(name).getOrElse(sourceTable(name).schema)
+      duck.createTable(name, schema, pksFor(name))
+    }
     duck.loadChunks(name, chunkDir(name))
     archiveChunks(name)
     duck.count(name)
@@ -492,6 +506,7 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
     * rename failure raises instead of returning success.
     */
   private def writeAtomic(df: DataFrame, path: String): Unit = {
+    recoverIfCrashed(path)
     val tmp = path + ".__tmp"
     df.write.mode("overwrite").parquet(tmp)
     val p = new Path(path)
@@ -504,5 +519,25 @@ class Warehouse(spark: SparkSession, cfg: GraftConfig,
       s"rename $tmp -> $p failed; previous table preserved at $old")
     fs.delete(old, true)
     ()
+  }
+
+  /** Crash recovery for [[writeAtomic]]'s one exposed window: a crash
+    * between rename(live, .__old) and rename(.__tmp, live) leaves the
+    * history ONLY at `.__old` — and before this hook, the next command
+    * silently treated the table as absent (a watch() merge then
+    * bootstrapped from one micro-batch and the following writeAtomic
+    * deleted the preserved copy, discarding history for good). On entry,
+    * if the live path is missing but `.__old` exists, rename it back —
+    * both the readers ([[warehouseTable]]) and the writer
+    * ([[writeAtomic]]) call this, so whichever touches the table first
+    * after the crash restores it.
+    */
+  private def recoverIfCrashed(path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".__old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p),
+        s"crash recovery: cannot restore preserved table $old -> $p")
   }
 }

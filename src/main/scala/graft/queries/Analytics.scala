@@ -44,6 +44,12 @@ object Analytics {
   /** ONE oracle for last-touch attribution, shared by the batch window
     * query (`x_attribution_last_touch`) and its stateful streaming twin
     * (`stream_attribution` in queries.Pipeline) — the lockstep rule.
+    * The tie column is `coalesce(event_id, Long.MinValue)` in all three
+    * places (this SQL, the batch window, the streaming fold): the
+    * streaming side must coalesce (its Long decode is non-nullable), 0
+    * would collide with a genuine event 0, and a bare NULL sorts in a
+    * different slot per engine (DuckDB nulls-last vs Spark ASC
+    * nulls-first) — the shared sentinel pins one tie order everywhere.
     */
   private[queries] val attributionSql: String =
     """WITH at_e AS (SELECT user_id, ts, event_id, event_type,
@@ -52,7 +58,7 @@ object Analytics {
       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |at_w AS (SELECT *,
       |    last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id
+      |      ORDER BY ts, coalesce(event_id, -9223372036854775808)
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
       |  FROM at_e)
       |SELECT coalesce(attr, '(none)') AS channel,
@@ -720,7 +726,8 @@ object Analytics {
     "x_attribution_last_touch" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(col("ts"),
+            coalesce(col("event_id"), lit(Long.MinValue)))
           .rowsBetween(Window.unboundedPreceding, -1)
         t(s, d, "events")
           .where(col("user_id").isNotNull && col("ts").isNotNull)

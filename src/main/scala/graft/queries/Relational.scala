@@ -32,7 +32,10 @@ object Relational {
   /** ONE oracle for the CDC fold, shared by the batch rank-window query
     * (`x_cdc_apply`) and the streaming stateful fold (`stream_cdc_apply`)
     * — the lockstep rule: both implementations must stay equal to the same
-    * definition, or their "same semantics" claim silently rots. */
+    * definition, or their "same semantics" claim silently rots.
+    * The DESC tie column is `coalesce(event_id, Long.MinValue)` in all
+    * three places (this SQL, the batch window, the streaming fold) —
+    * see Analytics.attributionSql for the sentinel rationale. */
   private[queries] val cdcApplySql =
     """WITH ops AS (SELECT user_id, ts, event_id,
       |  CAST(round(value * 100) AS BIGINT) AS cents,
@@ -40,7 +43,8 @@ object Relational {
       |       ELSE 'U' END AS op
       |  FROM events),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |         ORDER BY ts DESC, event_id DESC) AS rn,
+      |         ORDER BY ts DESC,
+      |           coalesce(event_id, -9223372036854775808) DESC) AS rn,
       |       count(*) OVER (PARTITION BY user_id) AS n_ops
       |  FROM ops)
       |SELECT user_id, op AS last_op, cents, epoch_us(ts) AS updated_us, n_ops
@@ -54,17 +58,24 @@ object Relational {
 
   /** A per-run roundtrip sink dir under java.io.tmpdir, with STALE-RUN
     * RECLAMATION: dirs from previous applications sharing the prefix are
-    * deleted if untouched for an hour (the appId key makes overwrite-mode
+    * deleted if untouched for 24 HOURS (the appId key makes overwrite-mode
     * unable to reclaim them, so every Verify/Bench run would otherwise
     * permanently leak fact-table-scale gzip/ORC copies into /tmp). The
     * mtime guard keeps a CONCURRENT run's live dir safe; cleanup inside
     * the query is impossible — the returned plan reads the chunks lazily.
+    * 24h, not 1h: a concurrent run writes its chunks eagerly but reads
+    * them LAZILY at each bench rep, so under heavy contention a slow
+    * high-SF suite can legitimately re-read a dir written hours earlier
+    * (bench.var.json measured byte-identical suites spanning 112–794 s —
+    * and sf1 runs take over an hour wall); the cutoff must sit far above
+    * any plausible single-run duration, and no measured suite approaches
+    * a day.
     */
   private[queries] def roundtripDir(s: SparkSession, prefix: String,
                                     d: String): String = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val mine = s"$prefix${s.sparkContext.applicationId}_"
-    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val cutoff = System.currentTimeMillis() - 24L * 3600L * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.getName.startsWith(prefix) && !f.getName.startsWith(mine) &&
           f.lastModified() < cutoff)
@@ -778,7 +789,8 @@ object Relational {
           when(col("event_type") === "signup", "I")
             .when(col("event_type") === "error", "D").otherwise("U").as("op"))
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(desc("ts"), desc("event_id"))
+          .orderBy(col("ts").desc,
+            coalesce(col("event_id"), lit(Long.MinValue)).desc)
         ops.withColumn("rn", row_number().over(w))
           .withColumn("n_ops", count(lit(1)).over(Window.partitionBy(col("user_id"))))
           .where(col("rn") === 1 && col("op") =!= "D")

@@ -557,8 +557,15 @@ object StreamingSync {
         unix_micros(col("ts")).as("ts_us"),
         // coalesce: event_id decodes into a NON-NULLABLE Long — a NULL
         // would crash the query (NOT_NULL_ASSERT_VIOLATION), the crash
-        // class streamingScd2's tie column already guards against
-        coalesce(col("event_id").cast("long"), lit(0L)).as("event_id"),
+        // class streamingScd2's tie column already guards against.
+        // Long.MinValue, NOT 0: 0 is inside the id domain, so a NULL
+        // would silently merge with a genuine event 0 in the changelog
+        // dedup key and sort as its tie-order twin; the sentinel only
+        // ever collides with other NULLs (documented residual: distinct
+        // NULL-id purchases collapse to one changelog row), and the
+        // batch oracle mirrors the same coalesce in its window order
+        coalesce(col("event_id").cast("long"), lit(Long.MinValue))
+          .as("event_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, Long, Long, String, Option[Long])]
@@ -615,8 +622,14 @@ object StreamingSync {
       .select(col("user_id").cast("long"),
         // coalesce: same non-nullable-decode guard as the ts sentinel
         // below and streamingScd2's tie column — a NULL event_id would
-        // crash the query, not degrade it
-        coalesce(col("event_id").cast("long"), lit(0L)).as("event_id"),
+        // crash the query, not degrade it. Long.MinValue (the same
+        // sentinel the ts path uses), NOT 0: 0 is a real id value, so a
+        // NULL would win the (ts, event_id) tie against ids < 0 and lose
+        // against ids > 0 — a tie order the batch oracle (which keeps
+        // NULL and sorts it last under DESC) does not share; MinValue
+        // loses every DESC tie, exactly where DuckDB/Spark put NULL
+        coalesce(col("event_id").cast("long"), lit(Long.MinValue))
+          .as("event_id"),
         coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"),
         round(col("value") * 100).cast("long").as("cents"),
         when(col("event_type") === "signup", "I")
@@ -999,7 +1012,12 @@ object StreamingSync {
       .select(col("user_id").cast("long").as("key"),
         col("ts").cast("timestamp").as("ts"),
         col("event_type").as("value"),
-        coalesce(col("event_id").cast("long"), lit(0L)).as("tie"))
+        // Long.MinValue sentinel, not 0: a NULL tie must not sort as
+        // event 0's twin (see statefulAttribution's rationale); MinValue
+        // sorts first in the ASC (ts, tie) fold order — the same slot
+        // Spark's nulls-first ASC gives the batch twin's nullable column
+        coalesce(col("event_id").cast("long"), lit(Long.MinValue))
+          .as("tie"))
       .as[(Long, java.sql.Timestamp, String, Long)]
     val closed = ev.groupByKey(_._1)
       .flatMapGroupsWithState[(String, java.sql.Timestamp),

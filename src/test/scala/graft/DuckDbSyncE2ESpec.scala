@@ -146,6 +146,22 @@ class DuckDbSyncE2ESpec extends AnyFunSuite {
       "full extract+load is idempotent, not additive")
   }
 
+  test("d4b load --mode append COPYs into the existing table (the " +
+    "reference's drop_table=False default, pgwarehouse.py:176-184) " +
+    "instead of replacing it") {
+    assume(driverPresent, "DuckDB JDBC driver not on test classpath")
+    val w = wh()
+    val d = duck()
+    assert(d.count("dparks") == 2L, "d1 left the 2-row no-PK table live")
+    w.extract("dparks")
+    assert(w.loadDuck("dparks", d, append = true) == 4L,
+      "append mode adds the extracted chunks on top of the existing rows")
+    // the default stays full-replace: the same extract becomes the table
+    w.extract("dparks")
+    assert(w.loadDuck("dparks", d) == 2L,
+      "default mode replaces, restoring count parity with the source")
+  }
+
   test("d5 composite-key upsert round-trips through a table-level PRIMARY " +
     "KEY (an upgrade the reference rejects, duckdb_backend.py:143-144)") {
     assume(driverPresent, "DuckDB JDBC driver not on test classpath")

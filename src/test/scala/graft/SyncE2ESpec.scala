@@ -288,6 +288,29 @@ class SyncE2ESpec extends AnyFunSuite {
     assert(w.warehouseTable("users10").get.count() == 20)
   }
 
+  test("t12b crash recovery: a table stranded at .__old (writeAtomic died " +
+    "between its two renames) is restored by the next read or write") {
+    setupSources()
+    val w = wh()
+    w.extract("users10")
+    assert(w.load("users10") == 20)
+    // simulate the crash window: live moved aside, stage never renamed in
+    val live = new java.io.File(s"$warehouseDir/users10.parquet")
+    val old = new java.io.File(s"$warehouseDir/users10.parquet.__old")
+    assert(live.renameTo(old), "test setup: move live aside")
+    assert(!live.exists() && old.exists())
+    // the next reader restores the preserved copy instead of reporting
+    // the table absent (pre-fix: a watch() merge bootstrapped from one
+    // micro-batch here and the next writeAtomic deleted the history)
+    assert(w.warehouseTable("users10").get.count() == 20,
+      "reader restores the .__old copy")
+    assert(live.exists() && !old.exists(), "live path back, old consumed")
+    // and the writer path recovers too (so history feeds the rewrite)
+    assert(live.renameTo(old), "test setup: strand it again")
+    assert(w.reload("users10") == 20)
+    assert(live.exists() && !old.exists())
+  }
+
   test("t13 ddl command emits dialect DDL for a source table's schema") {
     setupSources()
     val w = wh()
