@@ -56,6 +56,18 @@ package graft
   * COMPLETE per-query median AND min maps go to `bench.json`, which is
   * committed with the round.
   *
+  * CPU time beside wall (r15): every query also records its EXECUTOR
+  * CPU seconds per rep (task executorCpuTime + executorDeserializeCpuTime
+  * deltas from a SparkListener, drain-barriered per query), reported as
+  * `queries_cpu` (per-query medians) / `queries_cpu_reps` (raw) /
+  * `total_cpu` in bench.json and `total_cpu` + whole-process `jvm_cpu`
+  * on stdout. Rationale: the r14 wall headline moved +24% on pure host
+  * contention (bench.var.json: identical trees spanned 112–794 s) —
+  * wall measures the HOST, CPU measures the WORK, so a wall regression
+  * whose cpu ratio is ~1.0 is noise by construction, and
+  * tools/ledger_check.py now requires round-over-round regression
+  * claims >1.3× to be corroborated by the committed cpu ratio.
+  *
   * Attribution (r12): `bench.json` additionally carries `queries_reps`
   * (the raw per-rep seconds per query) and an `env` stanza (1-min load
   * average bracketing the suite, CPU count, heap, scratch dir + its
@@ -64,6 +76,42 @@ package graft
   * query whose rep spread exceeds 2×.
   */
 object Bench {
+
+  /** Accumulates executor CPU nanoseconds from task-end events — the
+    * contention-robust statistic beside wall-clock (r15, after the r14
+    * headline moved +24% on pure host noise: bench.var.json shows
+    * byte-identical trees spanning 112–794 s wall on this host, while
+    * CPU time is work actually scheduled and barely moves under
+    * contention). `executorCpuTime` is the task run loop;
+    * `executorDeserializeCpuTime` is task setup — both are charged, so a
+    * query whose cost is closure-heavy setup doesn't read as free.
+    * Attribution to a query = counter delta around its timed run, with a
+    * listener-bus drain barrier on both sides (ListenerBridge — delivery
+    * is async, so without the drain a query's trailing task-ends leak
+    * into its neighbor's window).
+    */
+  private final class CpuListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val nanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null)
+        nanos.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+    }
+  }
+
+  /** Whole-JVM process CPU seconds (driver + all local executor threads
+    * in local mode) — the suite-level cross-check: queries_cpu sums only
+    * task time, so planning/DuckDB-free driver work shows up as the gap
+    * between this and total task CPU. -1 when the platform bean doesn't
+    * expose it. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
 
   /** One flagship query per operator family — the per-query timings that
     * fit the driver's 2000-char tail window. Membership is asserted
@@ -191,6 +239,10 @@ object Bench {
         s"headline names not in SparkEntry.queries: ${missingHeadline.mkString(",")}")
 
     val spark = LocalSession.build(logLevel = "ERROR")
+    val cpuListener = new CpuListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    def drainBus(): Unit = org.apache.spark.sql.graft.ListenerBridge
+      .waitUntilEmpty(spark.sparkContext)
 
     // Warmup: scan+agg, broadcast join, window — the codegen paths the
     // timed queries exercise. Results discarded; failures ignored here
@@ -220,11 +272,17 @@ object Bench {
     val timesBy = scala.collection.mutable.LinkedHashMap(
       ordered.map { case (n, _) =>
         n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val cpuBy = scala.collection.mutable.LinkedHashMap(
+      ordered.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     val failedSet = scala.collection.mutable.Set.empty[String]
+    val jvmCpu0 = processCpuSec()
     var rep = 0
     while (rep < reps) {
       ordered.foreach { case (name, fn) =>
         if (!failedSet(name)) {
+          drainBus()
+          val cpu0 = cpuListener.nanos.get()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch {
@@ -234,13 +292,19 @@ object Bench {
               System.err.println(s"[bench] $name FAILED (rep ${rep + 1}): ${e.getMessage}")
           }
           timesBy(name) += (System.nanoTime() - t0) / 1e9
+          drainBus()
+          cpuBy(name) += (cpuListener.nanos.get() - cpu0) / 1e9
         }
       }
       rep += 1
     }
     val results: Seq[(String, Seq[Double])] =
       ordered.map { case (n, _) => n -> timesBy(n).toSeq }
+    val cpuResults: Seq[(String, Seq[Double])] =
+      ordered.map { case (n, _) => n -> cpuBy(n).toSeq }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val jvmCpuSec =
+      if (jvmCpu0 < 0) -1.0 else processCpuSec() - jvmCpu0
     val loadEnd = loadAvg()
 
     // Locale.ROOT: a comma-decimal locale would emit unparseable JSON
@@ -256,8 +320,14 @@ object Bench {
 
     val medians = results.map { case (n, ts) => n -> median(ts) }
     val mins    = results.map { case (n, ts) => n -> ts.min }
+    // per-query CPU medians: the contention-robust comparison statistic.
+    // A wall "regression" whose cpu ratio is ~1.0 is host noise, not
+    // code — ledger_check gates round-over-round regression claims on
+    // exactly this field.
+    val cpuMedians = cpuResults.map { case (n, ts) => n -> median(ts) }
     val totalMedian = medians.map(_._2).sum
     val totalMin    = mins.map(_._2).sum
+    val totalCpu    = cpuMedians.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medByName = medians.toMap
     val headlineQs = toJson(headline.filter(medByName.contains).map(n => n -> medByName(n)))
@@ -266,13 +336,16 @@ object Bench {
       .getOrElse(sys.props("java.io.tmpdir"))
     val env = envStanza(fmt, loadStart, loadEnd, scratch)
     def lineOf(qs: String, extra: String) =
-      s"""{"metric":"total","value":${fmt(totalMedian)},"unit":"sec","agg":"median_of_$reps","rep_order":"interleaved","total_min":${fmt(totalMin)},"total_wall":${fmt(wallSec)},"queries":$qs,$extra$env,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"$outFile"}"""
+      s"""{"metric":"total","value":${fmt(totalMedian)},"unit":"sec","agg":"median_of_$reps","rep_order":"interleaved","total_min":${fmt(totalMin)},"total_cpu":${fmt(totalCpu)},"jvm_cpu":${fmt(jvmCpuSec)},"total_wall":${fmt(wallSec)},"queries":$qs,$extra$env,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"$outFile"}"""
     val stdoutLine = lineOf(headlineQs, "")
     // full artifact additionally carries the RAW per-rep arrays — the
     // round-11 lesson: a median alone cannot show a judge whether a slow
-    // query was slow three times (a regression) or once (contention)
+    // query was slow three times (a regression) or once (contention) —
+    // and (r15) the per-query executor-CPU medians + raw reps, so a
+    // wall-only "regression" can be corroborated or refuted from the
+    // artifact without re-running
     val fullLine = lineOf(toJson(medians),
-      s""""queries_min":${toJson(mins)},"queries_reps":${toJsonArrays(results)},""")
+      s""""queries_min":${toJson(mins)},"queries_cpu":${toJson(cpuMedians)},"queries_reps":${toJsonArrays(results)},"queries_cpu_reps":${toJsonArrays(cpuResults)},""")
 
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

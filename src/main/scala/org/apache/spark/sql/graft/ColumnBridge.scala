@@ -47,6 +47,23 @@ object PlanBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
+/** Bridge to the `private[spark]` listener-bus drain: block until every
+  * queued listener event has been delivered. graft.Bench attributes
+  * executor CPU time to individual queries by snapshotting a
+  * task-metrics listener's counter around each timed run — but listener
+  * delivery is ASYNC (events post to the bus and drain on their own
+  * thread), so without a drain barrier the tail of query N's task-end
+  * events lands in query N+1's CPU window. Best-effort by design: a
+  * drain that exceeds the timeout mis-attributes a few task-ends to the
+  * neighbor query rather than failing the whole benchmark.
+  */
+object ListenerBridge {
+  def waitUntilEmpty(sc: org.apache.spark.SparkContext,
+                     timeoutMillis: Long = 30000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMillis)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+}
+
 /** Bridge to the `private[sql]` compilation-error factory, so the
   * SQL-registered graft functions raise the SAME AnalysisException
   * (error class WRONG_NUM_ARGS) as every built-in on a wrong-arity call —

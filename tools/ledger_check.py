@@ -29,6 +29,24 @@ sections legitimately quote their own era's numbers):
    suite (n_queries == the CORRECTNESS query count — a subset run must
    not masquerade as the committed full-suite number), and report zero
    failed queries.
+6. cpu corroboration (r15): a round-over-round wall-regression claim
+   ">1.3x" / "N x regression" in the latest section must be backed by
+   the committed per-query/total CPU ratio (bench.json `queries_cpu` /
+   `total_cpu` vs the prior round's BENCH_r*.json) — the r14 lesson:
+   the wall headline moved +24% on pure host contention while CPU was
+   flat. A claim whose cpu ratio is ~1.0 flags unless the surrounding
+   text attributes it to contention/host noise.
+7. artifact custody (r15): the newest BENCH_r*.json / CORRECTNESS_r*
+   .json on disk must be TRACKED in git, and tracked bench.json /
+   LEAKCHECK.json must not be dirty — round artifacts repeatedly landed
+   uncommitted (r13 ask #2, recurred r14).
+8. test-count gate (r15): claims like "N tests" / "N passed" in the
+   latest section must match artifacts/test_summary.json (written at
+   round close from the measured sbt test run) — SURVEY carried three
+   different counts for one suite.
+9. seed-corpus gate (r15): if the latest section mentions CHECK_seed2,
+   that artifact must exist, parse, cover the full suite, and be
+   all-green (same shape as gate 5).
 
 This is a heuristic gate (regex, not a parser): it can miss a claim,
 but anything it flags IS a number that does not reproduce from the
@@ -215,6 +233,120 @@ def main():
             if not any(abs(float(m.group(1)) - w) <= 0.015 for w in worsts):
                 flags.append(f"claim 'worst exponent {m.group(1)}' backed "
                              f"by none of {names} (actuals: {worsts})")
+
+    # 6. cpu corroboration: wall-regression claims vs the committed cpu
+    # ratios. Anchor on "<float>x" within a few words of "regress"; the
+    # claim needs either (a) a cpu ratio that also moved (>1.15x — a real
+    # slowdown does more work or the same work slower on both clocks
+    # only under contention), or (b) an explicit contention/noise
+    # attribution within the claim's paragraph.
+    bench_rs = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")),
+                      key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    prev_bench = None
+    if bench_rs:
+        prev_bench, _ = try_load(bench_rs[-1])
+    claim_re = re.compile(
+        r"(\d+(?:\.\d+)?)\s*[x×](?:\W+\w+){0,3}\W+regress|"
+        r"regress\w*(?:\W+\w+){0,3}\W+(\d+(?:\.\d+)?)\s*[x×]", re.I)
+    for m in claim_re.finditer(section):
+        ratio = float(m.group(1) or m.group(2))
+        if ratio <= 1.3:
+            continue
+        para = section[max(0, m.start() - 400):m.end() + 400]
+        if re.search(r"contention|host noise|noise|drift|was(?: not|n't) one",
+                     para, re.I):
+            continue
+        cpu_now = (bench or {}).get("total_cpu")
+        cpu_prev = (prev_bench or {}).get("total_cpu")
+        if cpu_now and cpu_prev and cpu_prev > 0:
+            cpu_ratio = cpu_now / cpu_prev
+            if cpu_ratio < 1.15:
+                flags.append(
+                    f"wall-regression claim '{ratio}x' not corroborated: "
+                    f"total_cpu ratio vs {os.path.basename(bench_rs[-1])} "
+                    f"is {cpu_ratio:.2f}x (~flat) — attribute to host "
+                    f"contention explicitly or drop the claim")
+        else:
+            warns.append(
+                f"wall-regression claim '{ratio}x' cannot be cpu-checked: "
+                f"total_cpu missing from bench.json or the prior BENCH_r* "
+                f"artifact — quote the per-query queries_cpu ratio or "
+                f"attribute the claim explicitly")
+
+    # 7. artifact custody: newest round artifacts must be tracked, and
+    # tracked driver-contract files must not be dirty. Uses git; degrades
+    # to a warning when git is unavailable.
+    import subprocess
+    def git(*a):
+        return subprocess.run(["git", "-C", repo] + list(a),
+                              capture_output=True, text=True)
+    newest = []
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        fs = sorted(glob.glob(os.path.join(repo, pat)),
+                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+        if fs:
+            newest.append(os.path.basename(fs[-1]))
+    try:
+        for f in newest:
+            if git("ls-files", "--error-unmatch", f).returncode != 0:
+                flags.append(f"round artifact {f} is NOT tracked in git — "
+                             f"commit it (recurring r13/r14 finding)")
+        for f in ("bench.json", "LEAKCHECK.json"):
+            if os.path.exists(os.path.join(repo, f)) and \
+                    git("ls-files", "--error-unmatch", f).returncode == 0:
+                st = git("status", "--porcelain", "--", f).stdout.strip()
+                if st:
+                    flags.append(f"tracked artifact {f} has uncommitted "
+                                 f"changes ({st.split()[0]}) — commit or "
+                                 f"restore it")
+    except OSError as e:
+        warns.append(f"artifact-custody check skipped (git unavailable: {e})")
+
+    # 8. test-count gate: "N tests"/"N passed" claims in the latest
+    # section vs the committed measured count.
+    tsum, tsum_err = try_load(os.path.join(repo, "artifacts",
+                                           "test_summary.json"))
+    if tsum_err:
+        flags.append(f"artifacts/test_summary.json is {tsum_err}")
+    if tsum and "tests_passed" in tsum:
+        actual_tests = tsum["tests_passed"]
+        for m in re.finditer(
+                r"\b(\d{2,})\s+(?:tests\b|passed\b)", section):
+            n = int(m.group(1))
+            # skip query-count collisions (e.g. "266 queries ... passed")
+            ctx = section[max(0, m.start() - 40):m.end()]
+            if re.search(r"quer|/", ctx):
+                continue
+            if n != actual_tests:
+                flags.append(
+                    f"test-count claim '{m.group(0).strip()}' != measured "
+                    f"{actual_tests} in artifacts/test_summary.json "
+                    f"(suite: {tsum.get('suites', '?')} suites, ran "
+                    f"{tsum.get('measured_at', '?')})")
+    elif re.search(r"\b\d{2,}\s+tests\b", section):
+        warns.append("section claims a test count but artifacts/"
+                     "test_summary.json is missing — write it from the "
+                     "measured sbt test run")
+
+    # 9. seed-varied corpus gate: same contract as the sf1 gate — citing
+    # CHECK_seed2 commits to a full-suite all-green artifact.
+    if "CHECK_seed2" in section:
+        s2, s2_err = try_load(os.path.join(repo, "artifacts",
+                                           "CHECK_seed2.json"))
+        if s2 is None:
+            flags.append("section cites CHECK_seed2 but artifacts/"
+                         f"CHECK_seed2.json is {s2_err or 'missing'}")
+        else:
+            n_corr = len(corr) if corr is not None else None
+            if n_corr is not None and len(s2) != n_corr:
+                flags.append(f"CHECK_seed2.json covers {len(s2)} queries, "
+                             f"not the full suite ({n_corr})")
+            bad2 = [k for k, v in s2.items()
+                    if not (v.get("rows_match") and v.get("schema_match")
+                            and v.get("hash_match"))]
+            if bad2:
+                flags.append(f"CHECK_seed2.json has {len(bad2)} failing "
+                             f"queries: {bad2[:5]}")
 
     label = f"round {round_n}" if round_n else "whole file"
     for w in warns:
