@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the quantized-vector hot path.
@@ -461,6 +461,195 @@ object GramHashesLong {
   }
 }
 
+/** Distinct n-word-shingle 60-bit md5 keys of a token array in one pass —
+  * exactly the composed chain
+  * `transform(array_distinct(shinglesFromTokens(toks, n)),
+  * s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))`:
+  * shingle i is tokens [i, i+n) joined by a single space (null tokens
+  * skipped, concat_ws's contract), a shorter-than-n array yields the one
+  * whole-array shingle (an empty array's is the empty string), distinctness
+  * is by shingle STRING — two distinct shingles that collide in the 60-bit
+  * key both emit, matching `array_distinct`-then-hash and the DuckDB
+  * oracle's `list_distinct`-then-hash — and the key is the first 15 hex
+  * chars of the md5 parsed base-16, i.e. the digest's top 60 bits
+  * (big-endian first 8 bytes >>> 4), so hex order == numeric order holds
+  * as the bottom-k sketch requires.
+  *
+  * Why native: the composed form is the containment index's cache-build
+  * hot loop, and every stage of it is INTERPRETED per shingle (higher-order
+  * functions never enter whole-stage codegen): a concat_ws expression walk
+  * per window, array_distinct's per-element scan, then md5's 32-char hex
+  * encode + substring + conv's base-16 string parse per survivor. This
+  * loop builds each window once as UTF-8 bytes, dedupes on byte equality,
+  * and reads the key straight off the raw digest — no hex string, no
+  * parse, no per-element expression trees.
+  */
+case class ShingleKeys60(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be positive, got $n")
+
+  override def prettyName: String = "shingle_keys_60"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKeys60.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ShingleKeys60.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, a => s"$cls.compute($a, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleKeys60 {
+  private val Space = UTF8String.fromString(" ")
+  // MessageDigest is stateful and not thread-safe — reuse the package's
+  // one per-thread instance (HllAgg declares it shared for exactly this)
+  private def md5 = HllRegisterAgg.threadLocalMd5
+
+  /** One row's distinct shingle keys, first-occurrence order (order is
+    * immaterial downstream — the probe sorts, the postings aggregate —
+    * but determinism keeps plans replayable). Static so generated code
+    * calls it directly. */
+  def compute(a: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val len = a.numElements()
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      if (!a.isNullAt(i)) toks(i) = a.getUTF8String(i)
+      i += 1
+    }
+    val d = md5.get()
+    if (len < n) {
+      UnsafeArrayData.fromPrimitiveArray(
+        Array(key(d, UTF8String.concatWs(Space, toks: _*))))
+    } else {
+      val seen = new java.util.HashSet[UTF8String]()
+      val out = new Array[Long](len - n + 1)
+      val win = new Array[UTF8String](n)
+      var m = 0
+      var start = 0
+      while (start <= len - n) {
+        var j = 0
+        while (j < n) { win(j) = toks(start + j); j += 1 }
+        val sh = UTF8String.concatWs(Space, win: _*)
+        if (seen.add(sh)) { out(m) = key(d, sh); m += 1 }
+        start += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+    }
+  }
+
+  /** conv(substring(md5(sh), 1, 15), 16, 10): 15 hex chars = the digest's
+    * top 60 bits; >>> 4 drops the 16th nibble and keeps the value
+    * non-negative, exactly conv's unsigned base-16 parse of the prefix. */
+  private def key(d: java.security.MessageDigest, sh: UTF8String): Long = {
+    d.reset()
+    val dig = d.digest(sh.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** The containment index's in-row gaps-and-islands pass as one native
+  * loop: sort the flattened hit array, count each distinct value's run,
+  * and keep runs that clear the estimate gate — exactly the composed
+  * chain over `all_bs`
+  * `filter(transform(filter(sequence(1, size(srt)), run-start?),
+  * start => struct(srt[start], next_start − start)),
+  * r => r.b != self && r.n_match·10⁴ ≥ thresholdE4·k_probe)`
+  * with `srt = array_sort(all_bs)`. Output is `array<struct<b, n_match>>`
+  * in ascending-b order (run starts ascend in the sorted array), the same
+  * rows in the same order the composed form explodes.
+  *
+  * Why native: the composed form walks FOUR interpreted higher-order
+  * lambdas over a ≤ k·maxDf-entry array per doc (sequence allocation,
+  * a filter whose predicate does two element_at tree-walks per element,
+  * a transform allocating a struct per run, a second filter), and
+  * array_sort itself is an interpreted comparator over boxed elements.
+  * This loop sorts a primitive long[] (`Arrays.sort`) and emits only the
+  * qualifying runs. Null corners are the composed form's: any null input
+  * → NULL (the composed chain's null-poisoned filter yields no surviving
+  * rows either way once exploded — both produce zero output rows for a
+  * null group key).
+  *
+  * The gate `n_match·10⁴ ≥ thresholdE4·k_probe` cannot overflow: n_match
+  * ≤ 2³¹, ×10⁴ < 2⁴⁵; thresholdE4 ≤ 10⁴ and k_probe ≤ k keep the right
+  * side tiny — so wrapping arithmetic here equals the composed ANSI ops.
+  */
+case class ContainmentRuns(allBs: Expression, self: Expression,
+                           kProbe: Expression, thresholdE4: Long)
+  extends TernaryExpression {
+
+  override def prettyName: String = "containment_runs"
+  override def first: Expression = allBs
+  override def second: Expression = self
+  override def third: Expression = kProbe
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("n_match", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (allBs.dataType, self.dataType, kProbe.dataType) match {
+      case (ArrayType(LongType, _), LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, bigint, bigint), got $other")
+    }
+
+  override protected def nullSafeEval(bs: Any, s: Any, kp: Any): Any =
+    ContainmentRuns.compute(bs.asInstanceOf[ArrayData],
+      s.asInstanceOf[Long], kp.asInstanceOf[Long], thresholdE4)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ContainmentRuns.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (bs, s, kp) =>
+      s"$cls.compute($bs, $s, $kp, ${thresholdE4}L)")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(allBs = f, self = s, kProbe = t)
+}
+
+object ContainmentRuns {
+  /** One row's qualifying runs. Static so generated code calls it
+    * directly. */
+  def compute(bs: ArrayData, self: Long, kp: Long,
+              thresholdE4: Long): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = bs.toLongArray()
+    java.util.Arrays.sort(arr)
+    val n = arr.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      val b = arr(i)
+      var j = i + 1
+      while (j < n && arr(j) == b) j += 1
+      val c = (j - i).toLong
+      if (b != self && c * 10000L >= thresholdE4 * kp) {
+        out.add(new GenericInternalRow(Array[Any](b, c)))
+      }
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object NativeExpressions {
   /** Column wrapper: exact integer dot product (wrapping arithmetic — the
     * quantized path cannot overflow, see the class doc). */
@@ -487,4 +676,18 @@ object NativeExpressions {
   def gramHashesLong(toks: Column, n: Int): Column =
     ColumnBridge.column(GramHashesLong(
       ColumnBridge.expression(toks), n))
+
+  /** Column wrapper: distinct n-word-shingle 60-bit md5 keys (see
+    * ShingleKeys60). */
+  def shingleKeys60(toks: Column, n: Int = 3): Column =
+    ColumnBridge.column(ShingleKeys60(
+      ColumnBridge.expression(toks), n))
+
+  /** Column wrapper: sorted-run counts through the containment estimate
+    * gate (see ContainmentRuns). */
+  def containmentRuns(allBs: Column, self: Column, kProbe: Column,
+                      thresholdE4: Long): Column =
+    ColumnBridge.column(ContainmentRuns(
+      ColumnBridge.expression(allBs), ColumnBridge.expression(self),
+      ColumnBridge.expression(kProbe), thresholdE4))
 }

@@ -324,22 +324,53 @@ object Dedup {
     * 11.1 → 5.1 s (the residual is the two bounded exchanges the
     * candidate volume still rides as packed longs: postings→bArrays and
     * hits→per-probe-doc).
+    *
+    * Bloom prefilter on the posting build (r15 — cuts the first of
+    * those two residual exchanges): only shingles that are in SOME
+    * doc's bottom-k probe can ever match the probe→postings join, yet
+    * the posting aggregation exchanged EVERY shingle occurrence of the
+    * corpus to learn each key's doc list. A Bloom filter over the probe
+    * key set (one driver scalar of numBits/8 bytes, built from the same
+    * cached key arrays) now gates the posting stream BEFORE its groupBy
+    * exchange, so occurrences of never-probed shingles — the df-1..low
+    * tail that dominates DISTINCT key count — die at the scan.
+    * Bit-identical results: the gate is a pure function of the key, so
+    * a kept key keeps ALL its occurrences (the df cap still sees
+    * complete lists), and Bloom has no false negatives (every probed
+    * key survives); false positives just ride to the join and match
+    * nothing. Sizing: 16 bits per expected probe key (k · ndocs,
+    * counted off the cache), floor 2²⁰ bits, CAP 2²⁷ bits = 16 MiB —
+    * past ~10⁹ probe keys the fixed-size filter saturates and the gate
+    * degrades to pass-through (weaker pruning, never wrong), the right
+    * 100 TB failure mode for a driver-materialized scalar.
     */
   def containmentIndexed(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, maxDf: Int = DefaultMaxBucket,
                          thresholdE4: Long = 5000L): DataFrame = {
+    // khl build: one native codegen'd pass (ShingleKeys60) replacing the
+    // interpreted shingle→distinct→md5-hex→conv chain — bit-identical by
+    // the expression's pinned law (FunctionsSpec), and the cache-build
+    // hot loop this operator's warm cost was dominated by (r15)
     val base = registerPersisted(df
       .select(col(idCol).as("doc"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc"),
-        array_distinct(shinglesFromTokens(col("toks"))).as("shl"))
-      .select(col("doc"), transform(col("shl"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("khl"))
+        graft.functions.NativeExpressions.shingleKeys60(col("toks")).as("khl"))
       .persist())
-    val post = base.select(col("doc"), explode(col("khl")).as("h"))
+    val bottomK = slice(array_sort(col("khl")), 1, k)
+    val expected = math.max(k * base.count(), 1L)
+    val bfBytes = base.select(explode(bottomK).as("h"))
+      .agg(graft.functions.Sketch.bloomAgg(col("h"), expected,
+        math.min(math.max(16L * expected, 1L << 20), 1L << 27)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val postAll = base.select(col("doc"), explode(col("khl")).as("h"))
+    val post =
+      if (bfBytes == null) postAll // empty corpus: nothing to prune
+      else postAll.where(
+        graft.functions.Sketch.mightContain(lit(bfBytes), col("h")))
     val probe = base.select(col("doc").as("a"),
       least(lit(k), size(col("khl"))).cast("long").as("k_probe"),
-      explode(slice(array_sort(col("khl")), 1, k)).as("h"))
+      explode(bottomK).as("h"))
     // one packed row per surviving shingle: the ≤maxDf doc list rides as
     // an array, so each probe hit fetches ONE row however many docs hold
     // the shingle. The df cap is the in-row size filter on the SAME
@@ -365,23 +396,35 @@ object Dedup {
     // never descends. CaseWhen guards the i−1 look-back (ANSI-safe, same
     // pattern as postings()); floor((n·10⁴)/kp) ≥ T ⟺ n·10⁴ ≥ T·kp for
     // integer T, kp > 0, so the in-row filter is exactly the est gate.
-    probe.hint("shuffle_hash")
+    val grouped = probe.hint("shuffle_hash")
       .join(bArrays, Seq("h"))
       .groupBy("a").agg(first(col("k_probe")).as("k_probe"),
         flatten(collect_list(col("bs"))).as("all_bs"))
-      .withColumn("srt", array_sort(col("all_bs")))
-      .withColumn("starts", filter(sequence(lit(1), size(col("srt"))),
-        i => when(i === 1, lit(true)).otherwise(
-          element_at(col("srt"), i) =!= element_at(col("srt"), i - 1))))
-      .withColumn("runs", transform(col("starts"), (s, j) => struct(
-        element_at(col("srt"), s).as("b"),
-        (coalesce(try_element_at(col("starts"), j + 2),
-          size(col("srt")) + 1) - s).cast("long").as("n_match"))))
-      .select(col("a"), col("k_probe"),
-        explode(filter(col("runs"), r =>
-          r.getField("b") =!= col("a") &&
-            r.getField("n_match") * lit(10000L) >=
-              lit(thresholdE4) * col("k_probe"))).as("e"))
+    // long ids (the common corpus shape) take the native one-loop run
+    // counter (ContainmentRuns — bit-identical by its pinned law); other
+    // id types keep the staged composed chain (srt/starts/runs stay NAMED
+    // columns — the SKILL.md lambda-inlining rule: an inlined `starts`
+    // re-evaluates per element)
+    val exploded =
+      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        grouped.select(col("a"), col("k_probe"),
+          explode(graft.functions.NativeExpressions.containmentRuns(
+            col("all_bs"), col("a"), col("k_probe"), thresholdE4)).as("e"))
+      else grouped
+        .withColumn("srt", array_sort(col("all_bs")))
+        .withColumn("starts", filter(sequence(lit(1), size(col("srt"))),
+          i => when(i === 1, lit(true)).otherwise(
+            element_at(col("srt"), i) =!= element_at(col("srt"), i - 1))))
+        .withColumn("runs", transform(col("starts"), (s, j) => struct(
+          element_at(col("srt"), s).as("b"),
+          (coalesce(try_element_at(col("starts"), j + 2),
+            size(col("srt")) + 1) - s).cast("long").as("n_match"))))
+        .select(col("a"), col("k_probe"),
+          explode(filter(col("runs"), r =>
+            r.getField("b") =!= col("a") &&
+              r.getField("n_match") * lit(10000L) >=
+                lit(thresholdE4) * col("k_probe"))).as("e"))
+    exploded
       .select(col("a").as("a_id"), col("e.b").as("b_id"),
         col("e.n_match").as("n_match"), col("k_probe"))
       .withColumn("est_e4", expr("(n_match * 10000) div k_probe"))

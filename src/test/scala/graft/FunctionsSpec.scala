@@ -133,6 +133,86 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("native shingle-keys-60 match the composed array_distinct(" +
+    "shingles)+md5-prefix-conv chain (random tokens, unicode, repeats, " +
+    "short/empty/null arrays, null tokens)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(29)
+    // small vocabulary so shingles REPEAT within a row (the distinct law
+    // has something to remove); lengths span the <n single-shingle branch,
+    // exactly-n, and long arrays; sprinkle unicode and null tokens
+    val vocab = Vector("alpha", "beta", "gamma", "δelta", "ε", "")
+    val rows: Seq[(Long, Seq[String])] = (0 until 150).map { i =>
+      val len = i % 9 // 0..8 tokens
+      val base0 = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      val toks = if (i % 7 == 0 && len > 0)
+        base0.updated(rnd.nextInt(len), null: String)
+      else base0
+      (i.toLong, toks)
+    }
+    val df = rows.toDF("id", "toks")
+    val composed = transform(
+      array_distinct(graft.operators.Dedup.shinglesFromTokens(col("toks"))),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val bad = df.select(
+      graft.functions.NativeExpressions.shingleKeys60(col("toks")).as("native"),
+      composed.as("ref"))
+      .where(not(col("native") <=> col("ref"))).count()
+    assert(bad == 0L, "native shingle keys != composed form")
+    // null ARRAY propagates null on both sides
+    val edge = Seq((1L, Option.empty[Seq[String]]))
+      .toDF("id", "toks")
+      .select(graft.functions.NativeExpressions.shingleKeys60(col("toks")))
+      .collect().head
+    assert(edge.isNullAt(0))
+  }
+
+  test("native containment-runs match the composed sort+gaps-and-islands+" +
+    "gate chain (random hit arrays, self-exclusion, threshold gate, " +
+    "singleton and all-equal arrays)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val thresholdE4 = 5000L
+    // non-empty arrays (the operator invariant: collect_list ≥ 1) with
+    // heavy repeats so runs form; self sometimes present, sometimes not;
+    // k_probe in the operator's 1..8 range
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      val bs = Seq.fill(n)(rnd.nextInt(8).toLong)
+      (i.toLong % 8, 1L + rnd.nextInt(8), bs)
+    }
+    val df = rows.toDF("a", "k_probe", "all_bs")
+    val composed = df
+      .withColumn("srt", array_sort(col("all_bs")))
+      .withColumn("starts", filter(sequence(lit(1), size(col("srt"))),
+        i => when(i === 1, lit(true)).otherwise(
+          element_at(col("srt"), i) =!= element_at(col("srt"), i - 1))))
+      .withColumn("ref", filter(
+        transform(col("starts"), (s, j) => struct(
+          element_at(col("srt"), s).as("b"),
+          (coalesce(try_element_at(col("starts"), j + 2),
+            size(col("srt")) + 1) - s).cast("long").as("n_match"))),
+        r => r.getField("b") =!= col("a") &&
+          r.getField("n_match") * lit(10000L) >=
+            lit(thresholdE4) * col("k_probe")))
+      .withColumn("native", graft.functions.NativeExpressions
+        .containmentRuns(col("all_bs"), col("a"), col("k_probe"),
+          thresholdE4))
+    val bad = composed.where(not(col("native") <=> col("ref"))).count()
+    assert(bad == 0L, "native containment runs != composed form")
+    // null inputs propagate null (TernaryExpression null-safety)
+    val edge = Seq((Option.empty[Seq[Long]], Some(1L), Some(2L)))
+      .toDF("all_bs", "a", "k_probe")
+      .select(graft.functions.NativeExpressions
+        .containmentRuns(col("all_bs"), col("a"), col("k_probe"), 0L))
+      .collect().head
+    assert(edge.isNullAt(0))
+  }
+
   test("VecSum aggregates vectors elementwise, exactly, per group") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -171,6 +171,17 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       s"probe→postings join must stay a shuffled hash join:\n$plan")
+    // r15 hot-path pins: the khl cache build and the run counter are the
+    // native one-loop expressions (a regression to the interpreted
+    // composed chains tripled the solo warm cost), and the posting stream
+    // is bloom-gated BEFORE its groupBy exchange (the never-probed-key
+    // tail dies at the scan)
+    assert(plan.contains("shingle_keys_60"),
+      s"khl build must use the native ShingleKeys60 expression:\n$plan")
+    assert(plan.contains("containment_runs"),
+      s"run counting must use the native ContainmentRuns expression:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"posting stream must be bloom-gated before its exchange:\n$plan")
     graft.operators.Dedup.unpersistAll()
   }
 
