@@ -75,8 +75,8 @@ object ScaleUp {
     math.min(math.max(unc, 1L << 20), 64L << 20)
   }
 
-  private def one(spark: SparkSession, df: DataFrame, dst: String,
-                  table: String, srcDir: String): Unit = {
+  private[graft] def one(spark: SparkSession, df: DataFrame, dst: String,
+                         table: String, srcDir: String): Unit = {
     val stage = s"$dst/.stage_$table"
     df.coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", srcBlockBytes(spark, srcDir, table).toString)

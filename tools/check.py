@@ -205,5 +205,28 @@ if __name__ == "__main__":
     ap.add_argument("--bench", metavar="BENCH.json", default=None,
                     help="print spark/oracle ratios vs a bench artifact, "
                          "segmented by oracle_scope")
+    ap.add_argument("--corpus-seed", metavar="N", type=int, default=None,
+                    help="overfit-constant gate (r15): regenerate sfDir as "
+                         "a seed-N same-shape twin (graft.SeedVary: ciphered "
+                         "documents, rotated embeddings — every hash "
+                         "realization re-rolls), run graft.Verify on it, "
+                         "then compare as usual. sfDir is the SOURCE corpus; "
+                         "the twin lands in <outDir>.seed<N>.corpus and "
+                         "outDir is (re)written from it.")
     a = ap.parse_args()
+    if a.corpus_seed is not None:
+        # orchestrate the two sbt mains, then fall through to the compare
+        import subprocess
+        twin = a.outDir.rstrip("/") + f".seed{a.corpus_seed}.corpus"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for step in (
+                ["sbt", "-batch",
+                 f"runMain graft.SeedVary {a.sfDir} {twin} {a.corpus_seed}"],
+                ["sbt", "-batch",
+                 f"runMain graft.Verify {twin} {a.outDir}"]):
+            print(f"[corpus-seed] {' '.join(step)}", flush=True)
+            r = subprocess.run(step, cwd=repo)
+            if r.returncode != 0:
+                raise SystemExit(f"[corpus-seed] step failed: {step}")
+        a.sfDir = twin
     raise SystemExit(main(a.sfDir, a.outDir, a.json, a.bench))
