@@ -130,11 +130,17 @@ def main():
                                  f"fail in {os.path.basename(corr_file)}: "
                                  f"{bad[:5]}")
 
-    # 2. per-query timing claims
+    # 2. per-query timing claims. A section legitimately quotes a query's
+    # seconds at EITHER committed scale (bench.json sf0.1 or
+    # bench.sf1.json), so a claim passes if either artifact's
+    # median backs it (mirroring gate 3's either-total rule).
     if bench:
         qmed = bench.get("queries", {})
         qmin = bench.get("queries_min", {})
         qreps = bench.get("queries_reps", {})
+        qmed_sf1 = (sf1 or {}).get("queries", {})
+        qmin_sf1 = (sf1 or {}).get("queries_min", {})
+        qreps_sf1 = (sf1 or {}).get("queries_reps", {})
         # anchor on KNOWN query names (a generic word+number regex is
         # non-overlapping and lets an unrelated earlier word consume the
         # window holding the real claim), then read the first "<float> s"
@@ -151,8 +157,12 @@ def main():
         for name, val in claims:
             if matches(val, qmed[name]):
                 continue
+            if name in qmed_sf1 and matches(val, qmed_sf1[name]):
+                continue
             floor = ([qmin[name]] if name in qmin else []) + \
-                qreps.get(name, [])
+                qreps.get(name, []) + \
+                ([qmin_sf1[name]] if name in qmin_sf1 else []) + \
+                qreps_sf1.get(name, [])
             if any(matches(val, c) for c in floor):
                 warns.append(
                     f"'{name}' claimed {val}s matches only the min/a raw "
@@ -162,7 +172,8 @@ def main():
                 flags.append(
                     f"'{name}' claimed {val}s; bench.json median="
                     f"{qmed[name]}s min={qmin.get(name)}s "
-                    f"reps={qreps.get(name)}")
+                    f"reps={qreps.get(name)}; bench.sf1.json median="
+                    f"{qmed_sf1.get(name)}s")
 
     # 3. suite-total claims — a value may quote the sf0.1 suite
     # (bench.json) or, since r14, the full-suite sf1 run
