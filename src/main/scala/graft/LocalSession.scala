@@ -16,6 +16,34 @@ object LocalSession {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle writer: never the bypass-merge writer. Bypass opens one
+      // DiskBlockObjectWriter FILE per reduce partition per map task
+      // (M·R creates per exchange); stack-sampling the bench showed
+      // executor CPU dominated by FileOutputStream.open0 in exactly that
+      // path. Threshold 0 selects the serialized (Unsafe) writer — one
+      // data+index file per map task regardless of R — which is also the
+      // writer any at-scale job uses (R there is in the thousands, past
+      // the 200 default threshold anyway). Override via
+      // SPARK_GRAFT_BYPASS_THRESHOLD to re-measure the default.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
+      // AQE partition coalescing: with parallelismFirst=true (the default)
+      // AQE never coalesces below the default parallelism — on local[32]
+      // that pins every post-shuffle stage at 32 tasks no matter how few
+      // bytes moved. false lets advisoryPartitionSizeInBytes govern, which
+      // is what the Spark SQL tuning guide itself recommends and the only
+      // behavior that stays scale-adaptive (partition count derives from
+      // measured shuffle bytes, not from the machine's core count).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      // Advisory post-shuffle partition size. 64m (the Spark default) is
+      // right at warehouse scale; the local corpora shuffle K-to-MB
+      // volumes, where 64m would collapse every reduce stage to ONE task
+      // and serialize compute-dense operators. 4m keeps tiny shuffles at
+      // 1-2 tasks while compute-heavy pair stages still fan out. Env knob
+      // for A/B; production deployments should keep 64-256m.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SIZE", "4m"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // corpus events.ts is ns-precision parquet; see graft.io.Tables.table

@@ -11,6 +11,12 @@ object TestSpark {
       .master("local[4]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
+      // mirror LocalSession (r15): serialized shuffle writer — the bypass
+      // writer's per-reduce-partition file creates dominated executor CPU
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // mirror LocalSession (r15): let AQE coalesce below defaultParallelism
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
