@@ -44,6 +44,19 @@ object LocalSession {
       // for A/B; production deployments should keep 64-256m.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SIZE", "4m"))
+      // Codegen class cache (STATIC conf — must be set before the first
+      // session). The 100-entry default thrashes under a many-query
+      // resident workload: this library's full surface compiles ~1500+
+      // distinct whole-stage sources, so every re-run of a query whose
+      // classes were evicted pays Janino recompilation on the driver AND
+      // cold-JIT interpreted execution of its hot loops on the executors
+      // (measured: x_dedup_semantic warm CPU 3.1 s in isolation vs 13.7 s
+      // after one unrelated codegen-heavy query ran in between — the
+      // cached data was intact, only the compiled classes were gone).
+      // 5000 entries ≈ a few hundred MB of classes at worst, the right
+      // trade for any long-lived session at any scale.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // corpus events.ts is ns-precision parquet; see graft.io.Tables.table

@@ -15,9 +15,17 @@ private[graft] object CacheRegistry {
   // Sized so eviction only triggers in genuinely long-lived sessions:
   // evicting a table whose lazy consumer has not executed yet silently
   // restores the double-computation the persist prevents, so the bound is
-  // a leak backstop, not a working-set size — 64 live lazily-planned LSH
-  // queries in one session is already pathological.
-  private val maxEntries = 64
+  // a leak backstop, not a working-set size. r15: one full bench pass
+  // registers MORE than the old cap of 64 distinct plans, so by the time
+  // a query's rep 2 ran, FIFO had already unpersisted its table and every
+  // rep paid the cold build again (x_dedup_semantic: 1.4 s CPU solo vs
+  // 17 s in-suite — pure re-build churn, not data work). 256 covers the
+  // whole suite's working set; every entry is MEMORY_AND_DISK, so the
+  // backstop guards entry-count leaks, while MEMORY pressure is already
+  // handled block-wise by Spark's storage eviction. Env-overridable for
+  // re-measurement and for memory-constrained embedders.
+  private val maxEntries =
+    sys.env.get("SPARK_GRAFT_CACHE_MAX").map(_.toInt).getOrElse(256)
   private val entries =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
