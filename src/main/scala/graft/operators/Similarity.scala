@@ -124,15 +124,21 @@ object Similarity {
 
   /** Elementwise floor-mean centroid per cell of quantized vectors —
     * deterministic (integer sums, exact-double division, floor) so Spark
-    * and an oracle agree bit-for-bit. The elementwise sum is the VecSum
-    * typed Aggregator: one array buffer per (cell, map partition) instead
-    * of posexplode's dim-rows-per-vector shuffle. Returns (ccell, cvq).
+    * and an oracle agree bit-for-bit. The elementwise sum is the native
+    * VecSumAgg aggregate: one array buffer per (cell, map partition)
+    * instead of posexplode's dim-rows-per-vector shuffle, AND a plan that
+    * canonicalizes — the previous udaf twin ([[graft.functions.VecSum]],
+    * kept as the law reference) embedded per-build encoder instances, so
+    * two identical centroid plans never compared `sameResult` and every
+    * k-means invocation cached its rounds as separate corpus-sized
+    * entries (r15; law + sameResult pinned in FunctionsSpec). Returns
+    * (ccell, cvq).
     */
   private def centroidsOf(assigned: DataFrame, cellCol: String,
                           vqCol: String): DataFrame =
     assigned
       .groupBy(col(cellCol).as("ccell"))
-      .agg(graft.functions.VecSum.vecSum(col(vqCol)).as("sums"),
+      .agg(graft.functions.VecSumAgg.vecSum(col(vqCol)).as("sums"),
         count(lit(1)).as("n"))
       // a cell whose every vector is NULL sums to a NULL buffer (VecSum
       // finishes all-null groups to NULL, not an empty array): drop it —

@@ -244,6 +244,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ns == Seq(36L), "null rows skipped, empty partials merge cleanly")
   }
 
+  test("VecSumAgg (native) == VecSum (udaf law twin) on every shape: " +
+    "groups, partial/merge across partitions, null rows, all-null group " +
+    "to NULL — and its plans canonicalize (sameResult) where the udaf's " +
+    "never did, which is what makes cache dedupe work for k-means rounds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i % 5, Option(Seq(i.toLong, -i.toLong, 7L)))) ++
+      Seq((7, Option.empty[Seq[Long]]), (7, Option.empty[Seq[Long]])))
+      .toDF("g", "v").repartition(6)
+    def agg(fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      df.groupBy("g").agg(fn(col("v")).as("s"))
+        .collect().map(r => r.getInt(0) -> Option(r.getSeq[Long](1))).toMap
+    val native = agg(graft.functions.VecSumAgg.vecSum)
+    val law = agg(graft.functions.VecSum.vecSum)
+    assert(native == law, "native aggregate diverges from the udaf law twin")
+    assert(native(7).isEmpty, "all-null group must finish NULL")
+    // the property the swap exists for: rebuilt identical plans dedupe
+    def plan() = df.groupBy("g")
+      .agg(graft.functions.VecSumAgg.vecSum(col("v")).as("s"))
+      .queryExecution.analyzed
+    assert(plan().sameResult(plan()),
+      "two identical native vec-sum plans must compare sameResult " +
+        "(the udaf twin embeds per-build encoders and never does)")
+  }
+
   test("pgSizePretty mirrors the reference's unit ladder") {
     assert(Functions.pgSizePretty(0) == "0 bytes")
     assert(Functions.pgSizePretty(512) == "512 bytes")
