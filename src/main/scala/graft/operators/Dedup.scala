@@ -1343,11 +1343,21 @@ object Dedup {
       col("tbl"), col("bkt"), col("vq").as("a_vq"))
     val b = bucketed.select(col("id").as("b_id"), col("cell"),
       col("tbl"), col("bkt"), col("vq").as("b_vq"))
+    // cosine + threshold BEFORE the pair-dedup exchange (r15, guide §2.3/§8):
+    // a pair colliding in several tables carries the SAME two vectors, so
+    // its cosine is identical on every duplicate row — score-then-distinct
+    // ≡ distinct-then-score row-for-row, but the dedup exchange now moves
+    // ~40 B of (ids, cell, cosine) for the few rows that PASS the
+    // threshold instead of two vq payloads (~1 KB/row at 64 dims, more at
+    // real embedding widths) for EVERY candidate. The duplicate-table
+    // factor re-scores a pair at most nTables times — pure map-side CPU,
+    // orders cheaper than shuffling the vectors (measured sf1: candidate
+    // volume ~600k pairs; the old dedup exchange moved ~0.6 GB).
     a.join(b, Seq("cell", "tbl", "bkt")).where(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("cell"),
         Similarity.cosineFromQ(Similarity.dotQ(col("a_vq"), col("b_vq")),
           Similarity.norm2Q(col("a_vq")), Similarity.norm2Q(col("b_vq"))).as("cosine"))
       .where(col("cosine") >= threshold)
+      .dropDuplicates("a_id", "b_id")
   }
 }
