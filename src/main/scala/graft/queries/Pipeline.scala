@@ -4138,12 +4138,24 @@ object Pipeline {
               Dedup.shinglesFromTokens(col("toks"), 3))).as("sh"))
             .select(col("doc_id"), md5(col("sh")).as("h"))
             .persist())
-        val first = g.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
-        g.join(first, Seq("h"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
+        // r15: the old shape re-joined EVERY gram instance to the
+        // first-seen table (an instance-scale equi-join + an extra
+        // instance-scale exchange) only to count, per doc, how many of
+        // its grams it was first to see. But that count is derivable
+        // from the first-seen table alone: group it by first_doc. Two
+        // instance-scale partial-aggregating exchanges (h → first_doc;
+        // doc_id → n_grams) and one doc-level left join replace
+        // agg + join + instance-scale re-agg — identical output (a doc
+        // with zero novel grams coalesces to 0 exactly as the old
+        // sum(when) produced). Guide §2.4: same result, one fewer
+        // corpus-scale shuffle, no corpus-scale join.
+        val novel = g.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+          .groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
           .withColumn("novelty_e4", expr("(n_novel * 10000) div n_grams"))
       },
       Some("""WITH nv_t AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l FROM documents),
