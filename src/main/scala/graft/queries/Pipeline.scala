@@ -4923,18 +4923,35 @@ object Pipeline {
             Similarity.quantize(col("embedding")).as("vq"))
           .withColumn("cell",
             Similarity.signLshBucket(col("vq"), 0 until 4, 8))
+        // r15 (guide §2.5 + §2.3): the cell key has only 2^4 = 16 values,
+        // so the pair-scoring join ran at parallelism ≤ 16 (measured
+        // wall ≈ CPU at sf1 — effectively serial), and the old top-1
+        // window re-shuffled EVERY scored pair by qid. Two changes,
+        // result-identical:
+        //  - a deterministic salt (pmod(xxhash64(qid), 8)) on the query
+        //    side, candidate side replicated 8× (the small side: en docs'
+        //    ids+vectors), turns 16 join keys into 128;
+        //  - top-1 per query becomes max(struct(dot_q, -nid)) — a
+        //    PARTIAL-aggregating max (largest dot, then smallest nid,
+        //    exactly the window's desc(dot_q)/asc(nid) winner), so only
+        //    per-qid partials cross the exchange, never pair rows.
+        val Salt = 8
         val q = v.where(col("lang") =!= "en")
           .select(col("vec_id").as("qid"), col("lang").as("qlang"),
-            col("vq").as("qv"), col("cell"))
+            col("vq").as("qv"), col("cell"),
+            pmod(xxhash64(col("vec_id")), lit(Salt.toLong)).as("salt"))
         val c = v.where(col("lang") === "en")
           .select(col("vec_id").as("nid"), col("vq").as("nv"), col("cell"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(desc("dot_q"), asc("nid"))
-        q.join(c, "cell")
+          .withColumn("salt", explode(array((0 until Salt).map(i =>
+            lit(i.toLong)): _*)))
+        q.join(c, Seq("cell", "salt"))
           .select(col("qid"), col("qlang"), col("nid"),
             Similarity.dotQ(col("qv"), col("nv")).as("dot_q"))
-          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-          .drop("rn")
+          .groupBy("qid", "qlang")
+          .agg(max(struct(col("dot_q"), (-col("nid")).as("neg_nid"),
+            col("nid"))).as("b"))
+          .select(col("qid"), col("qlang"), col("b.nid").as("nid"),
+            col("b.dot_q").as("dot_q"))
       },
       Some(s"""WITH xl_v AS (SELECT e.vec_id, d.lang, $vqSql AS vq
         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
