@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Staged curation-funnel attrition report — the observability spine of a
@@ -36,19 +35,39 @@ import org.apache.spark.sql.functions._
 object CurationFunnel {
 
   /** Email-bearing docs are rejected at the PII stage; pattern shared with
-    * the redaction operator via the caller. */
+    * the redaction operator via the caller.
+    *
+    * r15 restructure, both legs result-identical (oracle unchanged,
+    * hash-verified):
+    *  - the repetition flag needs only the shingle COUNTS, never the
+    *    shingle strings: total = `1` / `n_tokens − 2` (shinglesFromTokens'
+    *    short-doc rule, pure arithmetic) and distinct =
+    *    `size(ShingleKeys60(toks))` (one native pass; distinctness by
+    *    shingle string, exactly `size(array_distinct(shl))`). The old
+    *    interpreted transform materialized every shingle string per doc
+    *    just to count them.
+    *  - the exact-dedup count never needed the per-fp row_number window
+    *    (a full-corpus exchange + per-group sort): the window's rank-1
+    *    row is an s4 row whenever the group HAS one (s4 sorts desc), so
+    *    c5 = "fp groups containing ≥1 surviving doc" =
+    *    `count(DISTINCT when(s4, fp))` — a partial-aggregating distinct
+    *    over survivors' fingerprints only. The one corpus-wide shuffle
+    *    now carries just the distinct fps of surviving docs.
+    */
   def funnelReport(docs: DataFrame, keepLang: String, emailRe: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val flagged = docs
       .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
       .select(col("doc_id"), col("lang"), col("text"),
         size(col("toks")).cast("long").as("n_tokens"),
-        Dedup.shinglesFromTokens(col("toks")).as("shl"))
+        size(graft.functions.NativeExpressions.shingleKeys60(col("toks"), 3))
+          .cast("long").as("n_distinct_sh"))
       .select(col("doc_id"),
         coalesce(col("lang") === keepLang, lit(false)).as("f_lang"),
         coalesce(col("n_tokens").between(20, 90), lit(false)).as("f_len"),
-        coalesce((lit(1.0) - size(array_distinct(col("shl"))).cast("double") /
-          size(col("shl")).cast("double")) <= 0.05, lit(false)).as("f_rep"),
+        coalesce((lit(1.0) - col("n_distinct_sh").cast("double") /
+          when(col("n_tokens") < 3, lit(1L)).otherwise(col("n_tokens") - 2)
+            .cast("double")) <= 0.05, lit(false)).as("f_rep"),
         coalesce(size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) === 0,
           lit(false)).as("f_pii"),
         md5(col("text")).as("fp"))
@@ -56,17 +75,14 @@ object CurationFunnel {
       .withColumn("s2", col("s1") && col("f_len"))
       .withColumn("s3", col("s2") && col("f_rep"))
       .withColumn("s4", col("s3") && col("f_pii"))
-    val ranked = flagged.withColumn("rn", row_number().over(
-      Window.partitionBy("fp").orderBy(col("s4").desc, col("doc_id"))))
-      .withColumn("s5", col("s4") && col("rn") === 1)
-    ranked
+    flagged
       .agg(
         count(lit(1)).as("c0"),
         coalesce(sum(col("s1").cast("long")), lit(0L)).as("c1"),
         coalesce(sum(col("s2").cast("long")), lit(0L)).as("c2"),
         coalesce(sum(col("s3").cast("long")), lit(0L)).as("c3"),
         coalesce(sum(col("s4").cast("long")), lit(0L)).as("c4"),
-        coalesce(sum(col("s5").cast("long")), lit(0L)).as("c5"))
+        countDistinct(when(col("s4"), col("fp"))).as("c5"))
       .select(expr(
         """stack(6,
           |  0, 'ingest',      c0, cast(0 as bigint),
