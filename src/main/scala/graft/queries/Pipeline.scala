@@ -491,16 +491,22 @@ object Pipeline {
   private def rarityScores(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
-    val toks = graft.operators.CacheRegistry.register(
+    // r15: token instances collapse to (doc_id, tok, m) BEFORE anything
+    // joins or re-aggregates them (one partial-agg shuffle; the bigram-LM
+    // pattern): df is a plain count over the collapsed frame and the
+    // scoring join moves one row per (doc, distinct token) instead of one
+    // per instance. n_toks = Σm and bits_sq = Σ m·bits² — instance-exact.
+    val dt = graft.operators.CacheRegistry.register(
       docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok")).persist())
-    val dfT = toks.groupBy("tok")
-      .agg(countDistinct(col("doc_id")).as("df"))
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+        .persist())
+    val dfT = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     val bits = length(bin(expr(s"CAST($nDocs AS BIGINT) div df")))
-    toks.join(dfT, "tok")
+    dt.join(dfT, "tok")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        sum((bits * bits).cast("long")).as("bits_sq"))
+      .agg(sum(col("m")).as("n_toks"),
+        sum((col("m") * bits * bits).cast("long")).as("bits_sq"))
       .select(col("doc_id"), col("n_toks"),
         expr("(bits_sq * 100) div n_toks").as("rarity_e2"))
   }
@@ -1685,13 +1691,22 @@ object Pipeline {
         val asg = Similarity.kmeansAssignStep(t(s, d, "embeddings"),
           "vec_id", "embedding")
           .select(col("id").as("doc_id"), col("new_cell").as("cell"))
-        val toks = docs
+        // r15: collapse token INSTANCES to per-doc multiplicities first
+        // (the bigram-LM pattern) — the un-persisted instance frame was
+        // exploded TWICE per run (tf join + df aggregate) and the
+        // assignment join carried every instance; now one partial-agg
+        // shuffle builds (doc_id, tok, m), both consumers read the
+        // persisted collapsed frame, the join moves one row per
+        // (doc, distinct token), and df is a plain count over it.
+        val dt = graft.operators.CacheRegistry.register(docs
           .select(col("doc_id"),
             explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
           .where(length(col("tok")) >= 3)
-        val tf = toks.join(asg, "doc_id")
-          .groupBy("cell", "tok").agg(count(lit(1)).as("tf"))
-        val df_ = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+          .persist())
+        val tf = dt.join(asg, "doc_id")
+          .groupBy("cell", "tok").agg(sum(col("m")).as("tf"))
+        val df_ = dt.groupBy("tok").agg(count(lit(1)).as("df"))
         tf.join(df_, "tok")
           .withColumn("score", expr(s"(tf * CAST($nDocs AS BIGINT)) div df"))
           .withColumn("rk", row_number().over(
