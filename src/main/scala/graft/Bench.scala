@@ -330,14 +330,39 @@ object Bench {
     val totalCpu    = cpuMedians.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medByName = medians.toMap
-    val headlineQs = toJson(headline.filter(medByName.contains).map(n => n -> medByName(n)))
+    val hlNames = headline.filter(medByName.contains)
+    val headlineQs = toJson(hlNames.map(n => n -> medByName(n)))
 
     val scratch = spark.conf.getOption("graft.stream.scratchDir")
       .getOrElse(sys.props("java.io.tmpdir"))
     val env = envStanza(fmt, loadStart, loadEnd, scratch)
     def lineOf(qs: String, extra: String) =
       s"""{"metric":"total","value":${fmt(totalMedian)},"unit":"sec","agg":"median_of_$reps","rep_order":"interleaved","total_min":${fmt(totalMin)},"total_cpu":${fmt(totalCpu)},"jvm_cpu":${fmt(jvmCpuSec)},"total_wall":${fmt(wallSec)},"queries":$qs,$extra$env,"n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"full":"$outFile"}"""
-    val stdoutLine = lineOf(headlineQs, "")
+    // r16 (VERDICT r15 ask #1): the driver's round-over-round comparison
+    // reads only this stdout line, whose per-query stats were wall MEDIANS
+    // alone — a contended run (r15: load 12.7 at start) produced 23
+    // phantom regressions that the committed min/CPU stats contradicted.
+    // Surface the contention-robust per-query stats HERE, additions-only:
+    // "min_hl" = per-query minimum wall seconds, "cpu_hl" = per-query
+    // median executor-CPU seconds, both %.2f ARRAYS aligned with the
+    // "queries" map's key order (keyed maps for 43 queries do not fit the
+    // driver's 2000-char tail window; the r15 line measured 1432 chars).
+    // If a pathologically contended run inflates the line past the tail
+    // budget, the arrays are dropped (cpu first) rather than risk the
+    // line's HEAD being sheared off and parsing as null.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val minByName = mins.toMap
+    val cpuByName = cpuMedians.toMap
+    def arr(m: Map[String, Double]): String =
+      hlNames.map(n => fmt2(m(n))).mkString("[", ",", "]")
+    val stdoutBudget = 1900 // 2000-char tail minus the sbt success line
+    val stdoutLine = Seq(
+      lineOf(headlineQs, s""""min_hl":${arr(minByName)},"cpu_hl":${arr(cpuByName)},"""),
+      lineOf(headlineQs, s""""min_hl":${arr(minByName)},"""),
+      lineOf(headlineQs, ""))
+      .find(_.length <= stdoutBudget)
+      .getOrElse(lineOf(headlineQs, ""))
     // full artifact additionally carries the RAW per-rep arrays — the
     // round-11 lesson: a median alone cannot show a judge whether a slow
     // query was slow three times (a regression) or once (contention) —

@@ -25,7 +25,14 @@ private[graft] object CacheRegistry {
   // handled block-wise by Spark's storage eviction. Env-overridable for
   // re-measurement and for memory-constrained embedders.
   private val maxEntries =
-    sys.env.get("SPARK_GRAFT_CACHE_MAX").map(_.toInt).getOrElse(256)
+    sys.env.get("SPARK_GRAFT_CACHE_MAX").map { s =>
+      // fail fast with the env var's name: a bare toInt would throw a
+      // context-free NumberFormatException at the first register() deep
+      // inside a query build (ADVICE r15)
+      require(s.matches("\\d+"),
+        s"SPARK_GRAFT_CACHE_MAX must be a positive integer, got '$s'")
+      s.toInt
+    }.getOrElse(256)
   private val entries =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 

@@ -4950,7 +4950,17 @@ object Pipeline {
         //    PARTIAL-aggregating max (largest dot, then smallest nid,
         //    exactly the window's desc(dot_q)/asc(nid) winner), so only
         //    per-qid partials cross the exchange, never pair rows.
-        val Salt = 8
+        // Salt derives from the session's shuffle parallelism instead of a
+        // hardcoded 8 (ADVICE r15): 16 cells × Salt join keys should
+        // comfortably exceed the partition count so the pair stage fans
+        // out, while the candidate side's Salt× replication (ids+vectors)
+        // stays bounded — capped at 64 (1024 keys) because past that the
+        // replication tax grows linearly for sub-linear scheduling gains.
+        // Result-identical for ANY Salt ≥ 1: each (qid, nid) cell pair
+        // matches exactly once (the query side carries one salt value, the
+        // candidate side all of them).
+        val Salt = math.min(64, math.max(8,
+          s.conf.get("spark.sql.shuffle.partitions", "200").toInt / 4))
         val q = v.where(col("lang") =!= "en")
           .select(col("vec_id").as("qid"), col("lang").as("qlang"),
             col("vq").as("qv"), col("cell"),

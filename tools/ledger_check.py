@@ -251,8 +251,13 @@ def main():
     # slowdown does more work or the same work slower on both clocks
     # only under contention), or (b) an explicit contention/noise
     # attribution within the claim's paragraph.
+    # newest = highest round number, with the plain BENCH_r<N>.json
+    # preferred over suffixed variants of the same round (BENCH_r15_c8.json
+    # is the low-core scaling run, not the headline artifact)
     bench_rs = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")),
-                      key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+                      key=lambda p: (int(re.search(r"_r(\d+)", p).group(1)),
+                                     re.search(r"_r\d+\.json$", p) is not None,
+                                     p))
     prev_bench = None
     if bench_rs:
         prev_bench, _ = try_load(bench_rs[-1])
@@ -268,7 +273,10 @@ def main():
                      para, re.I):
             continue
         cpu_now = (bench or {}).get("total_cpu")
-        cpu_prev = (prev_bench or {}).get("total_cpu")
+        # BENCH_r*.json nests the bench stats under "parsed" (the driver's
+        # wrapper); fall back to top-level for plain bench.json-shaped files
+        cpu_prev = (((prev_bench or {}).get("parsed") or prev_bench or {})
+                    .get("total_cpu"))
         if cpu_now and cpu_prev and cpu_prev > 0:
             cpu_ratio = cpu_now / cpu_prev
             if cpu_ratio < 1.15:
@@ -283,6 +291,35 @@ def main():
                 f"total_cpu missing from bench.json or the prior BENCH_r* "
                 f"artifact — quote the per-query queries_cpu ratio or "
                 f"attribute the claim explicitly")
+
+    # 10. load-delta gate (r16, VERDICT r15 ask #1): a round-over-round
+    # comparison between two bench runs whose 1-min load averages at
+    # suite start differ by >2x is not a like-for-like measurement (the
+    # r15 driver bench started at load 12.7 vs r14's 2.4 and produced 23
+    # phantom wall regressions that the min/CPU stats contradicted).
+    # WARN whenever the committed bench.json and the newest BENCH_r*.json
+    # env blocks are load-mismatched; escalate to DRIFT when the latest
+    # section ALSO makes an unattributed round-over-round claim.
+    load_now = ((bench or {}).get("env") or {}).get("load_avg_start")
+    prev_env = ((prev_bench or {}).get("parsed") or
+                (prev_bench or {})).get("env") or {}
+    load_prev = prev_env.get("load_avg_start")
+    if load_now and load_prev and min(load_now, load_prev) > 0:
+        ratio = max(load_now, load_prev) / min(load_now, load_prev)
+        if ratio > 2:
+            msg = (f"load-mismatched bench pair: bench.json started at "
+                   f"load {load_now:.1f} vs {os.path.basename(bench_rs[-1])}"
+                   f" at {load_prev:.1f} ({ratio:.1f}x) — wall-median "
+                   f"comparisons between them are not like-for-like; use "
+                   f"queries_min/queries_cpu or re-run on a quiet host")
+            claims_rr = re.search(
+                r"(speedup|geomean|regress\w*|improved)\b", section, re.I)
+            attributed = re.search(
+                r"contention|host noise|load[- ]mismatch", section, re.I)
+            if claims_rr and not attributed:
+                flags.append(msg)
+            else:
+                warns.append(msg)
 
     # 7. artifact custody: newest round artifacts must be tracked, and
     # tracked driver-contract files must not be dirty. Uses git; degrades

@@ -21,7 +21,11 @@ SBT_PID=$!
 JVM=""
 for i in $(seq 1 240); do
   for p in $(pgrep -x java); do
-    if tr '\0' ' ' < /proc/$p/cmdline 2>/dev/null | grep -q '@/tmp/sbt-args'; then
+    # the argfile pattern alone matches ANY concurrent sbt fork (tests,
+    # another profile run) — confirm the argfile actually launches
+    # graft.Bench before sampling this pid (ADVICE r15)
+    ARGFILE=$(tr '\0' '\n' < /proc/$p/cmdline 2>/dev/null | grep -o '^@/tmp/sbt-args.*' | cut -c2-)
+    if [ -n "$ARGFILE" ] && grep -q 'graft\.Bench' "$ARGFILE" 2>/dev/null; then
       JVM=$p; break
     fi
   done
