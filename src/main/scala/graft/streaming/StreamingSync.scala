@@ -50,6 +50,23 @@ object StreamingSync {
       if (k.startsWith("graft.stream.")) s.conf.set(k, v)
     }
     s.conf.set("spark.sql.shuffle.partitions", n)
+    // State-store provider A/B knob (r16, VERDICT r15 ask #2): unset keeps
+    // the HDFS-backed provider the twins document (whose per-batch delta
+    // commit IS the durability contract); "rocksdb" swaps in the RocksDB
+    // provider for a measured comparison. The A/B verdict is recorded in
+    // artifacts/stream_state_ab.md — at this corpus scale the per-drain
+    // RocksDB instance init dominates whatever the commit path saves, so
+    // the default stays HDFS; at 100 TB state volumes (state no longer
+    // fits the executor heap) RocksDB is the standard choice, which is
+    // why the knob exists rather than a hardcoded provider.
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach {
+      case "rocksdb" => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "hdfs" => () // the default provider; named for explicit A/Bs
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_PROVIDER must be 'rocksdb' or 'hdfs', got '$other'")
+    }
     // recentProgress is a ring buffer (default 100 entries): a backfill
     // draining in more micro-batches than that would silently drop its
     // early batches from the lastRunProgress observability hook. 10k
@@ -58,6 +75,28 @@ object StreamingSync {
     // this buffer — incrementalFileSync accumulates them via a listener.)
     s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     s
+  }
+
+  /** Run `body` — a twin's OFFLINE model/static-side preparation — with
+    * the stream session's shuffle parallelism temporarily restored to the
+    * caller's batch value. streamSession sizes `shuffle.partitions` to
+    * STATE volume (4 locally) because that conf fixes the state-store
+    * instance count for the life of the query, but it equally governs
+    * every exchange of the eager batch aggregations a twin runs BEFORE
+    * its stream starts — serializing corpus-scale training work onto 4
+    * reduce tasks (measured r16: stream_quality_score's offline train
+    * took 5.1 s on the 4-partition stream session vs 0.5 s for the
+    * identical batch twin at 32). The state contract is untouched: the
+    * conf is restored before the streaming query starts, and only the
+    * value in effect at query START pins state partitioning.
+    */
+  private def withBatchParallelism[A](ss: SparkSession,
+                                      parent: SparkSession)(body: => A): A = {
+    val stateN = ss.conf.get("spark.sql.shuffle.partitions")
+    ss.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions", stateN))
+    try body
+    finally ss.conf.set("spark.sql.shuffle.partitions", stateN)
   }
 
   /** Optional event-time watermark for continuous deployments (unset for
@@ -267,9 +306,20 @@ object StreamingSync {
         explode(array_distinct(Dedup.gramHashes(col("toks"), 8))).as("fp"))
     val evalFps = fps(graft.io.Tables.table(ss, sfDir, "documents")
       .where(slice(col("doc_id")) >= 95))
-    val probes = evalFps.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("__df"))
-      .where(col("__df") <= 128).select("fp")
+    // the eval fingerprint set is STATIC by definition — build it once,
+    // eagerly, at the caller's batch parallelism, and persist it so every
+    // micro-batch's broadcast reads cached blocks instead of re-running
+    // the corpus-side gram aggregation per batch on the 4-partition
+    // stream session (r16; same rationale as streamingQualityScore)
+    val probes = withBatchParallelism(ss, spark) {
+      val p = graft.operators.CacheRegistry.register(
+        evalFps.groupBy("fp")
+          .agg(countDistinct(col("doc_id")).as("__df"))
+          .where(col("__df") <= 128).select("fp")
+          .persist())
+      p.count()
+      p
+    }
     val agg = fps(tableStream(ss, sfDir, "documents", base)
       .where(slice(col("doc_id")) < 90))
       .join(broadcast(probes), "fp")
@@ -1069,14 +1119,25 @@ object StreamingSync {
         TextAnalysis.gopherFlags(
           TextAnalysis.gopherMetrics(col("text"), col("toks")))
           .getField("keep").as("seed"))
-    val dt = TextAnalysis.seedMultiplicities(
-      seeded(graft.io.Tables.table(ss, sfDir, "documents")),
-      "doc_id", "text", "seed")
-    val vocab = TextAnalysis.seedAffinityVocab(dt)
-    // empty corpus → NULL baseline; 0 keeps the empty stream scoring
-    // cleanly (no rows reach the comparison anyway)
-    val baseRow = TextAnalysis.seedAffinityBase(dt).head()
-    val baseE3 = if (baseRow.isNullAt(0)) 0L else baseRow.getLong(0)
+    // the whole offline train — multiplicities, the vocab model, the
+    // baseline scalar — runs eagerly HERE at the caller's batch
+    // parallelism (r16; it previously ran on the 4-partition stream
+    // session: 5.1 s vs the batch twin's 0.5 s for identical work). The
+    // vocab is persisted and materialized so each micro-batch's
+    // stream-static join reads cached blocks instead of re-deriving the
+    // vocab aggregation per batch.
+    val (vocab, baseE3) = withBatchParallelism(ss, spark) {
+      val dt = TextAnalysis.seedMultiplicities(
+        seeded(graft.io.Tables.table(ss, sfDir, "documents")),
+        "doc_id", "text", "seed")
+      val v = graft.operators.CacheRegistry.register(
+        TextAnalysis.seedAffinityVocab(dt).persist())
+      v.count()
+      // empty corpus → NULL baseline; 0 keeps the empty stream scoring
+      // cleanly (no rows reach the comparison anyway)
+      val baseRow = TextAnalysis.seedAffinityBase(dt).head()
+      (v, if (baseRow.isNullAt(0)) 0L else baseRow.getLong(0))
+    }
     val docs = tableStream(ss, sfDir, "documents", base)
     val scored = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
