@@ -650,6 +650,161 @@ object ContainmentRuns {
   }
 }
 
+/** Gaps-and-islands runs over ALL of a document pair's matched-gram
+  * diagonals at once — the native fusion of the substring family's
+  * islands pass (r16, guide §2.3/§4). Input: one PACKED long per matched
+  * gram pair, `((diff + 2³¹) << 32) | pa` with `diff = pa − pb` (each
+  * side's position < 2³¹, so both fields fit exactly); output: one
+  * struct per island — `diff`, `run` (consecutive count) and `pa_start`
+  * (the island's first a-side position) — exactly the rows
+  * `groupBy(a,b,diff,isl).agg(count, min(pa), min(pb))` produced from
+  * `isl = pa − row_number() over (partition by a,b,diff order by pa)`
+  * (min(pb) reconstructs as pa_start − diff, constant on a diagonal).
+  *
+  * Why packed: grouping by (a, b) with one 8-byte value per match
+  * replaces grouping by the 3-column (a, b, diff) key — far fewer, fatter
+  * groups (the object-agg per-group buffer churn WAS the measured cost),
+  * narrower exchange rows, and a downstream per-pair aggregate reuses the
+  * (a, b) partitioning with no further exchange. One signed primitive
+  * sort orders matches by (diff, pa): same-diff values share the high 32
+  * bits so they are contiguous and pa-ascending (pa < 2³¹ keeps the low
+  * word's sign bit clear), and within a diagonal consecutive positions
+  * differ by exactly 1 in the packed value — so the islands walk is
+  * `isl_i = packed_i − i`, bit-identical to the row_number formula (a
+  * diagonal boundary jumps isl by ≥ 2³² − n, always a break).
+  */
+case class DiagonalRunsPacked(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "diagonal_runs_packed"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("diff", LongType, nullable = false),
+    StructField("run", LongType, nullable = false),
+    StructField("pa_start", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    DiagonalRunsPacked.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DiagonalRunsPacked.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, v => s"$cls.compute($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DiagonalRunsPacked {
+  /** One pair's islands across all diagonals. Static so generated code
+    * calls it directly. */
+  def compute(ps: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = ps.toLongArray()
+    java.util.Arrays.sort(arr)
+    val n = arr.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      val isl = arr(i) - i
+      var j = i + 1
+      while (j < n && arr(j) - j == isl) j += 1
+      val diff = (arr(i) >>> 32) - 0x80000000L
+      val paStart = arr(i) & 0xffffffffL
+      out.add(new GenericInternalRow(Array[Any](diff, (j - i).toLong, paStart)))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Running-max interval merge over one document's (st, en) token ranges —
+  * the native fusion of `mergeTokenRanges`' two-window pass (r16). Input:
+  * unsorted inclusive ranges as structs; output: the merged ranges as
+  * (cut_start, cut_len) structs, exactly the classic
+  * prev_max_en/new_grp/sum-window chain's groups: sort by (st, en), keep
+  * a running max of `en` over STRICTLY PRECEDING rows, start a new group
+  * when `st > prev_max_en`, emit (min st, max en − min st + 1) per group.
+  * Adjacent-but-not-overlapping ranges (st == prev_max_en + 1) do NOT
+  * merge — same as the window form (the split condition is st >
+  * prev_max_en, and min st of a group is its first st under the sort).
+  */
+case class MergeIntervals(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "merge_intervals"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cut_start", LongType, nullable = false),
+    StructField("cut_len", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint,bigint>>, got $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    MergeIntervals.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MergeIntervals.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, v => s"$cls.compute($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MergeIntervals {
+  /** One doc's merged ranges. Static so generated code calls it directly.
+    * Sorts an index array with a (st, en) comparator — range counts per
+    * doc are small (bounded by partners × spans), so the boxed index sort
+    * costs nothing measurable, and it avoids any packing assumption about
+    * the positions' magnitude. */
+  def compute(rs: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = rs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val st = new Array[Long](n)
+    val en = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = rs.getStruct(i, 2)
+      st(i) = r.getLong(0)
+      en(i) = r.getLong(1)
+      i += 1
+    }
+    val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = java.lang.Long.compare(st(a), st(b))
+      if (c != 0) c else java.lang.Long.compare(en(a), en(b))
+    })
+    val out = new java.util.ArrayList[AnyRef]()
+    var curStart = st(idx(0))
+    var curMax = en(idx(0))
+    i = 1
+    while (i < n) {
+      val s = st(idx(i)); val e = en(idx(i))
+      if (s > curMax) {
+        out.add(new GenericInternalRow(
+          Array[Any](curStart, curMax - curStart + 1)))
+        curStart = s
+        curMax = e
+      } else if (e > curMax) curMax = e
+      i += 1
+    }
+    out.add(new GenericInternalRow(Array[Any](curStart, curMax - curStart + 1)))
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object NativeExpressions {
   /** Column wrapper: exact integer dot product (wrapping arithmetic — the
     * quantized path cannot overflow, see the class doc). */
@@ -682,6 +837,16 @@ object NativeExpressions {
   def shingleKeys60(toks: Column, n: Int = 3): Column =
     ColumnBridge.column(ShingleKeys60(
       ColumnBridge.expression(toks), n))
+
+  /** Column wrapper: gaps-and-islands runs over a pair's packed
+    * (diff, pa) matches (see DiagonalRunsPacked). */
+  def diagonalRunsPacked(ps: Column): Column =
+    ColumnBridge.column(DiagonalRunsPacked(ColumnBridge.expression(ps)))
+
+  /** Column wrapper: running-max interval merge over one doc's ranges
+    * (see MergeIntervals). */
+  def mergeIntervals(rs: Column): Column =
+    ColumnBridge.column(MergeIntervals(ColumnBridge.expression(rs)))
 
   /** Column wrapper: sorted-run counts through the containment estimate
     * gate (see ContainmentRuns). */

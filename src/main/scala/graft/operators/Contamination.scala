@@ -135,18 +135,27 @@ object Contamination {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // df-cap without shuffling raw posting volume: see Dedup.heavyGrams
     val heavy = Dedup.heavyGrams(tr, "train_id", maxDocFreq)
+    // islands natively (r16): each match rides as one packed
+    // ((diff + 2³¹) << 32 | pe) long, grouped once per (eval, train)
+    // pair, and all diagonals' runs come from a single codegen'd
+    // sort+walk (Dedup.spanRuns carries the full rationale).
+    // pt_start reconstructs as pe_start − diff (pt = pe − diff is
+    // constant on a diagonal, so min(pt) = min(pe) − diff).
     val ranges = posts(evalDocs, "eval_id", "pe")
       .join(tr.join(heavy, Seq("h"), "left_anti"), Seq("h"))
-      .withColumn("diff", col("pe") - col("pt"))
-      .withColumn("isl", col("pe") - row_number().over(
-        Window.partitionBy(col("eval_id"), col("train_id"), col("diff"))
-          .orderBy(col("pe"))))
-      .groupBy("eval_id", "train_id", "diff", "isl")
-      .agg(count(lit(1)).as("run"), min(col("pt")).as("pt_start"))
-      .withColumn("span", (col("run") + (n - 1)).cast("long"))
+      .groupBy("eval_id", "train_id")
+      .agg(collect_list(shiftleft(
+        col("pe").cast("long") - col("pt").cast("long") + lit(0x80000000L), 32)
+        .bitwiseOR(col("pe").cast("long"))).as("packed"))
+      .select(col("train_id"),
+        explode(graft.functions.NativeExpressions.diagonalRunsPacked(
+          col("packed"))).as("r"))
+      .withColumn("span", (col("r.run") + (n - 1)).cast("long"))
       .where(col("span") >= minSpanTokens)
-      .select(col("train_id").as("doc"), col("pt_start").cast("long").as("st"),
-        (col("pt_start") + col("span") - 1).cast("long").as("en"))
+      .select(col("train_id").as("doc"),
+        (col("r.pa_start") - col("r.diff")).cast("long").as("st"),
+        (col("r.pa_start") - col("r.diff") + col("span") - 1).cast("long")
+          .as("en"))
     Dedup.mergeTokenRanges(ranges)
   }
 }

@@ -1062,21 +1062,20 @@ object Dedup {
     * the in-corpus mask and the eval-decontamination mask
     * (Contamination.decontaminationMask) — one definition, one semantics.
     */
-  private[operators] def mergeTokenRanges(ranges: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc")).orderBy(col("st"), col("en"))
+  private[operators] def mergeTokenRanges(ranges: DataFrame): DataFrame =
+    // interval merge natively (r16): one exchange (the per-doc group — the
+    // same key the old windows partitioned by) and a single codegen'd
+    // sort+walk per doc (MergeIntervals, bit-identical to the
+    // prev_max_en/new_grp/sum chain by its pinned law) replace TWO Window
+    // passes + their in-partition Sort + the (doc, grp) aggregate.
     ranges
-      .withColumn("prev_max_en",
-        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("new_grp",
-        when(col("st") > coalesce(col("prev_max_en"), lit(-1L)), 1L)
-          .otherwise(0L))
-      .withColumn("grp",
-        sum(col("new_grp")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc", "grp")
-      .agg(min(col("st")).as("cut_start"),
-        (max(col("en")) - min(col("st")) + 1).as("cut_len"))
-      .select(col("doc").as("doc_id"), col("cut_start"), col("cut_len"))
-  }
+      .groupBy("doc")
+      .agg(collect_list(struct(col("st"), col("en"))).as("rs"))
+      .select(col("doc").as("doc_id"),
+        explode(graft.functions.NativeExpressions.mergeIntervals(
+          col("rs"))).as("m"))
+      .select(col("doc_id"), col("m.cut_start").as("cut_start"),
+        col("m.cut_len").as("cut_len"))
 
   /** Positional n-gram postings (doc, pos, h): one row per n-token gram,
     * keyed by the 64-bit XXH64 of the token-array slice. The hash is
@@ -1176,12 +1175,29 @@ object Dedup {
           .as("y"))
       .select(col("x.doc").as("a"), col("x.pos").as("pa"),
         col("y.doc").as("b"), col("y.pos").as("pb"))
-      .withColumn("diff", col("pa") - col("pb"))
-      .withColumn("isl", col("pa") - row_number().over(
-        Window.partitionBy(col("a"), col("b"), col("diff")).orderBy(col("pa"))))
-      .groupBy("a", "b", "diff", "isl")
-      .agg(count(lit(1)).as("run"), min(col("pb")).as("pb_start"),
-        min(col("pa")).as("pa_start"))
+      // islands natively (r16, guide §2.3 + the ContainmentRuns pattern):
+      // each match rides as ONE packed long ((diff + 2³¹) << 32 | pa), the
+      // pair rows group ONCE per (a, b) — coarser than the old window's
+      // (a, b, diff) partitioning, so the downstream per-pair consumers
+      // (substringSpans' max, the removal ranges' per-b rollup) reuse this
+      // exchange — and ALL diagonals' runs come from a single codegen'd
+      // primitive sort+walk (DiagonalRunsPacked, bit-identical to the
+      // row_number islands formula by its pinned law). This deletes the
+      // Window, its in-partition Sort, and the (a,b,diff,isl) aggregate,
+      // and the exchange carries 8 bytes per match instead of a 3-column
+      // key + position. pb_start reconstructs as pa_start − diff (pb =
+      // pa − diff is constant on a diagonal, so min(pb) = min(pa) − diff).
+      .groupBy("a", "b")
+      .agg(collect_list(shiftleft(
+        col("pa").cast("long") - col("pb").cast("long") + lit(0x80000000L), 32)
+        .bitwiseOR(col("pa").cast("long"))).as("packed"))
+      .select(col("a"), col("b"),
+        explode(graft.functions.NativeExpressions.diagonalRunsPacked(
+          col("packed"))).as("r"))
+      .select(col("a"), col("b"), col("r.diff").as("diff"),
+        col("r.run").as("run"),
+        (col("r.pa_start") - col("r.diff")).as("pb_start"),
+        col("r.pa_start").as("pa_start"))
   }
 
   /** Driver-side union-find over a collected symmetric edge set: path

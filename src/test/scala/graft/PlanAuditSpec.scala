@@ -464,7 +464,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // x_decontaminate — the broadcasts themselves are not Exchanges).
     val budget = Map(
       "stream_quality_gate" -> 1,
-      "stream_decontaminate" -> 4,
+      // decontaminate (r16): the probe set is persisted at training time,
+      // so the micro-batch plan substitutes an InMemoryTableScan whose
+      // printed InMemoryRelation STILL SHOWS the offline build's
+      // exchanges (they run once at training, never per batch) — the
+      // per-batch exchanges are just the stream side's doc agg; 6 counts
+      // the cached subtree's text artifacts, and the substitution itself
+      // is asserted below
+      "stream_decontaminate" -> 6,
       "stream_attribution" -> 1,
       // URL seen-set: canonicalization is per-row; ONE exchange feeds
       // the dropDuplicates state store
@@ -496,6 +503,11 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = graft.streaming.StreamingSync.lastRunPlan
         .getOrElse(fail(s"$name left no captured micro-batch plan"))
       val n = "Exchange".r.findAllIn(plan).size
+      // the decontaminate budget counts the persisted probe subtree's
+      // printed exchanges — only honest if the cache substitution fired
+      if (name == "stream_decontaminate")
+        assert(plan.contains("InMemoryTableScan"),
+          s"$name micro-batch no longer reads the persisted probe set")
       if (n > cap) Some(s"$name: $n exchanges > budget $cap") else None
     }
     assert(over.isEmpty,
